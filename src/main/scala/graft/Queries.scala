@@ -336,7 +336,7 @@ object Queries {
             trim(concat(lit("  "), col("c_name"), lit("\r\n"),
               col("c_mktsegment"), lit("  "))),
             "[\\r\\n]", " ").as("username"))
-        .select(col("username"), length(col("username")).as("len"))
+        .select(col("username"), length(col("username")).cast("long").as("len"))
         .orderBy(col("username")),
     Some("""SELECT username, length(username) AS len FROM (
       SELECT regexp_replace(trim('  ' || c_name || chr(13) || chr(10) || c_mktsegment || '  '),
@@ -392,7 +392,7 @@ object Queries {
 
   val list: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15)
+    q11, q12, q13, q14, q15) ++ QueriesBeyond.list
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

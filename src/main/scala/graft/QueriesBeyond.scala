@@ -1,0 +1,307 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.Queries.Q
+
+/** Beyond-reference operators: the training-data-pipeline suite
+  * (dedup, similarity search, text analysis, binary columns) — BASELINE
+  * .json north star. Same determinism rules as Queries.scala; hashing is
+  * md5-based throughout so every stage is oracle-checkable in DuckDB.
+  */
+object QueriesBeyond {
+
+  /** Shared oracle SQL fragment: (doc_id, sh) char-5-gram shingle rows. */
+  private val ShinglesSql =
+    """sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+      FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i))"""
+
+  /** Exact dedup: hash-groupBy on md5(text) (content hash), keeper = min
+    * id. One shuffle on the 16-byte hash — the 100-TB exact-dedup shape. */
+  private val q16 = Q(
+    "q16_dedup_exact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("h")),
+    Some("""SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1 ORDER BY h"""))
+
+  /** MinHash(k=8) + LSH(2 bands × 4 rows): shingle → signature →
+    * band-key self-join → candidate pairs. Band r=4 targets
+    * Jaccard ≈ 0.84+ (the corpus baseline similarity is ~0.2, so false
+    * positives stay sub-quadratic). */
+  private val q17 = Q(
+    "q17_dedup_minhash_lsh",
+    (s, dir) =>
+      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 5, k = 8, bands = 2)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"MIN(md5('$j' || sh)) AS h$j").mkString(", ")
+      s"""WITH $ShinglesSql,
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b"""
+    })
+
+  /** 16-bit SimHash bucket census. */
+  private val q18 = Q(
+    "q18_dedup_simhash",
+    (s, dir) =>
+      Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("simhash")),
+    Some {
+      def digit(p: Int) =
+        s"(ascii(substr(h4,$p,1)) - CASE WHEN ascii(substr(h4,$p,1)) >= 97 THEN 87 ELSE 48 END)"
+      val tok16 =
+        s"((${digit(1)}*16 + ${digit(2)})*16 + ${digit(3)})*16 + ${digit(4)}"
+      val sums = (0 until 16).map { i =>
+        val p = 1L << i
+        s"SUM(CASE WHEN CAST(FLOOR(tok16/$p) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$i"
+      }.mkString(", ")
+      val sim = (0 until 16)
+        .map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM tok),
+      v AS (SELECT doc_id, $tok16 AS tok16 FROM h),
+      sums AS (SELECT doc_id, $sums FROM v GROUP BY doc_id),
+      simh AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM sums)
+      SELECT simhash, COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM simh GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Exact n-gram Jaccard over a bounded sample (doc_id < 100): the
+    * verification kernel that LSH candidates feed at scale. int/int
+    * division is exact in IEEE, so `jaccard` is bit-identical. */
+  private val q19 = Q(
+    "q19_ngram_jaccard",
+    (s, dir) =>
+      Dedup.jaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text", n = 5, threshold = 0.1)
+        .orderBy(col("da"), col("db")),
+    Some(s"""WITH $ShinglesSql,
+      sf AS (SELECT * FROM sh WHERE doc_id < 100),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sf GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, i, sa.sz + sb.sz - i AS un,
+             CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
+      ORDER BY da, db"""))
+
+  /** Brute-force cosine top-5 for 8 query vectors. The decimal dot-product
+    * kernel keeps scores deterministic across partitionings; raw cosines
+    * are still excluded from the output because Spark's double→decimal
+    * cast rounds via shortest-repr (BigDecimal.valueOf) while DuckDB
+    * expands the double exactly — a 1-ulp divergence in the quotient.
+    * Ranks are insensitive to 1-ulp noise (ties broken by vec_id). */
+  private val q20 = Q(
+    "q20_ann_cosine_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("v"))
+      Similarity.cosineTopK(e, e.filter(col("id") < 8), 5)
+        .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      norms AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      q AS (SELECT * FROM ev WHERE vec_id < 8),
+      dots AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM q JOIN ev e ON q.i = e.i AND e.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      cos AS (SELECT q_id, dots.vec_id AS vec_id, dot / (nq.nrm * ne.nrm) AS cosim
+        FROM dots
+        JOIN norms nq ON q_id = nq.vec_id
+        JOIN norms ne ON dots.vec_id = ne.vec_id)
+      SELECT q_id, vec_id, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosim DESC, vec_id) AS rnk
+        FROM cos) t
+      WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
+  /** Sign-LSH bucketing on the first 8 dimensions: the ANN scale path —
+    * candidate generation becomes an equi-join on the bucket id. */
+  private val q21 = Q(
+    "q21_ann_lsh_bucket",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .groupBy(Similarity.signBucket(col("embedding"), 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+        .orderBy(col("bucket")),
+    Some {
+      val bits = (1 to 8)
+        .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT $bits AS bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec
+      FROM embeddings GROUP BY 1 ORDER BY bucket"""
+    })
+
+  /** Stopword-density language ID vs the labeled lang column. */
+  private val q22 = Q(
+    "q22_lang_id",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langGuess(col("text")).as("guess"))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess")),
+    Some {
+      val stopList = TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH scored AS (
+        SELECT lang,
+          CASE WHEN len(list_filter(string_split(text, ' '), t -> ($stopList)))
+                    / len(string_split(text, ' ')) >= 0.05
+               THEN 'en' ELSE 'other' END AS guess
+        FROM documents)
+      SELECT lang, guess, COUNT(*) AS n FROM scored
+      GROUP BY 1, 2 ORDER BY lang, guess"""
+    })
+
+  /** Quality scoring (length/stopword/punct mix), averaged per source via
+    * the decimal-sum pattern. */
+  private val q23 = Q(
+    "q23_quality_score",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("q").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("avg_score"))
+        .orderBy(col("source")),
+    Some {
+      val stopList = TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH scored AS (
+        SELECT source,
+          LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+          (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+             / len(string_split(text, ' '))) * 0.3 +
+          (1.0 - LEAST(1.0, len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2 AS q
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CAST(q AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_score
+      FROM scored GROUP BY 1 ORDER BY source"""
+    })
+
+  /** Token statistics per language: whitespace tokens + BPE-ish regex
+    * token runs; integer sums are exact, avg is exact-int / count. */
+  private val q24 = Q(
+    "q24_token_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          TextAnalysis.bpeishCount(col("text")).as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("n_tok")).cast("long").as("min_tok"),
+          max(col("n_tok")).cast("long").as("max_tok"),
+          sum(col("n_bpe")).as("total_bpe"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tok"))
+        .orderBy(col("lang")),
+    // CAST(SUM(...) AS BIGINT): DuckDB sums BIGINT into HUGEINT, which
+    // pandas renders as float — the cast keeps the compared dtype integral.
+    Some("""SELECT lang, COUNT(*) AS docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tok,
+      CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tok,
+      CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_bpe,
+      CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tok
+      FROM documents GROUP BY 1 ORDER BY lang"""))
+
+  /** Document fingerprinting, winnowing-style: keep the 1/16 of shingle
+    * hashes whose first hex digit is '0' (mod-p selection) — a stable
+    * content sketch for near-dup triage. */
+  private val q25 = Q(
+    "q25_fingerprint",
+    (s, dir) => {
+      val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 5)
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .filter(substring(col("h"), 1, 1) === "0")
+      sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), min(col("h")).as("fp_min"),
+          max(col("h")).as("fp_max"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $ShinglesSql,
+      f AS (SELECT doc_id, md5(sh) AS h FROM sh WHERE substr(md5(sh), 1, 1) = '0')
+      SELECT doc_id, COUNT(*) AS n_fp, MIN(h) AS fp_min, MAX(h) AS fp_max
+      FROM f GROUP BY 1 ORDER BY doc_id"""))
+
+  /** §2.6 set operations: UNION(distinct) then EXCEPT. */
+  private val q26 = Q(
+    "q26_set_ops",
+    (s, dir) => {
+      val hi = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("id"))
+      val bld = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("id"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey").as("id"))
+      hi.union(sup).distinct().except(bld).orderBy(col("id"))
+    },
+    Some("""SELECT id FROM (
+      (SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000
+       UNION SELECT s_suppkey FROM supplier)
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') t
+      ORDER BY id"""))
+
+  /** Rollup (grouping-sets family) with explicit null ordering. */
+  private val q27 = Q(
+    "q27_rollup",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Multimodal plumbing, metadata leg: opaque binary payload size +
+    * content hash (see operators/Multimodal.scala for the decode path). */
+  private val q28 = Q(
+    "q28_binary_meta",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+          md5(col("text")).as("h"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS h
+      FROM documents ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(
+    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * All hashing is built on `md5` (codegen'd, and bit-identical across
+  * engines, which makes every stage oracle-checkable in DuckDB — unlike
+  * `hash()`/`xxhash64`, whose seeds differ per engine):
+  *
+  *  - exact dedup: hash-groupBy on md5(text) — one shuffle on the hash.
+  *  - MinHash: signature component j = MIN(md5(j || shingle)) over the
+  *    doc's shingle set. Lexicographic min over the hex strings is a
+  *    uniform permutation min, so the standard MinHash Jaccard estimate
+  *    applies. One groupBy(doc) computes all k components (k agg columns,
+  *    no k-fold row blowup).
+  *  - LSH banding: band key = md5(band_idx || sig_slice); candidate pairs
+  *    come from a self equi-join on the band key — a shuffle join keyed by
+  *    band, which is exactly the partitioning you want at 100 TB (each
+  *    band bucket lands on one reducer; no O(n²) anywhere).
+  *  - SimHash: 16-bit signature from per-token md5 bits, computed as 16
+  *    conditional-sum agg columns in a single groupBy(doc) pass (no
+  *    per-bit row explosion).
+  */
+object Dedup {
+
+  /** Character n-gram shingles of `text` (1 shingle for texts shorter
+    * than n). */
+  def charShingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** (doc, shingle) rows, distinct. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    docs.select(col(idCol), explode(charShingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** k MinHash components as aggregate columns named h0..h{k-1}. */
+  def minhashAggs(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map(j => min(md5(concat(lit(j.toString), sh))).as(s"h$j"))
+
+  /** Per-doc MinHash signature table: idCol, h0..h{k-1}. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val aggs = minhashAggs(col("sh"), k)
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs (idA < idB) from `bands` bands of `k/bands`
+    * signature rows each. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sig = minhashSignatures(docs, idCol, textCol, n, k)
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      md5(concat(lit(b.toString) +: slice: _*))
+    }
+    val banded = sig.select(col(idCol),
+      explode(array(bandKeys: _*)).as("bk"))
+    val a = banded.select(col(idCol).as("doc_a"), col("bk"))
+    val b = banded.select(col(idCol).as("doc_b"), col("bk").as("bk2"))
+    a.join(b, col("bk") === col("bk2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within `docs`
+    * (quadratic in candidate-set size — pre-filter the input, e.g. to LSH
+    * candidates or a bounded sample, before calling at scale). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("da"), col("sh"))
+    val b = sh.select(col(idCol).as("db"), col("sh").as("sh2"))
+    val inter = a.join(b, col("sh") === col("sh2") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"), col("i"),
+        (col("sza") + col("szb") - col("i")).as("un"),
+        (col("i") / (col("sza") + col("szb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash per doc from whitespace tokens: single groupBy with 16
+    * conditional sums. Token hash = first 4 hex chars of md5 decoded to an
+    * int via ascii arithmetic (portable to the SQL oracle). */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+    val h4 = substring(md5(col("tok")), 1, 4)
+    def hexDigit(p: Int): Column = {
+      val a = ascii(substring(h4, p, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val tok16 = ((hexDigit(1) * 16 + hexDigit(2)) * 16 + hexDigit(3)) * 16 +
+      hexDigit(4)
+    val bitSums = (0 until 16).map { i =>
+      val p = 1L << i
+      sum(when(floor(col("tok16") / p) % 2 === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val sums = tok.select(col(idCol), tok16.as("tok16"))
+      .groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map { i =>
+      when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col(idCol), sim.as("simhash"))
+  }
+}

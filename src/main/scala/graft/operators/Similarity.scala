@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two dot-product kernels:
+  *
+  *  - [[dotDouble]]: plain double fold — the fast path (narrow, codegen'd,
+  *    no shuffle). Result depends on accumulation order only in the last
+  *    ulp; use for production ANN.
+  *  - [[dotDecimal]]: products cast to DECIMAL(38,18) before the fold.
+  *    Decimal addition is exact and associative, so the result is
+  *    bit-identical regardless of partitioning/order and across engines —
+  *    this is what makes cosine top-k oracle-checkable. ~3-4x the cost of
+  *    the double fold; correctness harness only.
+  *
+  * Brute-force top-k: probe × broadcast(queries) cross join, per-query
+  * row_number window. The probe side never shuffles until the final
+  * (tiny) top-k exchange, so the shape scales linearly with the corpus.
+  * The LSH-bucketed variant ([[signBucket]]) cuts the candidate set by
+  * bucketing on projection signs; brute-force within bucket.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> (element casts are exact). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast("decimal(38,18)")),
+      lit(0).cast("decimal(38,18)"),
+      (acc, x) => (acc + x).cast("decimal(38,18)"))
+
+  def normDecimal(v: Column): Column =
+    sqrt(dotDecimal(v, v).cast("double"))
+
+  /** Exact cosine top-k of `corpus` rows for each row of `queries`
+    * (both need columns id, v:array<double>; queries must be small —
+    * it is broadcast). Deterministic (decimal kernel + id tiebreak). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("id").as("vec_id"), col("v"),
+      normDecimal(col("v")).as("nrm"))
+    val q = queries.select(col("id").as("q_id"), col("v").as("qv"),
+      normDecimal(col("v")).as("qnrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotDecimal(col("v"), col("qv")).cast("double") /
+          (col("nrm") * col("qnrm"))).as("cosim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Sign-LSH bucket id from the first `bits` dimensions (1-based array
+    * access): bit i set iff v[i] >= 0. The scale path: equi-join on the
+    * bucket replaces the cross join; recall is traded via multiple
+    * probe buckets. */
+  def signBucket(v: Column, bits: Int): Column =
+    (1 to bits).map { i =>
+      when(element_at(v, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+}
