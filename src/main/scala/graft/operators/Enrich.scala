@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.IpFunctions
+
+/** Event enrichment: GeoIP/ASN range joins + reverse-DNS lookup.
+  *
+  * Geo path (`/root/reference/bin/ipinfo.py:309-339`): two left range
+  * joins against broadcast dimension tables, misses defaulting to the
+  * stringly "N/A" sentinel — which must stay a plain string through the
+  * analytics path (it ranks in top-k reports; SURVEY §7.4.6).
+  *
+  * rDNS path (`/root/reference/lib/maillogsentinel/dns_utils.py`): a
+  * side-effecting network lookup — necessarily a UDF, marked
+  * nondeterministic (retries/speculation may re-execute it), backed by a
+  * per-executor TTL cache mirroring the reference's LRU(128)/TTL(3600)
+  * (dns_utils.py:92-106,147-162). The resolver is injectable, as the
+  * reference's tests mock it everywhere (test_parser.py:81-85).
+  */
+object Enrich {
+
+  /** Country dim schema: lo, hi, country_code (ipinfo.py:149-172).
+    * ASN dim schema: lo, hi, asn, aso (ipinfo.py:173-190). */
+  def withGeo(events: DataFrame, country: DataFrame, asn: DataFrame,
+              ipCol: String = "ip"): DataFrame = {
+    val probe = events.withColumn("ip_int", IpFunctions.ipToInt(col(ipCol)))
+    val c = RangeJoin.bucketed(
+        probe, country.select(col("lo"), col("hi"), col("country_code")),
+        "ip_int", "lo", "hi", shift = 16)
+      .drop("lo", "hi")
+    val a = RangeJoin.bucketed(
+        c, asn.select(col("lo"), col("hi"), col("asn"), col("aso")),
+        "ip_int", "lo", "hi", shift = 16)
+      .drop("lo", "hi", "ip_int")
+    a.withColumn("country_code", coalesce(col("country_code"), lit("N/A")))
+      .withColumn("asn", coalesce(col("asn").cast("string"), lit("N/A")))
+      .withColumn("aso", coalesce(col("aso"), lit("N/A")))
+  }
+
+  /** Geo columns when no databases are configured — the reference emits
+    * the same sentinels when managers are absent (log_utils.py:115-123). */
+  def withGeoDefaults(events: DataFrame): DataFrame =
+    events
+      .withColumn("country_code", lit("N/A"))
+      .withColumn("asn", lit("N/A"))
+      .withColumn("aso", lit("N/A"))
+
+  /** Resolver contract: ip → Right(hostname) | Left(status string from the
+    * reference taxonomy: "ERRNO <n>" | "Timeout" | "Failed (Unknown)"
+    * (dns_utils.py:40-50)). Must be Serializable (ships to executors). */
+  type Resolver = String => Either[String, String]
+
+  /** JVM resolver via InetAddress; errors mapped onto the reference
+    * taxonomy. */
+  val inetResolver: Resolver = { ip =>
+    try {
+      val addr = java.net.InetAddress.getByName(ip)
+      val host = addr.getCanonicalHostName
+      if (host == ip) Left("ERRNO 1") // no PTR record resolved
+      else Right(host)
+    } catch {
+      case _: java.net.UnknownHostException => Left("ERRNO 1")
+      case _: java.net.SocketTimeoutException => Left("Timeout")
+      case scala.util.control.NonFatal(_) => Left("Failed (Unknown)")
+    }
+  }
+
+  /** Adds hostname + reverse_dns_status via the cached, nondeterministic
+    * UDF. Hostname is the literal "null" on failure (log_utils.py:105-113).
+    * Cost note: the cache makes repeated IPs cheap within an executor; for
+    * high-cardinality IP streams prefer `dedupThenResolve` below. */
+  def withRdns(events: DataFrame, resolver: Resolver,
+               cacheSize: Int = 128, ttlSeconds: Long = 3600,
+               ipCol: String = "ip"): DataFrame = {
+    val look = udf { ip: String =>
+      val (h, s) = RdnsCache.lookup(ip, resolver, cacheSize, ttlSeconds)
+      (h, s)
+    }.asNondeterministic()
+    events
+      .withColumn("_r", look(col(ipCol)))
+      .withColumn("hostname", col("_r._1"))
+      .withColumn("reverse_dns_status", col("_r._2"))
+      .drop("_r")
+  }
+
+  /** The 100-TB shape for rDNS: resolve each distinct IP once (one small
+    * shuffle of the distinct set), then broadcast-join results back —
+    * turning O(rows) network calls into O(distinct ips). The reference
+    * gets a weaker version of this from cache hits (SURVEY §4). */
+  def dedupThenResolve(events: DataFrame, resolver: Resolver,
+                       ipCol: String = "ip"): DataFrame = {
+    val distinctIps = events.select(col(ipCol)).distinct()
+    val resolved = withRdns(distinctIps, resolver, ipCol = ipCol)
+    events.join(broadcast(resolved), Seq(ipCol), "left")
+  }
+}
+
+/** Executor-local rDNS cache: bounded, TTL'd, thread-safe. Lives in the
+  * executor JVM as object state (one instance per executor, shared across
+  * tasks — exactly the locality the reference's process-wide lru_cache
+  * has). */
+object RdnsCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
+
+  def lookup(ip: String, resolver: Enrich.Resolver,
+             maxSize: Int, ttlSeconds: Long): (String, String) = {
+    val now = System.currentTimeMillis() / 1000
+    val hit = cache.get(ip)
+    if (hit != null && now - hit._3 < ttlSeconds) (hit._1, hit._2)
+    else {
+      val (h, s) = resolver(ip) match {
+        case Right(host) => (host, "OK")
+        case Left(err)   => ("null", err) // literal "null": log_utils.py:105-113
+      }
+      if (cache.size >= maxSize) {
+        // cheap bounded eviction: drop the stalest entry
+        var oldest: String = null
+        var oldestTs = Long.MaxValue
+        cache.forEach { (k, v) =>
+          if (v._3 < oldestTs) { oldestTs = v._3; oldest = k }
+        }
+        if (oldest != null) cache.remove(oldest)
+      }
+      cache.put(ip, (h, s, now))
+      (h, s)
+    }
+  }
+
+  def clear(): Unit = cache.clear()
+  def size: Int = cache.size
+}

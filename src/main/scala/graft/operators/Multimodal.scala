@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque BINARY payloads with
+  * typed metadata, processed by per-partition batch operators.
+  *
+  * The Spark-side plumbing is real — schema, partition sizing, batched
+  * per-partition execution (the JVM shape of a pandas-UDF/mapInPandas
+  * stage), deterministic outputs — while the actual codec calls are
+  * STUBBED behind [[Codec]] (this container has no image/audio libs):
+  * `StubCodec` derives deterministic fake features from the bytes so the
+  * pipeline is testable end-to-end. Swapping in a real codec changes no
+  * plan shape.
+  *
+  * Scale notes: payloads never pass through a shuffle in these operators
+  * (mapPartitions is narrow); metadata-only queries project away the
+  * binary column so parquet scans skip the heavy pages entirely.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + the metadata a curation pipeline keys on. */
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int, n_frames: Int)
+
+  final case class Feature(media_id: Long, kind: String, n_bytes: Long,
+                           feature: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** Codec seam: decode/resize/frame-sample land here. */
+  trait Codec extends Serializable {
+    def decodeFeature(kind: String, payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake codec: feature[i] = f(bytes, i) — stands in for
+    * real decode (STUB; no media libs in this container). */
+  object StubCodec extends Codec {
+    def decodeFeature(kind: String, payload: Array[Byte],
+                      dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L // FNV-ish rolling state over the payload
+      var i = 0
+      while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
+      var d = 0
+      while (d < dim) {
+        val x = h ^ (d * 0x9E3779B97F4A7C15L)
+        out(d) = ((x % 1000L).toFloat) / 1000f
+        d += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize a media table from the documents table (payload = utf8
+    * bytes): lets every downstream operator run on driver-provided data
+    * without fabricating new inputs. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 640 + 32).cast("int").as("width"),
+      (col("doc_id") % 480 + 32).cast("int").as("height"),
+      lit(16000).as("sample_rate"),
+      (col("doc_id") % 300 + 1).cast("int").as("n_frames"))
+
+  /** Batched per-partition feature extraction — the mapInPandas shape on
+    * the JVM: one codec instance per partition, rows processed in a tight
+    * loop, output as a typed Dataset. Narrow (no shuffle). */
+  def extractFeatures(media: DataFrame, codec: Codec, dim: Int): Dataset[Feature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          Feature(id, kind, bytes.length.toLong,
+            codec.decodeFeature(kind, bytes, dim))
+        }
+      }
+  }
+
+  /** Deterministic frame sampling plan for video rows: every k-th frame
+    * index up to n_frames — pure column expressions (sequence+filter), no
+    * decode involved until the codec seam. */
+  def sampleFrameIndexes(media: DataFrame, everyK: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        filter(sequence(lit(0), col("n_frames") - 1),
+          i => i % everyK === 0).as("frame_idx"))
+
+  /** Metadata-only projection — must prune the payload column at the scan
+    * (verify via ReadSchema in explain). */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"), col("width"), col("height"),
+      col("sample_rate"), col("n_frames"))
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "completely different text with no overlap at all zzz"))
+    .toDF("doc_id", "text")
+
+  test("identical docs get identical minhash signatures; LSH pairs them") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 5, k = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString).toSeq).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 5, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard: exact dup = 1.0; near dup high; disjoint absent") {
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.5)
+    assert(!j.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash16(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) <= 6)
+  }
+
+  test("cosine top-k: nearest neighbor of a duplicated vector is its twin") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(1.0, 0.001, 0.0)), // ~twin of 0
+      (2L, Array(0.0, 1.0, 0.0)),
+      (3L, Array(-1.0, 0.0, 0.1)))
+      .toDF("id", "v")
+    val top = Similarity.cosineTopK(vecs, vecs.filter(col("id") === 0), 2)
+      .orderBy(col("rnk")).collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L)
+    assert(top.head.getAs[Int]("rnk") == 1)
+  }
+
+  test("sign bucket: identical sign patterns collide, opposites do not") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f, 1f, 1f, 1f, 1f)),
+      (1L, Array(5.0f, 1.0f, 9.0f, 2.0f, 3f, 4f, 5f, 6f)), // same signs
+      (2L, Array(-1.0f, -2.0f, 3.0f, 4.0f, 1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select(col("vec_id"),
+        Similarity.signBucket(col("embedding"), 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L))
+  }
+
+  test("multimodal: stub feature extraction is deterministic; metadata prunes payload") {
+    val media = Multimodal.fromDocuments(
+      Seq((7L, "some media payload bytes")).toDF("doc_id", "text"))
+    val f1 = Multimodal.extractFeatures(media, Multimodal.StubCodec, 8).collect()
+    val f2 = Multimodal.extractFeatures(media, Multimodal.StubCodec, 8).collect()
+    assert(f1.head.feature.toSeq == f2.head.feature.toSeq)
+    assert(f1.head.n_bytes == 24L)
+    val meta = Multimodal.metadata(media)
+    assert(!meta.columns.contains("payload"))
+    val frames = Multimodal.sampleFrameIndexes(
+      media.withColumn("kind", lit("video")), 10).collect()
+    assert(frames.head.getSeq[Int](
+      frames.head.fieldIndex("frame_idx")).forall(_ % 10 == 0))
+  }
+}
