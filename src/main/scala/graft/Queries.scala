@@ -165,8 +165,10 @@ object Queries {
         (col("user_id") % 256).cast("string"),
         ((col("user_id") * 7) % 256).cast("string"),
         ((col("user_id") * 13) % 256).cast("string"))
+      // native codegen'd expression (graft.plans.IpToIntExpr); agreement
+      // with the composed-builtins IpFunctions.ipToInt is spec-tested
       val probe = Tables.events(s, dir)
-        .select(col("event_id"), IpFunctions.ipToInt(ip).as("ip_int"))
+        .select(col("event_id"), graft.plans.IpToIntExpr.ipToInt(ip).as("ip_int"))
       val dim = Tables.nation(s, dir).select(
         (col("n_nationkey").cast("long") * 171798692L).as("lo"),
         (col("n_nationkey").cast("long") * 171798692L + 120000000L).as("hi"),

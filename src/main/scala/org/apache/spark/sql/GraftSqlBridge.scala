@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` surface — the standard
+  * extension-library technique for exposing custom Catalyst Expressions
+  * as user-facing Columns on Spark 4 (where `new Column(expr)` moved
+  * behind the classic/connect split). Public Spark API only, no
+  * behavioral overrides.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
