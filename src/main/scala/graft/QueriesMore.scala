@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.Queries.Q
+
+/** Third query batch: window functions, sessionization, subqueries,
+  * semi-structured extraction, skew-salted aggregation, sketches.
+  * Determinism rules as in Queries.scala.
+  */
+object QueriesMore {
+
+  /** Window-function suite over the event stream: lag, rank, running
+    * decimal sum — one shuffle on user_id, all three functions share the
+    * same Window partition (single Window physical node). */
+  private val q29 = Q(
+    "q29_window_suite",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          rank().over(wDesc).as("rnk"),
+          sum(col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running"))
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, value,
+      LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      FROM events ORDER BY user_id, event_id"""))
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session flag
+    * → running sum = session id → per-session stats. The batch shape of
+    * the streaming session-window operator. */
+  private val q30 = Q(
+    "q30_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("new_s",
+          when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L)
+            .when(lag(col("ms"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH t AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      f AS (
+        SELECT user_id, event_id, ms,
+          CASE WHEN ms - LAG(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+               THEN 1
+               WHEN LAG(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_s
+        FROM t),
+      sess AS (
+        SELECT user_id, ms,
+          CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM f)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(ms) - MIN(ms) AS dur_ms
+      FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id"""))
+
+  /** Exact distinct aggregation (expand-based in Spark: one extra shuffle
+    * for the distinct set — the exact-answer counterpart of q35's HLL). */
+  private val q31 = Q(
+    "q31_distinct_exact",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Scalar subquery: orders above the (decimal-exact) global average —
+    * in Spark a broadcast cross join of a 1-row aggregate, no collect. */
+  private val q32 = Q(
+    "q32_scalar_subquery",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgP = o.agg(
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_price"))
+      o.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Semi-structured field extraction from the JSON-ish props column
+    * (regex-based so the oracle needs no JSON extension; Spark users
+    * would reach for from_json/get_json_object — same plan shape). */
+  private val q33 = Q(
+    "q33_props_extract",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+          .cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_bucket")),
+    Some("""SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_bucket,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events
+      WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Embedding-cosine near-dup candidates: sign-LSH bucket equi-join
+    * (the scale path — no cross join anywhere), exact cosine filter on
+    * candidates. Pairs only; raw cosines are engine-1-ulp-divergent
+    * (see q20 note). */
+  private val q34 = Q(
+    "q34_cosine_neardup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"),
+        graft.operators.Similarity.signBucket(col("embedding"), 8).as("b"))
+      val withN = e.withColumn("nrm",
+        graft.operators.Similarity.normDecimal(col("v")))
+      val a = withN.select(col("vec_id").as("va"), col("v").as("xa"),
+        col("nrm").as("na"), col("b"))
+      val bb = withN.select(col("vec_id").as("vb"), col("v").as("xb"),
+        col("nrm").as("nb"), col("b").as("b2"))
+      a.join(bb, col("b") === col("b2") && col("va") < col("vb"))
+        .filter(
+          graft.operators.Similarity.dotDecimal(col("xa"), col("xb"))
+            .cast("double") / (col("na") * col("nb")) >= 0.3)
+        .select(col("va"), col("vb"))
+        .orderBy(col("va"), col("vb"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      meta AS (
+        SELECT vec_id,
+          (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+          (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+          (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
+          (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
+          (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
+          (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) +
+          (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS b
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, SQRT(CAST(SUM(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      cand AS (
+        SELECT ma.vec_id AS va, mb.vec_id AS vb
+        FROM meta ma JOIN meta mb ON ma.b = mb.b AND ma.vec_id < mb.vec_id),
+      dots AS (
+        SELECT c.va, c.vb,
+          CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN ev ea ON ea.vec_id = c.va
+        JOIN ev eb ON eb.vec_id = c.vb AND eb.i = ea.i
+        GROUP BY 1, 2)
+      SELECT va, vb FROM dots
+      JOIN norms na ON na.vec_id = va
+      JOIN norms nb ON nb.vec_id = vb
+      WHERE dot / (na.nrm * nb.nrm) >= 0.3
+      ORDER BY va, vb"""))
+
+  /** Approximate sketches: HLL distinct + approx median. No oracle —
+    * sketch implementations are engine-specific (driver records the
+    * weaker rows-only check, per contract). */
+  private val q35 = Q(
+    "q35_approx_sketches",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000))
+            .as("approx_median"))
+        .orderBy(col("event_type")),
+    None)
+
+  /** Salted two-stage aggregation — identical results to a plain groupBy
+    * (which is exactly what the oracle runs); only the shuffle layout
+    * differs. See operators/Skew.scala. */
+  private val q36 = Q(
+    "q36_salted_agg",
+    (s, dir) =>
+      Skew.saltedCountSum(Tables.events(s, dir), "event_type", "value",
+          saltBy = "event_id", salts = 16)
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36)
+}
