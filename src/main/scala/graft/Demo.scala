@@ -70,6 +70,15 @@ object Demo {
       case Left(v) => println(s"[demo] sql export aborted: $v violations")
     }
 
+    // 100-TB layout: date-partitioned parquet + partition-pruned slice
+    val tableDir = d.resolve("events-table").toString
+    graft.sources.EventsTable.append(events, tableDir)
+    val slice = graft.sources.EventsTable.day(spark, tableDir, "2025-06-08")
+    println(s"[demo] partitioned table day-slice rows: ${slice.count()}")
+    println("[demo] anonymized sample:")
+    graft.operators.Anonymize.anonymizeEvents(events)
+      .select("server", "ip", "user").orderBy("server", "ip").show(3, truncate = false)
+
     val streamOut = d.resolve("stream-out").toString
     LogStream.runToCompletion(LogStream.toCsv(
       LogStream.events(spark, d.toString + "/*.log", 2025, Some(geo)),

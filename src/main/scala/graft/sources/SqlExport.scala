@@ -43,7 +43,9 @@ object SqlExport {
   def literal(c: Column, kind: Kind): Column = {
     val v = nullified(c)
     val rendered = kind match {
-      case IntKind  => v.cast("long").cast("string")
+      // try_cast: null on non-numeric (sql_exporter.py:230-244 semantics);
+      // ANSI-mode plain cast would abort the job instead
+      case IntKind  => v.try_cast("long").cast("string")
       case BoolKind => when(lower(v).isin("true", "1", "yes", "on"), "1")
         .otherwise("0")
       case StrKind | DateTimeKind =>
@@ -60,7 +62,7 @@ object SqlExport {
       .map { s =>
         val base = nullified(col(s.csvName)).isNull
         if (s.kind == IntKind)
-          base || nullified(col(s.csvName)).cast("long").isNull
+          base || nullified(col(s.csvName)).try_cast("long").isNull
         else base
       }
       .reduceOption(_ || _).getOrElse(lit(false))

@@ -99,7 +99,8 @@ class SourcesSpec extends SparkSpec {
       ColumnSpec("ok", "is_ok", BoolKind, notNull = false))
     val df = Seq(
       ("o'brien", "64500", "true"),
-      ("carol", "N/A", "no"))
+      ("carol", "N/A", "no"),
+      ("dave", "not-a-number", "off")) // ANSI trap: must render NULL, not throw
       .toDF("user", "asn", "ok")
     val Right(lines) = export(df, "t", specs): @unchecked
     val all = lines.collect().toSeq
@@ -109,6 +110,8 @@ class SourcesSpec extends SparkSpec {
       "INSERT INTO t (username, asn_int, is_ok) VALUES ('o''brien', 64500, 1);"))
     assert(all.contains(
       "INSERT INTO t (username, asn_int, is_ok) VALUES ('carol', NULL, 0);"))
+    assert(all.contains(
+      "INSERT INTO t (username, asn_int, is_ok) VALUES ('dave', NULL, 0);"))
   }
 
   test("sql export: NOT NULL violation aborts the whole batch") {

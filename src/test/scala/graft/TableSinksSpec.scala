@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Anonymize
+import graft.sources.{DimRefresh, EventsTable, MailSink}
+
+class TableSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events3days = Seq(
+    ("mx1", "01/03/2025 10:00", "1.1.1.1", "a", "null", "OK", "US", "1", "x"),
+    ("mx1", "02/03/2025 10:00", "2.2.2.2", "b", "null", "OK", "DE", "2", "y"),
+    ("mx2", "03/03/2025 10:00", "3.3.3.3", "c", "null", "OK", "FR", "3", "z"))
+    .toDF(graft.sources.EventsCsv.schema.fieldNames: _*)
+
+  test("partitioned events table: layout + pruning in the physical plan") {
+    val d = Files.createTempDirectory("graft-table")
+    EventsTable.append(events3days, d.toString)
+    // partition dirs exist
+    assert(Files.exists(d.resolve("day=2025-03-01")))
+    assert(Files.exists(d.resolve("day=2025-03-03")))
+    val slice = EventsTable.day(spark, d.toString, "2025-03-02")
+    assert(slice.count() == 1)
+    assert(slice.collect().head.getAs[String]("user") == "b")
+    // the day filter must be a partition filter, not a data filter
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("day#") || plan.contains("isnotnull(day"))
+  }
+
+  test("mail sink: guard rails + file transport atomic write") {
+    val mem = new MailSink.MemoryTransport
+    assert(MailSink.deliver(mem,
+      MailSink.Message("a@x", "", "s", "b")).isLeft)
+    assert(mem.sent.isEmpty)
+    assert(MailSink.deliver(mem,
+      MailSink.Message("a@x", "ops@x", "daily report", "body")).isRight)
+    assert(mem.sent.map(_.subject).toSeq == Seq("daily report"))
+
+    val d = Files.createTempDirectory("graft-mail")
+    val ft = new MailSink.FileTransport(d)
+    MailSink.deliver(ft, MailSink.Message("a@x", "ops@x", "r", "hello",
+      Some("events.csv"), Some("x;y".getBytes)))
+    val files = Files.list(d).iterator()
+    assert(files.hasNext)
+    val content = new String(Files.readAllBytes(files.next()))
+    assert(content.contains("Subject: r"))
+    assert(content.contains("attachment: events.csv (3 bytes)"))
+  }
+
+  test("dim refresh: atomic replace; failed fetch leaves current file") {
+    val d = Files.createTempDirectory("graft-dim")
+    val target = d.resolve("country.csv")
+    DimRefresh.refresh(target,
+      p => Files.write(p, "0,255,US\nbad,row,skip\n256,511,DE\n".getBytes))
+    val df = DimRefresh.loadCountry(spark, target.toString)
+    assert(df.count() == 2) // malformed row skipped
+    intercept[RuntimeException] {
+      DimRefresh.refresh(target, _ => throw new RuntimeException("net down"))
+    }
+    assert(DimRefresh.loadCountry(spark, target.toString).count() == 2)
+    assert(!Files.exists(d.resolve(".country.csv.tmp")))
+  }
+
+  test("anonymizer: keyed aliases stable + collision-free here; dense aliases dense") {
+    val ev = events3days
+    val anon = Anonymize.anonymizeEvents(ev)
+    val ips = anon.select(col("ip")).collect().map(_.getString(0))
+    assert(ips.forall(_.startsWith("ip_")))
+    assert(ips.distinct.length == 3)
+    // stability: same input -> same alias
+    val anon2 = Anonymize.anonymizeEvents(ev)
+    assert(anon2.select("ip").collect().map(_.getString(0)).toSeq == ips.toSeq)
+    // dense: user column -> user_1..user_3 in value order
+    val dense = Anonymize.denseAliases(ev, "user", "user")
+      .select(col("user")).orderBy(col("user")).collect().map(_.getString(0))
+    assert(dense.toSeq == Seq("user_1", "user_2", "user_3"))
+  }
+}
