@@ -221,5 +221,37 @@ object QueriesMore {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
-  val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36)
+  /** As-of join: each event picks up the latest order of the same
+    * customer at-or-before the event time (point-in-time feature lookup).
+    * Orders are deduped per (custkey, day) first — as-of right sides
+    * must be unique per (key, time). DuckDB has native ASOF JOIN; Spark
+    * side is the union+window composition (operators/AsOfJoin).
+    * Times compare at ms precision (order dates are midnight-exact, so
+    * ms truncation of the ns event time cannot flip a comparison). */
+  private val q37 = Q(
+    "q37_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("t_ms"))
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+          col("o_orderkey"))
+      graft.operators.AsOfJoin
+        .join(ev, o, "user_id", "t_ms", "o_ms", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH o AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2)
+      SELECT event_id, user_id, o.o_orderkey AS o_orderkey
+      FROM events ASOF LEFT JOIN o
+        ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate
+      ORDER BY event_id"""))
+
+  val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }
