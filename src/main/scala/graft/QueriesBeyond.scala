@@ -42,8 +42,11 @@ object QueriesBeyond {
           n = 5, k = 8, bands = 2)
         .orderBy(col("doc_a"), col("doc_b")),
     Some {
+      // mirror of Dedup.minhashSignatures' slice scheme: component j =
+      // MIN of hex slice (j%4) of md5('m{j/4}' || shingle)
       val mins = (0 until 8)
-        .map(j => s"MIN(md5('$j' || sh)) AS h$j").mkString(", ")
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
       s"""WITH $ShinglesSql,
       sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
       bands AS (

@@ -38,16 +38,28 @@ object Dedup {
     docs.select(col(idCol), explode(charShingles(col(textCol), n)).as("sh"))
       .distinct()
 
-  /** k MinHash components as aggregate columns named h0..h{k-1}. */
-  def minhashAggs(sh: Column, k: Int): Seq[Column] =
-    (0 until k).map(j => min(md5(concat(lit(j.toString), sh))).as(s"h$j"))
-
-  /** Per-doc MinHash signature table: idCol, h0..h{k-1}. */
+  /** Per-doc MinHash signature table: idCol, h0..h{k-1}.
+    *
+    * Hash economy: one md5 yields 32 hex chars = four independent 32-bit
+    * slices, so k components cost ceil(k/4) md5 calls per shingle (not
+    * k) — the md5s are materialized as columns before the groupBy so
+    * they are computed exactly once per shingle row regardless of CSE.
+    * Each h_j = MIN over shingles of an 8-hex-char slice, i.e. a
+    * permutation-min over a 32-bit uniform hash — the standard MinHash
+    * estimator. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
-    val aggs = minhashAggs(col("sh"), k)
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
+    // no distinct(): MIN is duplicate-insensitive, and the distinct
+    // would cost a full shuffle of the shingle rows before the agg
+    val sh = docs.select(col(idCol),
+      explode(charShingles(col(textCol), n)).as("sh"))
+    val bases = (0 until k / 4).map(b =>
+      md5(concat(lit(s"m$b"), col("sh"))).as(s"m$b"))
+    val withBases = sh.select(col(idCol) +: bases: _*)
+    val aggs = (0 until k).map(j =>
+      min(substring(col(s"m${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"h$j"))
+    withBases.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs (idA < idB) from `bands` bands of `k/bands`
