@@ -253,5 +253,69 @@ object QueriesMore {
         ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate
       ORDER BY event_id"""))
 
-  val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37)
+  /** URL canonicalization — the web-corpus dedup-key normalizer: strip
+    * tracking params, lowercase host, drop trailing slash, then count
+    * per canonical key (URLs synthesized from driver data). */
+  private val q38 = Q(
+    "q38_url_normalize",
+    (s, dir) => {
+      val url = concat(lit("https://WWW."), upper(col("source")),
+        lit(".Example.com/p/"), (col("doc_id") % 7).cast("string"),
+        lit("/?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=x"))
+      Tables.documents(s, dir)
+        .select(url.as("url"))
+        .select(
+          regexp_replace(
+            regexp_replace(
+              concat(
+                lower(regexp_extract(col("url"), "^https?://([^/]+)", 1)),
+                regexp_extract(col("url"), "^https?://[^/]+([^?]*)", 1)),
+              "/$", ""),
+            "^www\\.", "").as("canon"))
+        .groupBy(col("canon")).agg(count(lit(1)).as("n"))
+        .orderBy(col("canon"))
+    },
+    Some("""WITH urls AS (
+        SELECT 'https://WWW.' || upper(source) || '.Example.com/p/' ||
+               CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&id=' ||
+               CAST(doc_id AS VARCHAR) || '&utm_campaign=x' AS url
+        FROM documents)
+      SELECT regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(url, '^https?://([^/]+)', 1)) ||
+                   regexp_extract(url, '^https?://[^/]+([^?]*)', 1),
+                 '/$', ''),
+               '^www\.', '') AS canon,
+             COUNT(*) AS n
+      FROM urls GROUP BY 1 ORDER BY canon"""))
+
+  /** Discrete (lower) median per group via row_number — deterministic
+    * exact quantile without interpolation-formula divergence between
+    * engines (the reason q35's percentile_approx carries no oracle). */
+  private val q39 = Q(
+    "q39_median_disc",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        // floor, not a bare int cast: DuckDB ROUNDS double→int casts
+        // while Spark truncates — floor agrees everywhere
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
+        .select(col("event_type"), col("value").as("median_lo"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, value AS median_lo FROM (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events) t
+      WHERE rn = CAST(FLOOR((cnt + 1) / 2) AS INT) ORDER BY event_type"""))
+
+  val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q38, q39)
 }

@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration — the config-driven alternative to the
+  * runtime hooks (`RangeLookup.register` / `IpToIntExpr.register`):
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * Injects the range-lookup planner strategy and the ip_to_int SQL
+  * function into every session built with it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => RangeLookup.Strategy)
+    e.injectFunction((
+      FunctionIdentifier("ip_to_int"),
+      new ExpressionInfo(classOf[IpToIntExpr].getName, "ip_to_int"),
+      (exprs: Seq[Expression]) => IpToIntExpr(exprs.head)))
+  }
+}
