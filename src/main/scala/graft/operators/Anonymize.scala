@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Log anonymization — the parallel-safe redesign of the reference's
@@ -29,13 +28,23 @@ object Anonymize {
     df.withColumn(column, keyedAlias(col(column), prefix))
 
   /** Dense numbering: value → `prefix_N` with N = 1..distinct-count,
-    * assigned in value sort order. One small shuffle over the distinct
-    * set, broadcast join back. */
+    * assigned in value sort order. Distributed throughout: orderBy is a
+    * range-partitioned sort and zipWithIndex numbers partitions by
+    * offset — a partitionless `row_number()` window would funnel every
+    * distinct value through ONE task, the classic dense-rank scale bug.
+    * The mapping is broadcast back; for mappings too large to broadcast,
+    * drop the hint and let AQE shuffle-join. */
   def denseAliases(df: DataFrame, column: String, prefix: String): DataFrame = {
-    val w = Window.orderBy(col(column))
-    val mapping = df.select(col(column)).distinct()
-      .withColumn("_alias",
-        concat(lit(prefix), lit("_"), row_number().over(w).cast("string")))
+    val spark = df.sparkSession
+    val distinct = df.select(col(column)).distinct().orderBy(col(column))
+    val indexed = distinct.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), s"${prefix}_${i + 1}")
+    }
+    val mapping = spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(Seq(
+        distinct.schema.head,
+        org.apache.spark.sql.types.StructField("_alias",
+          org.apache.spark.sql.types.StringType, nullable = false))))
     df.join(broadcast(mapping), Seq(column), "left")
       .withColumn(column, col("_alias"))
       .drop("_alias")

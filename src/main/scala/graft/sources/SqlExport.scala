@@ -91,6 +91,45 @@ object SqlExport {
     }
   }
 
+  final case class Quarantined(lines: Dataset[String],
+                               quarantine: DataFrame, violations: Long)
+
+  /** Quarantine alternative to the all-or-nothing [[export]] (SURVEY
+    * §7.4.7): valid rows export, violating rows are returned as a frame
+    * for a side-channel sink instead of poisoning the whole batch — the
+    * policy you actually want at scale, where one bad row in a billion
+    * must not abort the load. */
+  def exportWithQuarantine(df: DataFrame, table: String,
+                           specs: Seq[ColumnSpec]): Quarantined = {
+    import df.sparkSession.implicits._
+    val rendered = statementsWithSource(df, table, specs).cache()
+    val violations = rendered.filter(col("violation")).count()
+    val good = rendered.filter(!col("violation")).select(col("stmt")).as[String]
+    val quarantine = rendered.filter(col("violation"))
+      .drop("stmt", "violation")
+    val begin = df.sparkSession.createDataset(Seq("BEGIN TRANSACTION;"))
+    val commit = df.sparkSession.createDataset(Seq("COMMIT;"))
+    Quarantined(begin.union(good).union(commit), quarantine, violations)
+  }
+
+  /** statements() plus the original source columns (for quarantine). */
+  private def statementsWithSource(df: DataFrame, table: String,
+                                   specs: Seq[ColumnSpec]): DataFrame = {
+    val cols = specs.map(s => literal(col(s.csvName), s.kind))
+    val violated = specs.filter(_.notNull)
+      .map { s =>
+        val base = nullified(col(s.csvName)).isNull
+        if (s.kind == IntKind)
+          base || nullified(col(s.csvName)).try_cast("long").isNull
+        else base
+      }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val stmt = concat(
+      lit(s"INSERT INTO $table (${specs.map(_.sqlName).mkString(", ")}) VALUES ("),
+      concat_ws(", ", cols: _*), lit(");"))
+    df.withColumn("stmt", stmt).withColumn("violation", violated)
+  }
+
   /** Schema-to-DDL with enum→CHECK downgrade
     * (sql_importer.py:149-248, enum handling :197-207). */
   def createTableDdl(table: String, specs: Seq[ColumnSpec],

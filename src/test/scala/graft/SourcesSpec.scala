@@ -121,6 +121,18 @@ class SourcesSpec extends SparkSpec {
     assert(export(df, "t", specs) == Left(1L))
   }
 
+  test("sql export: quarantine mode ships valid rows, sidelines bad ones") {
+    import SqlExport._
+    val specs = Seq(ColumnSpec("user", "username", StrKind, notNull = true))
+    val df = Seq("alice", "N/A", "bob").toDF("user")
+    val q = exportWithQuarantine(df, "t", specs)
+    assert(q.violations == 1L)
+    val lines = q.lines.collect().toSeq
+    assert(lines.head == "BEGIN TRANSACTION;" && lines.last == "COMMIT;")
+    assert(lines.count(_.startsWith("INSERT")) == 2)
+    assert(q.quarantine.collect().map(_.getString(0)).toSeq == Seq("N/A"))
+  }
+
   test("ddl synthesis with enum -> CHECK downgrade (sql_importer.py:197-207)") {
     import SqlExport._
     val ddl = createTableDdl("events",
