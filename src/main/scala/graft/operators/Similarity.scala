@@ -67,4 +67,57 @@ object Similarity {
     (1 to bits).map { i =>
       when(element_at(v, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: coarse quantizer + probed cell search
+  // ------------------------------------------------------------------
+
+  /** Assign each vector to its nearest centroid (cell id). Centroids are
+    * broadcast; assignment is a narrow pass (argmax dot against each
+    * centroid — centroids should be L2-normalized so dot ≡ cosine).
+    * Vectors land in an inverted file keyed by cell: at 100 TB this is
+    * the partitioning key, so probing touches only the probed cells'
+    * partitions. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = broadcast(centroids.select(col("cid"), col("cv")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("_score").desc, col("cid"))
+    vectors.crossJoin(c)
+      .withColumn("_score", dotDouble(col("v"), col("cv")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("v"), col("cid"))
+  }
+
+  /** Search: for each query, rank centroids, keep `nprobe` cells, then
+    * exact top-k only within those cells (equi-join on cid — no cross
+    * join against the corpus). */
+  def ivfSearch(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+                nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = broadcast(centroids.select(col("cid"), col("cv")))
+    val probed = queries.crossJoin(c)
+      .withColumn("_score", dotDouble(col("v"), col("cv")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("_score").desc, col("cid"))))
+      .filter(col("_rk") <= nprobe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("cid"))
+    val cand = index.join(broadcast(probed), Seq("cid"))
+      .filter(col("id") =!= col("q_id"))
+    val scored = cand.select(col("q_id"), col("id").as("vec_id"),
+      (dotDouble(col("v"), col("qv")) /
+        (sqrt(dotDouble(col("v"), col("v"))) *
+          sqrt(dotDouble(col("qv"), col("qv"))))).as("cosim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Deterministic centroid pick for tests/bootstrap: every stride-th
+    * vector by id (distributed filter, no global window) — real
+    * deployments would k-means these (same plan shapes, iterated). */
+  def ivfCentroidsByStride(vectors: DataFrame, stride: Int): DataFrame =
+    vectors.filter(col("id") % stride === 0)
+      .select((col("id") / stride).cast("long").as("cid"), col("v").as("cv"))
 }
