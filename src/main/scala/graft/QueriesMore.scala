@@ -316,6 +316,44 @@ object QueriesMore {
         FROM events) t
       WHERE rn = CAST(FLOOR((cnt + 1) / 2) AS INT) ORDER BY event_type"""))
 
+  /** Dedup clusters: LSH candidate pairs → connected components (min
+    * member id = canonical keeper). Oracle: recursive-CTE reachability
+    * with min-label aggregation — exactly the fixpoint the DataFrame
+    * loop computes. */
+  private val q40 = Q(
+    "q40_dedup_clusters",
+    (s, dir) => {
+      val pairs = graft.operators.Dedup.lshCandidatePairs(
+        Tables.documents(s, dir), "doc_id", "text", n = 5, k = 8, bands = 2)
+      graft.operators.Dedup.connectedComponents(pairs)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node AS doc_id, MIN(label) AS component
+      FROM walk GROUP BY 1 ORDER BY 1"""
+    })
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39)
+    q38, q39, q40)
 }

@@ -101,6 +101,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list (a,b) — turns
+    * near-dup candidate PAIRS into dedup CLUSTERS (component id = min
+    * member id, so one canonical keeper per cluster).
+    *
+    * Pure-DataFrame min-label propagation: each iteration joins labels
+    * across edges (both directions) and keeps the per-node min; stops
+    * when an iteration changes nothing. Converges in O(component
+    * diameter) rounds — near-dup clusters are shallow, so this is a
+    * handful of small shuffles. localCheckpoint truncates lineage so
+    * plans don't grow exponentially across iterations.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b",
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaEdges = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
   /** 16-bit SimHash per doc from whitespace tokens: single groupBy with 16
     * conditional sums. Token hash = first 4 hex chars of md5 decoded to an
     * int via ascii arithmetic (portable to the SQL oracle). */

@@ -43,4 +43,18 @@ object EventsTable {
     * data filter, no full-table listing of row groups). */
   def day(spark: SparkSession, path: String, isoDay: String): DataFrame =
     read(spark, path).filter(col(PartitionCol) === isoDay)
+
+  /** Bucketed catalog table: pre-shuffles once at write time so that
+    * repeated fact-fact joins/aggregations on `keyCols` are co-located —
+    * zero Exchange at read time (asserted in TableSinksSpec). The 100-TB
+    * pattern for tables joined on the same key every day. Bucketing
+    * requires the catalog (saveAsTable), not a bare path. */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
+                    keyCols: Seq[String]): Unit =
+    df.write
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

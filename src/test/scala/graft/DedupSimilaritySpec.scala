@@ -41,6 +41,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ham(sh(0L), sh(2L)) <= 6)
   }
 
+  test("connected components: chains merge, singletons keep own label") {
+    import graft.operators.Dedup
+    // two components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("cosine top-k: nearest neighbor of a duplicated vector is its twin") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)),

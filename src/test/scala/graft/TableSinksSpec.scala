@@ -31,6 +31,33 @@ class TableSinksSpec extends SparkSpec {
     assert(plan.contains("day#") || plan.contains("isnotnull(day"))
   }
 
+  test("bucketed tables: co-located join plans with zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val a = (1 to 1000).map(i => (i.toLong % 50, s"a$i")).toDF("k", "va")
+    val b = (1 to 800).map(i => (i.toLong % 50, s"b$i")).toDF("k", "vb")
+    EventsTable.writeBucketed(a, "graft_bucketed_a", 4, Seq("k"))
+    EventsTable.writeBucketed(b, "graft_bucketed_b", 4, Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucketed_a")
+        .join(spark.table("graft_bucketed_b"), "k")
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected shuffle-free bucketed join, got ${shuffles.size} exchanges")
+      assert(joined.count() == (1 to 1000).map(i => i % 50)
+        .groupBy(identity).map { case (k, as) =>
+          as.size.toLong * (1 to 800).count(_ % 50 == k)
+        }.sum)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
+    }
+  }
+
   test("mail sink: guard rails + file transport atomic write") {
     val mem = new MailSink.MemoryTransport
     assert(MailSink.deliver(mem,
