@@ -115,9 +115,62 @@ object Similarity {
   }
 
   /** Deterministic centroid pick for tests/bootstrap: every stride-th
-    * vector by id (distributed filter, no global window) — real
-    * deployments would k-means these (same plan shapes, iterated). */
+    * vector by id (distributed filter, no global window). */
   def ivfCentroidsByStride(vectors: DataFrame, stride: Int): DataFrame =
     vectors.filter(col("id") % stride === 0)
       .select((col("id") / stride).cast("long").as("cid"), col("v").as("cv"))
+
+  /** Lloyd's k-means over the embedding column, DataFrame-only: assign
+    * (broadcast centroids, narrow) → recompute means (posexplode +
+    * groupBy(cid, dim) — one shuffle of 64×N small rows per iteration)
+    * → repeat. Deterministic given deterministic init (use
+    * [[ivfCentroidsByStride]]); empty cells keep their previous
+    * centroid. This is the trainer for [[ivfAssign]]'s coarse
+    * quantizer; iterations are bounded, not convergence-tested —
+    * coarse quantizers don't need exact convergence. */
+  /** min-L2 assignment (k-means' metric — ivfAssign's max-dot is the
+    * cosine/ANN path and only matches for normalized centroids). */
+  private def assignL2(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = broadcast(centroids.select(col("cid"), col("cv")))
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("id")).orderBy(col("_d2").asc, col("cid"))
+    vectors.crossJoin(c)
+      .withColumn("_d2", d2)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("v"), col("cid"))
+  }
+
+  def kmeansCentroids(vectors: DataFrame, init: DataFrame,
+                      iters: Int): DataFrame = {
+    var cents = init.localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = assignL2(vectors, cents)
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      // keep previous centroid for any cell that lost all members
+      val kept = cents.join(means.select(col("cid")), Seq("cid"), "left_anti")
+      cents = means.union(kept).localCheckpoint()
+    }
+    cents
+  }
+
+  /** Mean within-cluster squared distance — the quantity k-means
+    * minimizes; used by specs to check training is actually working. */
+  def inertia(vectors: DataFrame, cents: DataFrame): Double = {
+    val assigned = assignL2(vectors, cents)
+      .join(broadcast(cents), Seq("cid"))
+    val sq = assigned.select(
+      aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("d2"))
+    sq.agg(avg(col("d2"))).collect().head.getDouble(0)
+  }
 }

@@ -21,6 +21,16 @@ class IvfSpec extends SparkSpec {
     assert(idx.select(countDistinct(col("cid"))).collect().head.getLong(0) > 1)
   }
 
+  test("k-means training reduces inertia over the stride init") {
+    val init = Similarity.ivfCentroidsByStride(vectors, 32)
+    val i0 = Similarity.inertia(vectors, init)
+    val trained = Similarity.kmeansCentroids(vectors, init, iters = 3)
+    val i3 = Similarity.inertia(vectors, trained)
+    assert(i3 < i0, s"inertia should drop: $i0 -> $i3")
+    // centroid count preserved (empty cells keep previous centroid)
+    assert(trained.count() == init.count())
+  }
+
   test("IVF search recall vs brute force improves with nprobe") {
     val cents = Similarity.ivfCentroidsByStride(vectors, 32)
     val idx = Similarity.ivfAssign(vectors, cents).cache()
