@@ -130,11 +130,11 @@ object QueriesBeyond {
         SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
         FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
       norms AS (SELECT vec_id,
-          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
         FROM ev GROUP BY 1),
       q AS (SELECT * FROM ev WHERE vec_id < 8),
       dots AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-          CAST(SUM(CAST(q.a*e.a AS DECIMAL(38,18))) AS DOUBLE) AS dot
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
         FROM q JOIN ev e ON q.i = e.i AND e.vec_id <> q.vec_id
         GROUP BY 1, 2),
       cos AS (SELECT q_id, dots.vec_id AS vec_id, dot / (nq.nrm * ne.nrm) AS cosim

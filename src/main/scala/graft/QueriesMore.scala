@@ -175,14 +175,14 @@ object QueriesMore {
           (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS b
         FROM embeddings),
       norms AS (
-        SELECT vec_id, SQRT(CAST(SUM(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        SELECT vec_id, SQRT(CAST(SUM(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
         FROM ev GROUP BY 1),
       cand AS (
         SELECT ma.vec_id AS va, mb.vec_id AS vb
         FROM meta ma JOIN meta mb ON ma.b = mb.b AND ma.vec_id < mb.vec_id),
       dots AS (
         SELECT c.va, c.vb,
-          CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+          CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(18,16))) AS DOUBLE) AS dot
         FROM cand c
         JOIN ev ea ON ea.vec_id = c.va
         JOIN ev eb ON eb.vec_id = c.vb AND eb.i = ea.i

@@ -30,11 +30,17 @@ object Similarity {
   def dotDouble(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** decimal(18,16), not (38,18): precision ≤ 18 keeps Spark's Decimal
+    * on the Long-backed fast path (~an order of magnitude cheaper than
+    * the BigDecimal path) and DuckDB's on int64. Safe for unit-ish
+    * embeddings: |x*y| ≤ 1 and |Σ| ≤ dims·max|x·y| < 100 for dims ≤ 64 —
+    * the per-step cast only normalizes precision, never rounds scale-16
+    * sums, so exactness/associativity are preserved. */
   def dotDecimal(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => (x * y).cast("decimal(38,18)")),
-      lit(0).cast("decimal(38,18)"),
-      (acc, x) => (acc + x).cast("decimal(38,18)"))
+      zip_with(a, b, (x, y) => (x * y).cast("decimal(18,16)")),
+      lit(0).cast("decimal(18,16)"),
+      (acc, x) => (acc + x).cast("decimal(18,16)"))
 
   def normDecimal(v: Column): Column =
     sqrt(dotDecimal(v, v).cast("double"))
