@@ -354,6 +354,48 @@ object QueriesMore {
       FROM walk GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Deterministic train/val/test split for training corpora:
+    * assignment = md5(id) bucket, so the split is reproducible across
+    * runs, engines, and partitionings (unlike `sample()`, whose
+    * seed+partition dependence makes re-runs drift). 8/1/1 by first
+    * hex digit: 0-c train, d holdout→val, e-f test. */
+  private val q41 = Q(
+    "q41_split_assign",
+    (s, dir) => {
+      val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+      val split = when(h.isin("d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train")
+      Tables.documents(s, dir)
+        .select(split.as("split"), col("lang"))
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""WITH t AS (
+        SELECT CASE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+          WHEN 'd' THEN 'val'
+          WHEN 'e' THEN 'test' WHEN 'f' THEN 'test'
+          ELSE 'train' END AS split, lang
+        FROM documents)
+      SELECT split, lang, COUNT(*) AS n FROM t
+      GROUP BY 1, 2 ORDER BY split, lang"""))
+
+  /** Label-balance audit over the embedding table (class skew is the
+    * first thing a training pipeline checks): counts + exact share. */
+  private val q42 = Q(
+    "q42_label_balance",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy()))
+        .orderBy(col("label")),
+    Some("""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+      CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+      FROM embeddings GROUP BY 1 ORDER BY 1"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40)
+    q38, q39, q40, q41, q42)
 }

@@ -37,6 +37,23 @@ object LogParse {
         acc.when(mon === m, n)
       }
 
+  /** Dead-letter channel: the lines [[parse]] would drop, with a reason
+    * tag — pipelines at scale route these to a quarantine table instead
+    * of silently losing them (the reference logs-and-drops,
+    * log_utils.py:136-148). Same single-pass expressions as parse; the
+    * two outputs share the scan when both are consumed. */
+  def rejects(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val c = col(lineCol)
+    val noPrefix = regexp_extract(c, LogLineRe, 1) === ""
+    val noSasl = regexp_extract(c, SaslRe, 1) === "" ||
+      regexp_extract(c, SaslRe, 2) === ""
+    lines
+      .filter(noPrefix || noSasl)
+      .select(c.as("line"),
+        when(noPrefix, "no_syslog_prefix")
+          .otherwise("no_sasl_payload").as("reason"))
+  }
+
   /** Parse a DataFrame of raw log lines (column `lineCol`) into the
     * 4-column core event frame; non-matching lines are dropped (the
     * reference returns None per bad line, log_utils.py:136-148 — here a

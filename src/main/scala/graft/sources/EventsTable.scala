@@ -44,6 +44,36 @@ object EventsTable {
   def day(spark: SparkSession, path: String, isoDay: String): DataFrame =
     read(spark, path).filter(col(PartitionCol) === isoDay)
 
+  /** Compact one day partition in place: streaming sinks append a file
+    * per micro-batch, and a hot day accumulates thousands of small
+    * files (the #1 operational failure of directory tables at scale —
+    * listing and open() costs swamp the scan). Rewrites the partition
+    * to ceil(bytes/target) files via dynamic partition overwrite, so
+    * readers of OTHER days are untouched.
+    */
+  def compactDay(spark: SparkSession, path: String, isoDay: String,
+                 targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val slice = day(spark, path, isoDay)
+    val bytes = slice.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes.toLong + targetBytes - 1) / targetBytes).toInt
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rewrite through a stable snapshot: localCheckpoint materializes
+      // the slice before its own source partition is overwritten
+      slice.localCheckpoint()
+        .repartition(files)
+        .write.partitionBy(PartitionCol)
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Bucketed catalog table: pre-shuffles once at write time so that
     * repeated fact-fact joins/aggregations on `keyCols` are co-located —
     * zero Exchange at read time (asserted in TableSinksSpec). The 100-TB

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.Anonymize
@@ -29,6 +31,40 @@ class TableSinksSpec extends SparkSpec {
     val plan = slice.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"))
     assert(plan.contains("day#") || plan.contains("isnotnull(day"))
+  }
+
+  test("compaction rewrites one day to few files, other days untouched") {
+    val d = Files.createTempDirectory("graft-compact")
+    // simulate many micro-batch appends on one day
+    (1 to 6).foreach { _ => EventsTable.append(events3days, d.toString) }
+    def filesIn(day: String): Seq[java.nio.file.Path] = {
+      val p = d.resolve(s"day=$day")
+      Files.list(p).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+    }
+    assert(filesIn("2025-03-02").size == 6)
+    val otherBefore = filesIn("2025-03-01").map(_.getFileName.toString).toSet
+    EventsTable.compactDay(spark, d.toString, "2025-03-02")
+    assert(filesIn("2025-03-02").size == 1)
+    assert(filesIn("2025-03-01").map(_.getFileName.toString).toSet == otherBefore)
+    // data intact
+    assert(EventsTable.day(spark, d.toString, "2025-03-02").count() == 6)
+    assert(EventsTable.read(spark, d.toString).count() == 18)
+  }
+
+  test("parse rejects channel tags dropped lines with reasons") {
+    import graft.operators.LogParse
+    val lines = Seq(
+      "Mar  3 08:00:01 mx p[1]: unknown[10.0.0.5]: SASL LOGIN authentication failed, sasl_username=root",
+      "Mar  3 08:02:00 mx postfix/qmgr[99]: F00: removed",
+      "total garbage").toDF("value")
+    val rej = LogParse.rejects(lines).collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(rej.size == 2)
+    assert(rej("no_sasl_payload").contains("qmgr"))
+    assert(rej("no_syslog_prefix") == "total garbage")
+    assert(LogParse.parse(lines, 2025).count() +
+      LogParse.rejects(lines).count() == 3)
   }
 
   test("bucketed tables: co-located join plans with zero shuffles") {
