@@ -52,6 +52,21 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components agree with GraphX on real LSH pairs") {
+    import graft.operators.Dedup
+    val pairs = Dedup.lshCandidatePairs(
+      Tables.documents(spark, sf()), "doc_id", "text", 5, 8, 2).cache()
+    val mine = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(
+        pairs.rdd.map(r => (r.getLong(0), r.getLong(1))), defaultValue = 0)
+      .connectedComponents().vertices.collect()
+      .map { case (v, c) => v -> c }.toMap
+    assert(mine == gx)
+    pairs.unpersist()
+  }
+
   test("cosine top-k: nearest neighbor of a duplicated vector is its twin") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)),
