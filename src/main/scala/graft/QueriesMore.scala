@@ -396,6 +396,104 @@ object QueriesMore {
       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
       FROM embeddings GROUP BY 1 ORDER BY 1"""))
 
+  /** PII scrubbing — redact emails and IPv4s from text before training
+    * (synthesized PII over driver data so the redaction paths execute).
+    * Counts per kind prove the scrub; the redacted text sample shows the
+    * placeholder form. */
+  private val q43 = Q(
+    "q43_pii_redact",
+    (s, dir) => {
+      val dirty = concat(col("text"), lit(" contact: u"),
+        col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7"))
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("dirty"), lit(ipRe)).cast("long").as("n_ip"),
+          regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>").as("clean"))
+        .select(col("doc_id"), col("n_email"), col("n_ip"),
+          regexp_count(col("clean"), lit("<EMAIL>")).cast("long")
+            .as("n_email_redacted"),
+          regexp_count(col("clean"), lit("<IP>")).cast("long")
+            .as("n_ip_redacted"))
+        .orderBy(col("doc_id")).limit(500)
+    },
+    Some("""WITH dirty AS (
+        SELECT doc_id,
+          text || ' contact: u' || CAST(doc_id AS VARCHAR) ||
+          '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS dirty
+        FROM documents),
+      scrub AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(dirty, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+          regexp_replace(
+            regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS clean
+        FROM dirty)
+      SELECT doc_id, n_email, n_ip,
+        CAST(len(regexp_extract_all(clean, '<EMAIL>')) AS BIGINT) AS n_email_redacted,
+        CAST(len(regexp_extract_all(clean, '<IP>')) AS BIGINT) AS n_ip_redacted
+      FROM scrub ORDER BY doc_id LIMIT 500"""))
+
+  /** Corpus curation endgame: LSH pairs → components → keep only each
+    * cluster's canonical doc (min id) → retention stats per lang. The
+    * full dedup pipeline composed end-to-end. */
+  private val q44 = Q(
+    "q44_dedup_retention",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text",
+          n = 5, k = 8, bands = 2))
+      docs.join(comps, Seq("doc_id"), "left")
+        .select(col("lang"),
+          // docs outside any cluster are their own canonical
+          (col("component").isNull ||
+            col("component") === col("doc_id")).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          count(when(col("keep"), 1)).as("kept"),
+          count(when(!col("keep"), 1)).as("dropped"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS (SELECT node AS doc_id, MIN(label) AS component
+                FROM walk GROUP BY 1)
+      SELECT d.lang, COUNT(*) AS docs,
+        COUNT(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+              THEN 1 END) AS kept,
+        COUNT(CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+              THEN 1 END) AS dropped
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+      GROUP BY 1 ORDER BY d.lang"""
+    })
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42)
+    q38, q39, q40, q41, q42, q43, q44)
 }
