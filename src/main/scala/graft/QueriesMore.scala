@@ -292,7 +292,12 @@ object QueriesMore {
 
   /** Discrete (lower) median per group via row_number — deterministic
     * exact quantile without interpolation-formula divergence between
-    * engines (the reason q35's percentile_approx carries no oracle). */
+    * engines (the reason q35's percentile_approx carries no oracle).
+    *
+    * Scale caveat: windows partitioned by a low-cardinality key give one
+    * task per group (5 here) regardless of data size — at 100 TB an
+    * exact per-group median needs a range-partitioned sort per group or
+    * settles for the approx sketch (q35). Documented in SCALE.md. */
   private val q39 = Q(
     "q39_median_disc",
     (s, dir) => {
