@@ -499,6 +499,25 @@ object QueriesMore {
       GROUP BY 1 ORDER BY d.lang"""
     })
 
+  /** Fixed-width histogram — the data-profiling primitive (distribution
+    * shape before training). Bin ids via floor division; empty bins
+    * simply absent (sparse histogram — the scalable representation). */
+  private val q45 = Q(
+    "q45_histogram",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(floor(col("value") / 25.0).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .withColumn("lo", (col("bin") * 25.0))
+        .orderBy(col("bin")),
+    // CAST(... AS DOUBLE) on lo: DuckDB's 25.0 literal is DECIMAL(3,1),
+    // so BIGINT * 25.0 would come back as DECIMAL, not the double Spark
+    // produces from long * 25.0
+    Some("""SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+      COUNT(*) AS n,
+      CAST(CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS lo
+      FROM events GROUP BY 1 ORDER BY bin"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44)
+    q38, q39, q40, q41, q42, q43, q44, q45)
 }
