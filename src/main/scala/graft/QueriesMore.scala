@@ -518,6 +518,28 @@ object QueriesMore {
       CAST(CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS lo
       FROM events GROUP BY 1 ORDER BY bin"""))
 
+  /** Pivot (wide aggregation): day × event_type count matrix. The value
+    * list is EXPLICIT — inferred pivot values cost an extra distinct
+    * job and make the schema data-dependent, both wrong at scale. */
+  private val q46 = Q(
+    "q46_pivot",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day")),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+      COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY 1 ORDER BY day"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

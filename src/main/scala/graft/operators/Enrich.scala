@@ -97,38 +97,42 @@ object Enrich {
   }
 }
 
-/** Executor-local rDNS cache: bounded, TTL'd, thread-safe. Lives in the
-  * executor JVM as object state (one instance per executor, shared across
-  * tasks — exactly the locality the reference's process-wide lru_cache
-  * has). */
+/** Executor-local rDNS cache: true LRU (access-ordered) + TTL, bounded,
+  * thread-safe. Lives in the executor JVM as object state (one instance
+  * per executor, shared across tasks — exactly the locality the
+  * reference's process-wide lru_cache(128) has, dns_utils.py:92-100).
+  * The resolver runs OUTSIDE the lock — a slow DNS call must not block
+  * sibling tasks; concurrent duplicate resolutions of the same IP are
+  * benign (idempotent value). */
 object RdnsCache {
+  private val lock = new Object
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
+    new java.util.LinkedHashMap[String, (String, String, Long)](
+      16, 0.75f, /*accessOrder=*/ true)
 
   def lookup(ip: String, resolver: Enrich.Resolver,
              maxSize: Int, ttlSeconds: Long): (String, String) = {
     val now = System.currentTimeMillis() / 1000
-    val hit = cache.get(ip)
-    if (hit != null && now - hit._3 < ttlSeconds) (hit._1, hit._2)
-    else {
+    val hit = lock.synchronized {
+      val v = cache.get(ip) // get() refreshes LRU order
+      if (v != null && now - v._3 < ttlSeconds) Some((v._1, v._2)) else None
+    }
+    hit.getOrElse {
       val (h, s) = resolver(ip) match {
         case Right(host) => (host, "OK")
         case Left(err)   => ("null", err) // literal "null": log_utils.py:105-113
       }
-      if (cache.size >= maxSize) {
-        // cheap bounded eviction: drop the stalest entry
-        var oldest: String = null
-        var oldestTs = Long.MaxValue
-        cache.forEach { (k, v) =>
-          if (v._3 < oldestTs) { oldestTs = v._3; oldest = k }
+      lock.synchronized {
+        while (cache.size >= maxSize) {
+          val it = cache.keySet.iterator()
+          if (it.hasNext) { it.next(); it.remove() } // eldest-by-access
         }
-        if (oldest != null) cache.remove(oldest)
+        cache.put(ip, (h, s, now))
       }
-      cache.put(ip, (h, s, now))
       (h, s)
     }
   }
 
-  def clear(): Unit = cache.clear()
-  def size: Int = cache.size
+  def clear(): Unit = lock.synchronized(cache.clear())
+  def size: Int = lock.synchronized(cache.size)
 }

@@ -45,6 +45,21 @@ class EnrichSpec extends SparkSpec {
     assert(EnrichSpec.calls.get() == 2)
   }
 
+  test("rdns cache is LRU: recently-used entries survive eviction") {
+    RdnsCache.clear()
+    EnrichSpec.calls.set(0)
+    def look(ip: String): Unit =
+      RdnsCache.lookup(ip, EnrichSpec.resolver, maxSize = 2, ttlSeconds = 3600)
+    look("1.1.1.1"); look("2.2.2.2") // cache: [1, 2]
+    look("1.1.1.1")                  // refresh 1 -> LRU order [2, 1]
+    look("3.3.3.3")                  // evicts 2 (least recently used)
+    assert(EnrichSpec.calls.get() == 3)
+    look("1.1.1.1")                  // still cached -> no resolver call
+    assert(EnrichSpec.calls.get() == 3)
+    look("2.2.2.2")                  // was evicted -> resolver call
+    assert(EnrichSpec.calls.get() == 4)
+  }
+
   test("dedupThenResolve resolves each distinct ip once and rejoins") {
     RdnsCache.clear()
     EnrichSpec.calls.set(0)
