@@ -115,6 +115,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
                           maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // the iterated tables are tiny (≤ |pairs| rows); at the session's
+    // full shuffle fan-out each round pays ~8 stages of near-empty-task
+    // scheduling — scope the fan-out down for the loop's actions and
+    // restore after (the returned frame re-executes under caller conf)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try connectedComponentsLoop(pairs, aCol, bCol, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, aCol: String,
+                                      bCol: String, maxIter: Int): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
