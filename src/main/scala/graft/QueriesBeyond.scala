@@ -244,9 +244,18 @@ object QueriesBeyond {
   private val q25 = Q(
     "q25_fingerprint",
     (s, dir) => {
-      val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 5)
+      // filter BEFORE the dedup shuffle: md5 is deterministic per
+      // (doc_id, sh), so keeping only first-hex-'0' rows and then
+      // distinct-ing (doc_id, h) shuffles 1/16th of the shingles while
+      // computing the same distinct set the oracle's DISTINCT-then-
+      // filter does (md5 is injective on 5-byte inputs' practical range)
+      val docs = Tables.documents(s, dir)
+      val sh = docs
+        .select(col("doc_id"),
+          explode(Dedup.charShingles(col("text"), 5)).as("sh"))
         .select(col("doc_id"), md5(col("sh")).as("h"))
         .filter(substring(col("h"), 1, 1) === "0")
+        .distinct()
       sh.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fp"), min(col("h")).as("fp_min"),
           max(col("h")).as("fp_max"))

@@ -327,12 +327,12 @@ object QueriesMore {
     * loop computes. */
   private val q40 = Q(
     "q40_dedup_clusters",
-    (s, dir) => {
-      val pairs = graft.operators.Dedup.lshCandidatePairs(
-        Tables.documents(s, dir), "doc_id", "text", n = 5, k = 8, bands = 2)
-      graft.operators.Dedup.connectedComponents(pairs)
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) =>
+      // star-reduced edges: same components as the pair-clique graph the
+      // oracle walks (per-bucket reachability via the hub), linear edges
+      graft.operators.Dedup.lshClusters(
+          Tables.documents(s, dir), "doc_id", "text", n = 5, k = 8, bands = 2)
+        .orderBy(col("doc_id")),
     Some {
       val mins = (0 until 8)
         .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
@@ -452,9 +452,8 @@ object QueriesMore {
     "q44_dedup_retention",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val comps = graft.operators.Dedup.connectedComponents(
-        graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text",
-          n = 5, k = 8, bands = 2))
+      val comps = graft.operators.Dedup.lshClusters(docs, "doc_id", "text",
+        n = 5, k = 8, bands = 2)
       docs.join(comps, Seq("doc_id"), "left")
         .select(col("lang"),
           // docs outside any cluster are their own canonical

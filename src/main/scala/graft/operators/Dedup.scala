@@ -62,10 +62,16 @@ object Dedup {
     withBases.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs (idA < idB) from `bands` bands of `k/bands`
-    * signature rows each. */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, bands: Int): DataFrame = {
+  /** (id, band-key) table: band key = md5(band_idx || sig_slice).
+    *
+    * `localCheckpoint()` materializes the signature computation once —
+    * every consumer (the candidate self-join's two legs, the star-edge
+    * hub agg + join) would otherwise re-run the full shingle→md5→agg
+    * pipeline per reference. At 100 TB this is the table you'd persist
+    * to parquet between pipeline stages; in-process the checkpoint is
+    * the same move. */
+  def lshBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sig = minhashSignatures(docs, idCol, textCol, n, k)
@@ -73,13 +79,46 @@ object Dedup {
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
       md5(concat(lit(b.toString) +: slice: _*))
     }
-    val banded = sig.select(col(idCol),
-      explode(array(bandKeys: _*)).as("bk"))
+    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .localCheckpoint()
+  }
+
+  /** LSH candidate pairs (idA < idB) from `bands` bands of `k/bands`
+    * signature rows each — a self equi-join on the band key. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int): DataFrame = {
+    val banded = lshBandKeys(docs, idCol, textCol, n, k, bands)
     val a = banded.select(col(idCol).as("doc_a"), col("bk"))
     val b = banded.select(col(idCol).as("doc_b"), col("bk").as("bk2"))
     a.join(b, col("bk") === col("bk2") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
+
+  /** Star-reduced LSH edges for CLUSTERING: one edge (bucket-min, member)
+    * per band-bucket member instead of the full within-bucket clique.
+    * Connected components are identical to the clique pair graph (every
+    * bucket member is reachable via the hub), but the edge count is
+    * O(members) instead of O(members²) and the per-bucket diameter is 2 —
+    * the shape that keeps a 100 TB near-dup clustering run linear when a
+    * hot bucket holds thousands of near-identical docs. */
+  def lshStarEdges(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, k: Int, bands: Int): DataFrame = {
+    val banded = lshBandKeys(docs, idCol, textCol, n, k, bands)
+    val hubs = banded.groupBy(col("bk")).agg(min(col(idCol)).as("hub"))
+    banded.join(hubs, "bk")
+      .filter(col(idCol) =!= col("hub"))
+      .select(col("hub").as("doc_a"), col(idCol).as("doc_b"))
+      .distinct()
+  }
+
+  /** LSH near-dup clusters: star edges → connected components.
+    * Component ids equal those of `connectedComponents(lshCandidatePairs
+    * (...))` (same reachability), at a fraction of the join and
+    * propagation cost. */
+  def lshClusters(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int, bands: Int): DataFrame =
+    connectedComponents(
+      lshStarEdges(docs, idCol, textCol, n, k, bands))
 
   /** Exact n-gram Jaccard similarity for all pairs within `docs`
     * (quadratic in candidate-set size — pre-filter the input, e.g. to LSH
@@ -105,62 +144,110 @@ object Dedup {
     * near-dup candidate PAIRS into dedup CLUSTERS (component id = min
     * member id, so one canonical keeper per cluster).
     *
-    * Pure-DataFrame min-label propagation: each iteration joins labels
-    * across edges (both directions) and keeps the per-node min; stops
-    * when an iteration changes nothing. Converges in O(component
-    * diameter) rounds — near-dup clusters are shallow, so this is a
-    * handful of small shuffles. localCheckpoint truncates lineage so
-    * plans don't grow exponentially across iterations.
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's neighbors to the minimum of its neighborhood, which
+    * contracts chains exponentially — O(log² n) rounds worst case, a
+    * handful in practice — where plain min-label propagation needs
+    * O(diameter) rounds (near-dup chains at corpus scale reach
+    * diameters in the hundreds, which a 20-round propagation loop
+    * silently fails to converge on). Each half-step is one groupBy-min
+    * plus one join over the current edge list; localCheckpoint truncates
+    * lineage so plans don't grow across iterations.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     // the iterated tables are tiny (≤ |pairs| rows); at the session's
     // full shuffle fan-out each round pays ~8 stages of near-empty-task
     // scheduling — scope the fan-out down for the loop's actions and
     // restore after (the returned frame re-executes under caller conf)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // AQE re-plans every exchange at runtime — pure latency on the
+    // loop's per-round micro-stages (the frames here are the post-LSH
+    // edge list, already orders of magnitude smaller than the corpus)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try connectedComponentsLoop(pairs, aCol, bCol, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  /** Large-star: every node u rewires its LARGER neighbors to
+    * m(u) = min(Γ(u) ∪ {u}). Input/output edges are canonical
+    * (u > v, i.e. big end first). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = nbrs.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nbrs.join(m, "u")
+      .filter(col("v") > col("u")) // rewire only larger neighbors
+      .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ canonical
+      .distinct()
+  }
+
+  /** Small-star: every node u rewires its SMALLER neighbors (and itself)
+    * to m(u) = min of those neighbors. Canonical edges in and out. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val rewired = e.join(m, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v")) // v > m ⇒ canonical
+    rewired.union(m.select(col("u"), col("m").as("v"))).distinct()
   }
 
   private def connectedComponentsLoop(pairs: DataFrame, aCol: String,
                                       bCol: String, maxIter: Int): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
-    // labels only ever decrease, so the label sum is a strict-monotone
-    // fixpoint detector — one cheap agg per iteration instead of a
-    // join-based change scan
-    var prevSum = labels.agg(sum(col("label"))).collect().head.getLong(0)
-    var converged = false
+    // fixpoint detector: at convergence the edge set is stable under a
+    // full (large, small) round; per-node minima only decrease, so the
+    // (count, sum(u), sum(v)) checksum is monotone and collision-safe
+    // in practice — and cheap (one agg over cached partitions per round)
+    def checksum(e: DataFrame): (Long, Long, Long, Long) = {
+      val p = lit(1000003L)
+      val r = e.agg(count(lit(1)), sum(col("u")), sum(col("v")),
+        sum((col("u") % p) * (col("v") % p))).collect().head
+      if (r.isNullAt(1)) (0L, 0L, 0L, 0L)
+      else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val viaEdges = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val propagated = labels.union(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-      // path halving: follow label -> label-of-label, collapsing chains
-      // exponentially (O(log diameter) rounds instead of O(diameter))
-      val byId = propagated.select(col("id").as("pid"),
-        col("label").as("plabel"))
-      val next = propagated
-        .join(byId, propagated("label") === byId("pid"), "left")
-        .select(col("id"),
-          coalesce(col("plabel"), col("label")).as("label"))
-        .localCheckpoint()
-      val s = next.agg(sum(col("label"))).collect().head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cs = checksum(next)
+      converged = cs == prev
+      prev = cs
+      edges = next
       i += 1
+      if (debug) System.err.println(
+        f"CC round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s (cs=$cs)")
     }
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
+    if (!converged)
+      System.err.println(
+        s"WARN connectedComponents: not converged after $maxIter rounds")
+    // converged state is one star per component: hub = component min,
+    // every non-hub node has the hub as its (unique) neighbor; the
+    // groupBy-min is a no-op then, and a safety net under maxIter cutoff
+    val nonHub = edges.groupBy(col("u")).agg(min(col("v")).as("component"))
+      .select(col("u").as("doc_id"), col("component"))
+    val hubs = edges.select(col("v")).distinct()
+      .join(edges.select(col("u")).distinct(),
+        col("v") === col("u"), "left_anti")
+      .select(col("v").as("doc_id"), col("v").as("component"))
+    nonHub.union(hubs)
   }
 
   /** 16-bit SimHash per doc from whitespace tokens: single groupBy with 16
