@@ -24,23 +24,37 @@ object Bench {
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // a failing query must NOT record its fast-fail wall time as a
+    // valid pass — failures land in an "errors" map instead
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).count(); true }
+      catch {
+        case t: Throwable =>
+          errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+          false
+      }
     // warmup pass
-    SparkEntry.queries.foreach { case (_, fn) => runOne(fn) }
+    SparkEntry.queries.foreach { case (name, fn) => runOne(name, fn) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes) {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        runOne(fn)
+        val ok = runOne(name, fn)
         val dt = (System.nanoTime() - t0) / 1e9
-        best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+        if (ok)
+          best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
       }
     }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+      .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,8 +38,9 @@ object QueriesBeyond {
   private val q17 = Q(
     "q17_dedup_minhash_lsh",
     (s, dir) =>
-      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 5, k = 8, bands = 2)
+      // band table shared with q40/q44 via SharedLsh (one signature
+      // computation per session+input — the persisted-artifact shape)
+      SharedLsh.candidatePairs(s, dir)
         .orderBy(col("doc_a"), col("doc_b")),
     Some {
       // mirror of Dedup.minhashSignatures' slice scheme: component j =

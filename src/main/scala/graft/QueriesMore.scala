@@ -329,9 +329,9 @@ object QueriesMore {
     "q40_dedup_clusters",
     (s, dir) =>
       // star-reduced edges: same components as the pair-clique graph the
-      // oracle walks (per-bucket reachability via the hub), linear edges
-      graft.operators.Dedup.lshClusters(
-          Tables.documents(s, dir), "doc_id", "text", n = 5, k = 8, bands = 2)
+      // oracle walks (per-bucket reachability via the hub), linear edges;
+      // band table + component map shared with q17/q44 via SharedLsh
+      SharedLsh.components(s, dir)
         .orderBy(col("doc_id")),
     Some {
       val mins = (0 until 8)
@@ -452,8 +452,7 @@ object QueriesMore {
     "q44_dedup_retention",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val comps = graft.operators.Dedup.lshClusters(docs, "doc_id", "text",
-        n = 5, k = 8, bands = 2)
+      val comps = SharedLsh.components(s, dir)
       docs.join(comps, Seq("doc_id"), "left")
         .select(col("lang"),
           // docs outside any cluster are their own canonical

@@ -1,0 +1,70 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+
+/** Session-scoped cache for the LSH dedup pipeline's expensive shared
+  * stages, keyed by (session, data dir, parameters).
+  *
+  * q17 (candidate pairs), q40 (clusters) and q44 (retention stats) are
+  * all views over the same two artifacts:
+  *
+  *   band table  = shingle → minhash signature → band keys   (1 pass)
+  *   components  = star edges → connected components         (CC loop)
+  *
+  * Recomputing those per query tripled the most expensive work in the
+  * suite. This cache materializes each artifact once per session+input
+  * (`localCheckpoint`) and shares it — exactly the move a 100 TB
+  * pipeline makes by persisting the band table and the component map to
+  * parquet between stages; in-process the checkpoint is the same
+  * dataflow cut. Correctness is unaffected: both artifacts are
+  * deterministic functions of the input (md5-based hashing, exact CC
+  * fixpoint), so a cached read equals a recompute bit-for-bit.
+  *
+  * Lifecycle: checkpointed blocks live until [[clear]] or session end.
+  * Entries are keyed by the session object, so a stopped session's
+  * entries are dead weight only until the next [[clear]] — test suites
+  * should clear in afterAll.
+  */
+object SharedLsh {
+
+  final case class Params(n: Int, k: Int, bands: Int)
+  val Default: Params = Params(n = 5, k = 8, bands = 2)
+
+  private final case class Key(session: SparkSession, dir: String, p: Params)
+  private val bandCache = TrieMap.empty[Key, DataFrame]
+  private val compCache = TrieMap.empty[Key, DataFrame]
+
+  /** Materialized (doc_id, bk) band table for the documents table. */
+  def bandKeys(s: SparkSession, dir: String,
+               p: Params = Default): DataFrame =
+    bandCache.getOrElseUpdate(Key(s, dir, p),
+      Dedup.lshBandKeysPlan(Tables.documents(s, dir), "doc_id", "text",
+        p.n, p.k, p.bands).localCheckpoint())
+
+  /** Candidate pairs (doc_a < doc_b) from the shared band table. */
+  def candidatePairs(s: SparkSession, dir: String,
+                     p: Params = Default): DataFrame =
+    Dedup.lshCandidatePairsFrom(bandKeys(s, dir, p), "doc_id")
+
+  /** Materialized (doc_id, component) near-dup cluster map: star edges
+    * over the shared band table → connected components. */
+  def components(s: SparkSession, dir: String,
+                 p: Params = Default): DataFrame =
+    compCache.getOrElseUpdate(Key(s, dir, p),
+      Dedup.connectedComponents(
+        Dedup.lshStarEdgesFrom(bandKeys(s, dir, p), "doc_id"))
+        .localCheckpoint())
+
+  /** Unpersist every cached artifact and empty the cache. */
+  def clear(): Unit = synchronized {
+    (bandCache.values ++ compCache.values).foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    bandCache.clear()
+    compCache.clear()
+  }
+}

@@ -62,16 +62,16 @@ object Dedup {
     withBases.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (id, band-key) table: band key = md5(band_idx || sig_slice).
-    *
-    * `localCheckpoint()` materializes the signature computation once —
-    * every consumer (the candidate self-join's two legs, the star-edge
-    * hub agg + join) would otherwise re-run the full shingle→md5→agg
-    * pipeline per reference. At 100 TB this is the table you'd persist
-    * to parquet between pipeline stages; in-process the checkpoint is
-    * the same move. */
-  def lshBandKeys(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, k: Int, bands: Int): DataFrame = {
+  /** (id, band-key) table PLAN: band key = md5(band_idx || sig_slice).
+    * Pure (no materialization) — consumers that reference the band table
+    * more than once (the candidate self-join's two legs, the star-edge
+    * hub agg + join) should materialize it first: see [[lshBandKeys]]
+    * or graft.SharedLsh, which caches one checkpointed copy per
+    * (session, dataset) so q17/q40/q44-style consumers share a single
+    * signature computation. At 100 TB this band table is the artifact
+    * you'd persist to parquet between pipeline stages. */
+  def lshBandKeysPlan(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sig = minhashSignatures(docs, idCol, textCol, n, k)
@@ -80,19 +80,33 @@ object Dedup {
       md5(concat(lit(b.toString) +: slice: _*))
     }
     sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .localCheckpoint()
   }
 
-  /** LSH candidate pairs (idA < idB) from `bands` bands of `k/bands`
-    * signature rows each — a self equi-join on the band key. */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, bands: Int): DataFrame = {
-    val banded = lshBandKeys(docs, idCol, textCol, n, k, bands)
+  /** [[lshBandKeysPlan]] + eager `localCheckpoint()`. NOTE: constructing
+    * this frame runs a Spark job immediately and the checkpointed blocks
+    * live until the caller unpersists them (`frame.unpersist()`) or the
+    * session ends — library users who need lifecycle control should
+    * checkpoint [[lshBandKeysPlan]] themselves. */
+  def lshBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int, bands: Int): DataFrame =
+    lshBandKeysPlan(docs, idCol, textCol, n, k, bands).localCheckpoint()
+
+  /** Candidate pairs (idA < idB) from a pre-built (id, bk) band table —
+    * a self equi-join on the band key. Pass a MATERIALIZED band table
+    * (checkpointed/cached); both join legs reference it. */
+  def lshCandidatePairsFrom(banded: DataFrame, idCol: String): DataFrame = {
     val a = banded.select(col(idCol).as("doc_a"), col("bk"))
     val b = banded.select(col(idCol).as("doc_b"), col("bk").as("bk2"))
     a.join(b, col("bk") === col("bk2") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
+
+  /** LSH candidate pairs (idA < idB) from `bands` bands of `k/bands`
+    * signature rows each. Materializes its own band table (see
+    * [[lshBandKeys]] lifecycle note). */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int): DataFrame =
+    lshCandidatePairsFrom(lshBandKeys(docs, idCol, textCol, n, k, bands), idCol)
 
   /** Star-reduced LSH edges for CLUSTERING: one edge (bucket-min, member)
     * per band-bucket member instead of the full within-bucket clique.
@@ -102,8 +116,11 @@ object Dedup {
     * the shape that keeps a 100 TB near-dup clustering run linear when a
     * hot bucket holds thousands of near-identical docs. */
   def lshStarEdges(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, k: Int, bands: Int): DataFrame = {
-    val banded = lshBandKeys(docs, idCol, textCol, n, k, bands)
+                   n: Int, k: Int, bands: Int): DataFrame =
+    lshStarEdgesFrom(lshBandKeys(docs, idCol, textCol, n, k, bands), idCol)
+
+  /** Star edges from a pre-built, MATERIALIZED (id, bk) band table. */
+  def lshStarEdgesFrom(banded: DataFrame, idCol: String): DataFrame = {
     val hubs = banded.groupBy(col("bk")).agg(min(col(idCol)).as("hub"))
     banded.join(hubs, "bk")
       .filter(col(idCol) =!= col("hub"))
@@ -152,29 +169,28 @@ object Dedup {
     * O(diameter) rounds (near-dup chains at corpus scale reach
     * diameters in the hundreds, which a 20-round propagation loop
     * silently fails to converge on). Each half-step is one groupBy-min
-    * plus one join over the current edge list; localCheckpoint truncates
-    * lineage so plans don't grow across iterations.
+    * plus one join over the current edge list; per-round RDD
+    * materialization truncates lineage so plans don't grow across
+    * iterations. Throws if maxIter is hit before the exact fixpoint
+    * (see [[connectedComponentsWithStats]] for the non-throwing form
+    * and the isolation/convergence details).
     */
+  /** Result of a component computation: the (doc_id, component) frame
+    * plus loop telemetry (contraction rounds run, converged flag). */
+  final case class CcResult(components: DataFrame, rounds: Int,
+                            converged: Boolean)
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
                           maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    // the iterated tables are tiny (≤ |pairs| rows); at the session's
-    // full shuffle fan-out each round pays ~8 stages of near-empty-task
-    // scheduling — scope the fan-out down for the loop's actions and
-    // restore after (the returned frame re-executes under caller conf)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    // AQE re-plans every exchange at runtime — pure latency on the
-    // loop's per-round micro-stages (the frames here are the post-LSH
-    // edge list, already orders of magnitude smaller than the corpus)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try connectedComponentsLoop(pairs, aCol, bCol, maxIter)
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    val r = connectedComponentsWithStats(pairs, aCol, bCol, maxIter)
+    // a cutoff here would silently return per-node min-neighbor labels
+    // that need not equal the component minimum — refuse to hand
+    // wrong cluster ids to a data-correctness pipeline
+    if (!r.converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter rounds — " +
+        "raise maxIter (O(log^2 n) rounds suffice for any graph)")
+    r.components
   }
 
   /** Large-star: every node u rewires its LARGER neighbors to
@@ -202,18 +218,50 @@ object Dedup {
     rewired.union(m.select(col("u"), col("m").as("v"))).distinct()
   }
 
-  private def connectedComponentsLoop(pairs: DataFrame, aCol: String,
-                                      bCol: String, maxIter: Int): DataFrame = {
+  /** [[connectedComponents]] returning loop telemetry instead of
+    * throwing on cutoff (components are then NOT trustworthy unless
+    * `converged`).
+    *
+    * Isolation: the loop's shuffles run in a dedicated child session
+    * (`spark.newSession()`) with `shuffle.partitions=8` and AQE off —
+    * the iterated tables are tiny post-LSH edge lists, and at the
+    * caller's full fan-out each round would pay stages of near-empty
+    * task scheduling (AQE's runtime re-planning is pure latency at this
+    * size). The caller's session conf is never touched, so concurrent
+    * queries on it are unaffected. Each round is materialized as a
+    * persisted RDD (truncates lineage like localCheckpoint, but with
+    * explicit lifecycle: the previous round's blocks are unpersisted as
+    * soon as the next is materialized — only the final edge set stays
+    * cached, backing the returned frame).
+    *
+    * Convergence: TWO (large, small) contractions per driver round-trip
+    * (halves per-round job latency; detection lags at most one cheap
+    * extra pass), candidate fixpoint detected by a (count, Σu, Σv,
+    * Σ(u%p·v%p)) checksum and then CONFIRMED by an exact set comparison
+    * (counts equal + exceptAll empty), so a checksum collision cannot
+    * terminate the loop early with intermediate labels. */
+  def connectedComponentsWithStats(pairs: DataFrame, aCol: String = "doc_a",
+                                   bCol: String = "doc_b",
+                                   maxIter: Int = 50): CcResult = {
+    import org.apache.spark.storage.StorageLevel
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    var edges = pairs
+    val caller = pairs.sparkSession
+    val loopSession = caller.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", "8")
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+
+    val canon = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
-    // fixpoint detector: at convergence the edge set is stable under a
-    // full (large, small) round; per-node minima only decrease, so the
-    // (count, sum(u), sum(v)) checksum is monotone and collision-safe
-    // in practice — and cheap (one agg over cached partitions per round)
+      .distinct()
+    val schema = canon.schema
+    // .rdd compiles the input plan under the CALLER's conf (right for
+    // the corpus-sized upstream); everything downstream re-enters SQL
+    // through the child session and its scoped-down shuffle fan-out
+    var rdd = canon.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = loopSession.createDataFrame(rdd, schema)
+
     def checksum(e: DataFrame): (Long, Long, Long, Long) = {
       val p = lit(1000003L)
       val r = e.agg(count(lit(1)), sum(col("u")), sum(col("v")),
@@ -221,33 +269,43 @@ object Dedup {
       if (r.isNullAt(1)) (0L, 0L, 0L, 0L)
       else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
+
     var prev = checksum(edges)
     var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val cs = checksum(next)
-      converged = cs == prev
+      val nextDf = smallStar(largeStar(smallStar(largeStar(edges))))
+      val nextRdd = nextDf.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = loopSession.createDataFrame(nextRdd, schema)
+      val cs = checksum(next) // materializes nextRdd
+      if (cs == prev) {
+        // exact confirm: same count (from checksum) + no edge in next
+        // missing from edges ⇒ identical sets ⇒ true fixpoint
+        converged = next.exceptAll(edges).isEmpty
+      }
       prev = cs
+      rdd.unpersist(blocking = false)
+      rdd = nextRdd
       edges = next
-      i += 1
+      i += 2 // two contraction rounds per loop pass
       if (debug) System.err.println(
-        f"CC round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s (cs=$cs)")
+        f"CC rounds $i: ${(System.nanoTime() - t0) / 1e9}%.2f s (cs=$cs)")
     }
-    if (!converged)
-      System.err.println(
-        s"WARN connectedComponents: not converged after $maxIter rounds")
     // converged state is one star per component: hub = component min,
-    // every non-hub node has the hub as its (unique) neighbor; the
-    // groupBy-min is a no-op then, and a safety net under maxIter cutoff
+    // every non-hub node has the hub as its (unique) neighbor
     val nonHub = edges.groupBy(col("u")).agg(min(col("v")).as("component"))
       .select(col("u").as("doc_id"), col("component"))
     val hubs = edges.select(col("v")).distinct()
       .join(edges.select(col("u")).distinct(),
         col("v") === col("u"), "left_anti")
       .select(col("v").as("doc_id"), col("v").as("component"))
-    nonHub.union(hubs)
+    val result = nonHub.union(hubs)
+    // hand the result back in the caller's session (so callers can join
+    // it with their own frames without mixing session states); the plan
+    // reads the final persisted edge RDD, which stays cached
+    CcResult(
+      caller.createDataFrame(result.rdd, result.schema), i, converged)
   }
 
   /** 16-bit SimHash per doc from whitespace tokens: single groupBy with 16
