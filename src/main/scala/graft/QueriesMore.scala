@@ -538,6 +538,47 @@ object QueriesMore {
       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
       FROM events GROUP BY 1 ORDER BY day"""))
 
+  /** IVF coarse-quantizer assignment census — the oracle check for the
+    * ANN scale path (operators/Similarity.ivfAssign shape): stride-picked
+    * centroids (deterministic init), exact-decimal L2 argmin per vector,
+    * then per-cell count + min member. Covers the one scale component
+    * that previously had spec-only coverage. */
+  private val q47 = Q(
+    "q47_ivf_assign_census",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+      val cents = e.filter(col("id") % 97 === 0)
+        .select((col("id") / 97).cast("long").as("cid"), col("v").as("cv"))
+      graft.operators.Similarity.assignL2Decimal(e, cents)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_vec"))
+        .orderBy(col("cid"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      cents AS (
+        SELECT CAST(vec_id // 97 AS BIGINT) AS cid, vec_id AS cvid
+        FROM embeddings WHERE vec_id % 97 = 0),
+      ce AS (SELECT c.cid, e.i, e.x FROM cents c JOIN ev e ON e.vec_id = c.cvid),
+      xx AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(18,16))) AS xx
+             FROM ev GROUP BY 1),
+      cc AS (SELECT cid, SUM(CAST(x*x AS DECIMAL(18,16))) AS cc
+             FROM ce GROUP BY 1),
+      xc AS (SELECT e.vec_id, c.cid, SUM(CAST(e.x*c.x AS DECIMAL(18,16))) AS xc
+             FROM ev e JOIN ce c ON e.i = c.i GROUP BY 1, 2),
+      d AS (SELECT xc.vec_id, xc.cid, xx.xx + cc.cc - 2*xc.xc AS d2
+            FROM xc JOIN xx ON xx.vec_id = xc.vec_id
+                    JOIN cc ON cc.cid = xc.cid),
+      best AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+          FROM d) t
+        WHERE rk = 1)
+      SELECT cid, COUNT(*) AS n, MIN(vec_id) AS min_vec
+      FROM best GROUP BY 1 ORDER BY cid"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

@@ -53,7 +53,11 @@ object Enrich {
   type Resolver = String => Either[String, String]
 
   /** JVM resolver via InetAddress; errors mapped onto the reference
-    * taxonomy. */
+    * taxonomy. UNBOUNDED: `getCanonicalHostName` never throws
+    * SocketTimeoutException — a hung PTR lookup blocks the calling task
+    * indefinitely. Production callers should wrap with [[bounded]]
+    * (mirroring the reference's socket-timeout semantics,
+    * dns_utils.py:21-50) — see [[boundedInetResolver]]. */
   val inetResolver: Resolver = { ip =>
     try {
       val addr = java.net.InetAddress.getByName(ip)
@@ -66,6 +70,37 @@ object Enrich {
       case scala.util.control.NonFatal(_) => Left("Failed (Unknown)")
     }
   }
+
+  /** Deadline wrapper: runs `resolver` on a daemon worker and returns
+    * `Left("Timeout")` if no answer arrives within `timeoutMs` — making
+    * the reference's "Timeout" taxonomy branch (dns_utils.py:40-50,
+    * socket.timeout) actually reachable on the JVM, where the stock
+    * InetAddress API exposes no per-call deadline. A timed-out lookup's
+    * thread keeps running until the OS resolver gives up (same as an
+    * abandoned socket in the reference); the pool is daemon + cached so
+    * stragglers never block JVM exit and threads are reused. */
+  def bounded(resolver: Resolver, timeoutMs: Long): Resolver = { ip =>
+    val task = new java.util.concurrent.FutureTask(
+      new java.util.concurrent.Callable[Either[String, String]] {
+        def call(): Either[String, String] = resolver(ip)
+      })
+    ResolverPool.executor.execute(task)
+    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        task.cancel(true)
+        Left("Timeout")
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+        Left("Timeout")
+      case scala.util.control.NonFatal(_) => Left("Failed (Unknown)")
+    }
+  }
+
+  /** The production default: [[inetResolver]] with a deadline (5 s,
+    * matching the reference's dns lookup timeout default). */
+  def boundedInetResolver(timeoutMs: Long = 5000L): Resolver =
+    bounded(inetResolver, timeoutMs)
 
   /** Adds hostname + reverse_dns_status via the cached, nondeterministic
     * UDF. Hostname is the literal "null" on failure (log_utils.py:105-113).
@@ -95,6 +130,22 @@ object Enrich {
     val resolved = withRdns(distinctIps, resolver, ipCol = ipCol)
     events.join(broadcast(resolved), Seq(ipCol), "left")
   }
+}
+
+/** Daemon worker pool backing [[Enrich.bounded]] — executor-JVM-local,
+  * shared across tasks (like RdnsCache). Cached pool: idle threads are
+  * reclaimed after 60 s, bursts grow it as needed. */
+private[operators] object ResolverPool {
+  val executor: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-rdns-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 }
 
 /** Executor-local rDNS cache: true LRU (access-ordered) + TTL, bounded,

@@ -150,6 +150,32 @@ object Similarity {
       .select(col("id"), col("v"), col("cid"))
   }
 
+  /** Oracle-deterministic L2 cell assignment (the correctness-harness
+    * twin of [[assignL2]], same broadcast-centroids shape): d² expanded
+    * as |x|² − 2·x·c + |c|² with every dot product in the exact decimal
+    * kernel. Each product multiplies two float-origin doubles (exact in
+    * 48 mantissa bits), so the per-term decimal casts agree across
+    * engines and decimal addition is associative — the resulting argmin
+    * (ties by cid) is bit-identical to any other engine computing the
+    * same expansion, making IVF assignment DuckDB-checkable. Requires
+    * centroids that are themselves data vectors (e.g.
+    * [[ivfCentroidsByStride]]); trained means are arbitrary doubles and
+    * fall outside the float-exactness argument. */
+  def assignL2Decimal(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = broadcast(centroids.select(col("cid"), col("cv"),
+      dotDecimal(col("cv"), col("cv")).as("_cc")))
+    val v = vectors.select(col("id"), col("v"),
+      dotDecimal(col("v"), col("v")).as("_xx"))
+    val w = Window.partitionBy(col("id")).orderBy(col("_d2").asc, col("cid"))
+    v.crossJoin(c)
+      .withColumn("_d2",
+        col("_xx") + col("_cc") - lit(2) * dotDecimal(col("v"), col("cv")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("cid"))
+  }
+
   def kmeansCentroids(vectors: DataFrame, init: DataFrame,
                       iters: Int): DataFrame = {
     var cents = init.localCheckpoint()

@@ -60,6 +60,30 @@ class EnrichSpec extends SparkSpec {
     assert(EnrichSpec.calls.get() == 4)
   }
 
+  test("bounded resolver: hung lookup maps to Timeout within deadline") {
+    val t0 = System.nanoTime()
+    val out = Enrich.bounded(EnrichSpec.hangingResolver, timeoutMs = 100)("9.9.9.9")
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out == Left("Timeout"))
+    // must return at the deadline, not after the resolver's 30s hang
+    assert(elapsedMs < 5000, s"took ${elapsedMs}ms — deadline not enforced")
+    // fast answers pass through unchanged
+    assert(Enrich.bounded(EnrichSpec.resolver, 5000)("1.1.1.1") ==
+      Right("one.example"))
+    assert(Enrich.bounded(EnrichSpec.resolver, 5000)("2.2.2.2") ==
+      Left("ERRNO 1"))
+  }
+
+  test("bounded resolver composes with withRdns (Timeout status lands)") {
+    RdnsCache.clear()
+    val events = Seq("9.9.9.9").toDF("ip")
+    val out = Enrich.withRdns(events,
+        Enrich.bounded(EnrichSpec.hangingResolver, timeoutMs = 100))
+      .select(col("hostname"), col("reverse_dns_status"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("null", "Timeout")))
+  }
+
   test("dedupThenResolve resolves each distinct ip once and rejoins") {
     RdnsCache.clear()
     EnrichSpec.calls.set(0)
@@ -80,5 +104,10 @@ object EnrichSpec {
   val resolver: Enrich.Resolver = { ip =>
     calls.incrementAndGet()
     if (ip == "1.1.1.1") Right("one.example") else Left("ERRNO 1")
+  }
+  // deliberately hangs far past any test deadline (interruptible sleep)
+  val hangingResolver: Enrich.Resolver = { _ =>
+    try { Thread.sleep(30000); Right("never.example") }
+    catch { case _: InterruptedException => Left("interrupted") }
   }
 }
