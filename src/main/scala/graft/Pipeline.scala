@@ -59,6 +59,33 @@ object Pipeline {
     events.count()
   }
 
+  /** One-line per-run summary — the reference's end-of-run log lines
+    * (`bin/maillogsentinel.py:753-760`: "Extraction completed, new
+    * offset: N" + finalize message) condensed into a single structured
+    * line for log scraping. */
+  final case class RunSummary(logFile: String, rows: Long, newOffset: Long,
+                              durationMs: Long) {
+    def line: String =
+      s"Extraction completed: file=$logFile rows=$rows " +
+        s"new offset: $newOffset duration_ms=$durationMs"
+  }
+
+  /** [[runIncremental]] + timing/offset telemetry, logged to stderr
+    * (the analog of the reference's logger.info run footer). */
+  def runIncrementalSummarized(spark: SparkSession,
+                               logFile: java.nio.file.Path,
+                               stateFile: java.nio.file.Path, csvOut: String,
+                               year: Int, geo: Option[GeoDims] = None,
+                               resolver: Option[Enrich.Resolver] = None): RunSummary = {
+    val t0 = System.nanoTime()
+    val rows = runIncremental(spark, logFile, stateFile, csvOut, year, geo,
+      resolver)
+    val s = RunSummary(logFile.toString, rows,
+      LogSource.readOffset(stateFile), (System.nanoTime() - t0) / 1000000)
+    System.err.println(s.line)
+    s
+  }
+
   /** The daily report aggregates (report.py:109-193; SURVEY §2.4): one
     * cached scan feeding the six aggregations. Returns them as named
     * DataFrames; presentation/email stays driver-side. */

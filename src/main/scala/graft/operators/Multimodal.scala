@@ -62,6 +62,81 @@ object Multimodal {
     }
   }
 
+  /** Pure-JVM image container header parsing — a REAL decode leg (no
+    * native libs needed; derived from the public PNG/GIF/BMP format
+    * specs). Reads width/height from the first bytes of the payload:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk is mandated first —
+    *    width/height are big-endian u32 at offsets 16/20.
+    *  - GIF (87a/89a): logical screen descriptor — little-endian u16
+    *    at offsets 6/8.
+    *  - BMP ("BM" + BITMAPINFOHEADER): little-endian i32 at offsets
+    *    18/22 (height may be negative = top-down; absolute value).
+    */
+  object ImageHeaders {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+        (u8(b, i + 3) << 24)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (width, height) if the payload starts with a recognized image
+      * container header; None otherwise (never throws). */
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null) return None
+      if (bytes.length >= 24 && bytes.startsWith(PngSig) &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' &&
+        bytes(15) == 'R')
+        Some((be32(bytes, 16).toInt, be32(bytes, 20).toInt))
+      else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+        Some((le16(bytes, 6), le16(bytes, 8)))
+      else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+        Some((le32(bytes, 18), math.abs(le32(bytes, 22))))
+      else None
+    }
+  }
+
+  /** Real codec for image rows: decodes (width, height) from the
+    * container header into feature[0]/feature[1] (rest zero; feature[2]
+    * flags a successful parse). Non-image kinds and unrecognized
+    * payloads fall back to [[StubCodec]] so mixed-media frames keep
+    * working. */
+  object ImageHeaderCodec extends Codec {
+    def decodeFeature(kind: String, payload: Array[Byte],
+                      dim: Int): Array[Float] =
+      if (kind == "image") ImageHeaders.dims(payload) match {
+        case Some((w, h)) =>
+          val out = new Array[Float](dim)
+          if (dim > 0) out(0) = w.toFloat
+          if (dim > 1) out(1) = h.toFloat
+          if (dim > 2) out(2) = 1f // parsed-ok flag
+          out
+        case None => StubCodec.decodeFeature(kind, payload, dim)
+      } else StubCodec.decodeFeature(kind, payload, dim)
+  }
+
+  /** Adds parsed_width/parsed_height columns from real header decode
+    * (null when the payload is not a recognized image container).
+    * Narrow per-partition pass — payloads never shuffle. */
+  def withParsedDims(media: DataFrame): DataFrame = {
+    val parse = udf { payload: Array[Byte] =>
+      ImageHeaders.dims(payload)
+    }
+    media.withColumn("_dims", parse(col("payload")))
+      .withColumn("parsed_width", col("_dims._1"))
+      .withColumn("parsed_height", col("_dims._2"))
+      .drop("_dims")
+  }
+
   /** Synthesize a media table from the documents table (payload = utf8
     * bytes): lets every downstream operator run on driver-provided data
     * without fabricating new inputs. */

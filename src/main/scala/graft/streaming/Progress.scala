@@ -51,4 +51,14 @@ object Progress {
 
   def detach(spark: SparkSession, r: Recorder): Unit =
     spark.streams.removeListener(r)
+
+  /** One-line run summary over the recorded batches — the streaming
+    * analog of Pipeline.RunSummary (reference run footer,
+    * bin/maillogsentinel.py:753-760). */
+  def summaryLine(r: Recorder): String = {
+    val bs = r.batches
+    val sources = bs.flatMap(_.sources).distinct
+    s"Streaming run completed: batches=${bs.size} rows=${r.totalRows} " +
+      s"sources=${sources.size} duration_ms=${bs.map(_.durationMs).sum}"
+  }
 }

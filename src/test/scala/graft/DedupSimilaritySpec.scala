@@ -52,6 +52,23 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: long chain converges in O(log^2 n) rounds") {
+    import graft.operators.Dedup
+    // diameter-255 path: plain min-label propagation would need ~255
+    // rounds; the large/small-star contraction must land well inside
+    // the default maxIter=50 budget (Kiveris SoCC'14 bound)
+    val n = 256
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.connectedComponentsWithStats(pairs)
+    assert(r.converged, s"did not converge (rounds=${r.rounds})")
+    assert(r.rounds <= 20, s"took ${r.rounds} contraction rounds on a $n-chain")
+    val comps = r.components.collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(comps.length == n)
+    assert(comps.forall(_._2 == 0L),
+      s"all nodes must land in component 0: ${comps.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("connected components agree with GraphX on real LSH pairs") {
     import graft.operators.Dedup
     val pairs = Dedup.lshCandidatePairs(

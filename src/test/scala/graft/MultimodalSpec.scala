@@ -1,0 +1,90 @@
+package graft
+
+import java.util.Base64
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a genuine, complete 1x1 PNG file (signature + IHDR + IDAT + IEND)
+  private val realPng: Array[Byte] = Base64.getDecoder.decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8" +
+      "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+
+  // hand-built container headers per the public specs
+  private def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array(0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt,
+      w >>> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff,
+      h >>> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff)
+    (sig ++ ihdr).map(_.toByte)
+  }
+  private def gifHeader(w: Int, h: Int): Array[Byte] =
+    ("GIF89a".getBytes("US-ASCII") ++ Array(
+      w & 0xff, w >> 8, h & 0xff, h >> 8, 0, 0, 0).map(_.toByte))
+  private def bmpHeader(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](26)
+    b(0) = 'B'; b(1) = 'M'
+    def le32(i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+      b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    le32(18, w); le32(22, h)
+    b
+  }
+
+  test("real PNG file decodes to its actual dimensions") {
+    assert(Multimodal.ImageHeaders.dims(realPng) == Some((1, 1)))
+  }
+
+  test("PNG/GIF/BMP headers parse; garbage and nulls do not") {
+    assert(Multimodal.ImageHeaders.dims(pngHeader(640, 480)) == Some((640, 480)))
+    assert(Multimodal.ImageHeaders.dims(gifHeader(320, 200)) == Some((320, 200)))
+    assert(Multimodal.ImageHeaders.dims(bmpHeader(800, 600)) == Some((800, 600)))
+    // top-down BMP stores negative height; dims reports the magnitude
+    assert(Multimodal.ImageHeaders.dims(bmpHeader(16, -32)) == Some((16, 32)))
+    assert(Multimodal.ImageHeaders.dims("not an image".getBytes) == None)
+    assert(Multimodal.ImageHeaders.dims(Array.emptyByteArray) == None)
+    assert(Multimodal.ImageHeaders.dims(null) == None)
+  }
+
+  test("withParsedDims decodes image payloads in a narrow pass") {
+    val media = Seq(
+      (1L, "image", pngHeader(12, 34)),
+      (2L, "image", gifHeader(56, 78)),
+      (3L, "image", "garbage".getBytes)).toDF("media_id", "kind", "payload")
+    val out = Multimodal.withParsedDims(media)
+      .select(col("media_id"), col("parsed_width"), col("parsed_height"))
+      .orderBy(col("media_id")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 12, 34), (2L, 56, 78), (3L, -1, -1)))
+  }
+
+  test("ImageHeaderCodec: real decode for images, stub fallback otherwise") {
+    val c = Multimodal.ImageHeaderCodec
+    val f = c.decodeFeature("image", realPng, 4)
+    assert(f.toSeq == Seq(1f, 1f, 1f, 0f))
+    val f2 = c.decodeFeature("image", pngHeader(640, 480), 4)
+    assert(f2.toSeq == Seq(640f, 480f, 1f, 0f))
+    // unparseable image payload and non-image kinds = stub features
+    val garbage = "xyz".getBytes
+    assert(c.decodeFeature("image", garbage, 4).toSeq ==
+      Multimodal.StubCodec.decodeFeature("image", garbage, 4).toSeq)
+    assert(c.decodeFeature("audio", realPng, 4).toSeq ==
+      Multimodal.StubCodec.decodeFeature("audio", realPng, 4).toSeq)
+  }
+
+  test("extractFeatures with ImageHeaderCodec end-to-end") {
+    val media = Seq((7L, "image", pngHeader(100, 50)))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(media,
+      Multimodal.ImageHeaderCodec, dim = 3).collect()
+    assert(feats.length == 1)
+    assert(feats.head.feature.toSeq == Seq(100f, 50f, 1f))
+  }
+}
