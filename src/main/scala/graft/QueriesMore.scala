@@ -579,6 +579,69 @@ object QueriesMore {
       SELECT cid, COUNT(*) AS n, MIN(vec_id) AS min_vec
       FROM best GROUP BY 1 ORDER BY cid"""))
 
+  /** IVF probed-cell search — completes the IVF oracle story (q47 =
+    * assignment; q48 = search over the inverted file): 4 query vectors
+    * rank centroids by exact-decimal L2, probe the nearest 2 cells,
+    * exact top-3 within candidates only (the equi-join-on-cid scale
+    * shape — the corpus is never cross-joined). */
+  private val q48 = Q(
+    "q48_ivf_search",
+    (s, dir) => {
+      val sim = graft.operators.Similarity
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+        sim.asDouble(col("embedding")).as("v"))
+      val cents = e.filter(col("id") % 97 === 0)
+        .select((col("id") / 97).cast("long").as("cid"), col("v").as("cv"))
+      val index = e.join(sim.assignL2Decimal(e, cents), Seq("id"))
+      sim.ivfSearchDecimal(index, cents, e.filter(col("id") < 4),
+          nprobe = 2, k = 3)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      cents AS (
+        SELECT CAST(vec_id // 97 AS BIGINT) AS cid, vec_id AS cvid
+        FROM embeddings WHERE vec_id % 97 = 0),
+      ce AS (SELECT c.cid, e.i, e.x FROM cents c JOIN ev e ON e.vec_id = c.cvid),
+      xx AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(18,16))) AS xx
+             FROM ev GROUP BY 1),
+      cc AS (SELECT cid, SUM(CAST(x*x AS DECIMAL(18,16))) AS cc
+             FROM ce GROUP BY 1),
+      xc AS (SELECT e.vec_id, c.cid, SUM(CAST(e.x*c.x AS DECIMAL(18,16))) AS xc
+             FROM ev e JOIN ce c ON e.i = c.i GROUP BY 1, 2),
+      d AS (SELECT xc.vec_id, xc.cid, xx.xx + cc.cc - 2*xc.xc AS d2
+            FROM xc JOIN xx ON xx.vec_id = xc.vec_id
+                    JOIN cc ON cc.cid = xc.cid),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+          FROM d) t
+        WHERE rk = 1),
+      probed AS (SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+          FROM d WHERE vec_id < 4) t
+        WHERE rk <= 2),
+      cand AS (SELECT p.q_id, a.vec_id FROM probed p
+               JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      qc AS (SELECT c.q_id, c.vec_id,
+               SUM(CAST(eq.x*ec.x AS DECIMAL(18,16))) AS dot
+             FROM cand c
+             JOIN ev eq ON eq.vec_id = c.q_id
+             JOIN ev ec ON ec.vec_id = c.vec_id AND ec.i = eq.i
+             GROUP BY 1, 2),
+      cd AS (SELECT qc.q_id, qc.vec_id, xq.xx + xv.xx - 2*qc.dot AS d2
+             FROM qc
+             JOIN xx xq ON xq.vec_id = qc.q_id
+             JOIN xx xv ON xv.vec_id = qc.vec_id)
+      SELECT q_id, vec_id, rnk FROM (
+        SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rnk
+        FROM cd) t
+      WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

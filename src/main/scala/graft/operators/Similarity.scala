@@ -176,6 +176,38 @@ object Similarity {
       .select(col("id"), col("cid"))
   }
 
+  /** Oracle-deterministic IVF search (the correctness-harness twin of
+    * [[ivfSearch]], same probed-cell equi-join shape): centroid ranking
+    * and candidate ranking both use the exact-decimal L2 expansion of
+    * [[assignL2Decimal]], ties by cid / vec_id. `index` must carry
+    * (id, v, cid); emits (q_id, vec_id, rnk) — ranks only, since raw
+    * distances would cross the double→decimal divergence noted on q20. */
+  def ivfSearchDecimal(index: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = broadcast(centroids.select(col("cid"), col("cv"),
+      dotDecimal(col("cv"), col("cv")).as("_cc")))
+    val q = queries.select(col("id").as("q_id"), col("v").as("qv"),
+      dotDecimal(col("v"), col("v")).as("_qq"))
+    val probed = q.crossJoin(c)
+      .withColumn("_d2",
+        col("_qq") + col("_cc") - lit(2) * dotDecimal(col("qv"), col("cv")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("_d2").asc, col("cid"))))
+      .filter(col("_rk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("_qq"), col("cid"))
+    val cand = index.join(broadcast(probed), Seq("cid"))
+      .filter(col("id") =!= col("q_id"))
+    val scored = cand.select(col("q_id"), col("id").as("vec_id"),
+      (col("_qq") + dotDecimal(col("v"), col("v")) -
+        lit(2) * dotDecimal(col("v"), col("qv"))).as("_d2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_d2").asc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"))
+  }
+
   def kmeansCentroids(vectors: DataFrame, init: DataFrame,
                       iters: Int): DataFrame = {
     var cents = init.localCheckpoint()
