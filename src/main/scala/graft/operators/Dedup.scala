@@ -82,6 +82,33 @@ object Dedup {
     sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
   }
 
+  /** NARROW band-key computation: identical (id, bk) rows to
+    * [[lshBandKeysPlan]] (spec-asserted), but via per-row array
+    * expressions — `array_min(transform(shingles, md5-slice))` replaces
+    * the explode→groupBy-min — so it needs NO aggregation at all. This
+    * is the form streaming append mode requires (stateful agg before
+    * stateful dedup is disallowed) and the zero-shuffle signature path:
+    * the only shuffle left in LSH is the band-key join itself. The
+    * explode→groupBy form remains the right choice when the shingle
+    * rows are reused by other aggregations in the same pass. */
+  def lshBandKeysNarrow(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sh = charShingles(col(textCol), n)
+    // hj = min over shingles of hex slice (j%4) of md5("m{j/4}" || s) —
+    // the same permutation-min as minhashSignatures, shuffle-free
+    def h(j: Int): Column = array_min(transform(sh,
+      s => substring(md5(concat(lit(s"m${j / 4}"), s)),
+        (j % 4) * 8 + 1, 8)))
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => h(b * rows + r))
+      md5(concat(lit(b.toString) +: slice: _*))
+    }
+    docs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+  }
+
   /** [[lshBandKeysPlan]] + eager `localCheckpoint()`. NOTE: constructing
     * this frame runs a Spark job immediately and the checkpointed blocks
     * live until the caller unpersists them (`frame.unpersist()`) or the
