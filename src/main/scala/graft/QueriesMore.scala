@@ -545,16 +545,13 @@ object QueriesMore {
     * that previously had spec-only coverage. */
   private val q47 = Q(
     "q47_ivf_assign_census",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
-        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
-      val cents = e.filter(col("id") % 97 === 0)
-        .select((col("id") / 97).cast("long").as("cid"), col("v").as("cv"))
-      graft.operators.Similarity.assignL2Decimal(e, cents)
+    (s, dir) =>
+      // assignment shared with q48 via SharedIvf (one materialization
+      // per session+input — the persisted-inverted-file shape)
+      SharedIvf.assignment(s, dir)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"), min(col("id")).as("min_vec"))
-        .orderBy(col("cid"))
-    },
+        .orderBy(col("cid")),
     Some("""WITH ev AS (
         SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
         FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
@@ -587,13 +584,10 @@ object QueriesMore {
   private val q48 = Q(
     "q48_ivf_search",
     (s, dir) => {
-      val sim = graft.operators.Similarity
-      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
-        sim.asDouble(col("embedding")).as("v"))
-      val cents = e.filter(col("id") % 97 === 0)
-        .select((col("id") / 97).cast("long").as("cid"), col("v").as("cv"))
-      val index = e.join(sim.assignL2Decimal(e, cents), Seq("id"))
-      sim.ivfSearchDecimal(index, cents, e.filter(col("id") < 4),
+      val e = SharedIvf.vectors(s, dir)
+      val index = e.join(SharedIvf.assignment(s, dir), Seq("id"))
+      graft.operators.Similarity.ivfSearchDecimal(
+          index, SharedIvf.centroids(s, dir), e.filter(col("id") < 4),
           nprobe = 2, k = 3)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy(col("q_id"), col("rnk"))

@@ -68,3 +68,41 @@ object SharedLsh {
     compCache.clear()
   }
 }
+
+/** Same artifact-sharing move for the IVF oracle suite: the exact-
+  * decimal cell assignment over the embeddings table is the dominant
+  * cost of BOTH q47 (census over it) and q48 (inverted file for the
+  * search) — one materialization per session+input serves both, the
+  * in-process analog of persisting the inverted file to parquet. */
+object SharedIvf {
+
+  val Stride = 97
+
+  private final case class Key(session: SparkSession, dir: String)
+  private val cache =
+    TrieMap.empty[Key, org.apache.spark.sql.DataFrame]
+
+  import org.apache.spark.sql.functions.col
+  import graft.operators.Similarity
+
+  def vectors(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+
+  def centroids(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    vectors(s, dir).filter(col("id") % Stride === 0)
+      .select((col("id") / Stride).cast("long").as("cid"), col("v").as("cv"))
+
+  /** Materialized (id, cid) exact-decimal assignment. */
+  def assignment(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cache.getOrElseUpdate(Key(s, dir),
+      Similarity.assignL2Decimal(vectors(s, dir), centroids(s, dir))
+        .localCheckpoint())
+
+  def clear(): Unit = synchronized {
+    cache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+}
