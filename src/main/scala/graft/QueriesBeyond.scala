@@ -245,21 +245,25 @@ object QueriesBeyond {
   private val q25 = Q(
     "q25_fingerprint",
     (s, dir) => {
-      // filter BEFORE the dedup shuffle: md5 is deterministic per
-      // (doc_id, sh), so keeping only first-hex-'0' rows and then
-      // distinct-ing (doc_id, h) shuffles 1/16th of the shingles while
-      // computing the same distinct set the oracle's DISTINCT-then-
-      // filter does (md5 is injective on 5-byte inputs' practical range)
-      val docs = Tables.documents(s, dir)
-      val sh = docs
+      // ZERO-shuffle form: the per-doc fingerprint set is a pure
+      // function of the doc's own text, so the whole select-1/16-of-
+      // shingle-hashes + distinct + min/max/count reduces to per-row
+      // array expressions — no explode, no distinct exchange, no
+      // groupBy. At 100 TB this is a map-only pass over the corpus
+      // (the earlier explode+distinct form shuffled 1/16 of all
+      // shingle rows). md5 is injective on the shingle domain, so
+      // array_distinct over hashes equals distinct-shingles-then-hash
+      // — exactly the oracle's DISTINCT semantics.
+      val fps = array_distinct(filter(
+        transform(Dedup.charShingles(col("text"), 5), sh => md5(sh)),
+        h => substring(h, 1, 1) === "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fps.as("fps"))
+        .filter(size(col("fps")) > 0)
         .select(col("doc_id"),
-          explode(Dedup.charShingles(col("text"), 5)).as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("h"))
-        .filter(substring(col("h"), 1, 1) === "0")
-        .distinct()
-      sh.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_fp"), min(col("h")).as("fp_min"),
-          max(col("h")).as("fp_max"))
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH $ShinglesSql,

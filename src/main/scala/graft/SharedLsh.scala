@@ -38,11 +38,14 @@ object SharedLsh {
   private val bandCache = TrieMap.empty[Key, DataFrame]
   private val compCache = TrieMap.empty[Key, DataFrame]
 
-  /** Materialized (doc_id, bk) band table for the documents table. */
+  /** Materialized (doc_id, bk) band table for the documents table —
+    * via the NARROW signature path (per-row array min, zero shuffles;
+    * identical rows to the groupBy path, spec-asserted in
+    * StreamingNearDupSpec). */
   def bandKeys(s: SparkSession, dir: String,
                p: Params = Default): DataFrame =
     bandCache.getOrElseUpdate(Key(s, dir, p),
-      Dedup.lshBandKeysPlan(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.lshBandKeysNarrow(Tables.documents(s, dir), "doc_id", "text",
         p.n, p.k, p.bands).localCheckpoint())
 
   /** Candidate pairs (doc_a < doc_b) from the shared band table. */
