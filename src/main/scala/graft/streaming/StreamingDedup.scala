@@ -31,9 +31,16 @@ object StreamingDedup {
 
   /** (doc_id, keeper, is_duplicate) per incoming doc; first arrival of
     * a content hash becomes its keeper (ties within a micro-batch break
-    * by min doc id — deterministic replay). */
-  def verdicts(docs: DataFrame, idCol: String,
-               textCol: String): Dataset[Verdict] = {
+    * by min doc id — deterministic replay).
+    *
+    * `stateTtlMs` bounds the dedup horizon: a hash unseen for the TTL
+    * has its keeper evicted (processing-time timeout), after which the
+    * content is treated as new — the knob that keeps state finite on an
+    * unbounded stream when exact-forever dedup isn't required. Seeing
+    * the hash again before expiry refreshes the clock. None = exact
+    * dedup against all history (state O(distinct content)). */
+  def verdicts(docs: DataFrame, idCol: String, textCol: String,
+               stateTtlMs: Option[Long] = None): Dataset[Verdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val stateEnc = Encoders.product[Keeper]
@@ -46,18 +53,25 @@ object StreamingDedup {
 
     def fn(h: String, batch: Iterator[Doc],
            state: GroupState[Keeper]): Iterator[Verdict] = {
-      val sorted = batch.toSeq.sortBy(_.docId)
-      var keeper = state.getOption.map(_.keeper).getOrElse(-1L)
-      val out = sorted.map { d =>
-        if (keeper < 0L) { keeper = d.docId; Verdict(d.docId, keeper, false) }
-        else Verdict(d.docId, keeper, d.docId != keeper)
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = batch.toSeq.sortBy(_.docId)
+        var keeper = state.getOption.map(_.keeper).getOrElse(-1L)
+        val out = sorted.map { d =>
+          if (keeper < 0L) { keeper = d.docId; Verdict(d.docId, keeper, false) }
+          else Verdict(d.docId, keeper, d.docId != keeper)
+        }
+        if (keeper >= 0L) {
+          state.update(Keeper(keeper))
+          stateTtlMs.foreach(state.setTimeoutDuration)
+        }
+        out.iterator
       }
-      if (keeper >= 0L) state.update(Keeper(keeper))
-      out.iterator
     }
 
     keyed.groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        stateTtlMs.fold(GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.ProcessingTimeTimeout))(fn)
   }
 }

