@@ -636,6 +636,33 @@ object QueriesMore {
         FROM cd) t
       WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
+  /** Log anonymization census — oracle check for BOTH anonymizer modes
+    * (operators/Anonymize): dense two-pass aliases (zipWithIndex over
+    * the sorted distinct set ≡ ROW_NUMBER over distinct values) on the
+    * source column, stateless keyed md5 aliases on the lang column,
+    * then a grouped census proving the mapping is total and stable. */
+  private val q49 = Q(
+    "q49_anonymize",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"))
+      val dense = graft.operators.Anonymize.denseAliases(docs, "source", "src")
+      val keyed = graft.operators.Anonymize.keyedAliases(dense, "lang", "lang")
+      keyed.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH mapping AS (
+        SELECT orig, 'src_' || CAST(ROW_NUMBER() OVER (ORDER BY orig) AS VARCHAR) AS alias
+        FROM (SELECT DISTINCT source AS orig FROM documents) t),
+      aliased AS (
+        SELECT m.alias AS source,
+               'lang_' || substr(md5(d.lang), 1, 10) AS lang,
+               d.doc_id
+        FROM documents d JOIN mapping m ON d.source = m.orig)
+      SELECT source, lang, COUNT(*) AS n, MIN(doc_id) AS min_doc
+      FROM aliased GROUP BY 1, 2 ORDER BY source, lang"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
