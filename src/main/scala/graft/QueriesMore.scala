@@ -663,6 +663,80 @@ object QueriesMore {
       SELECT source, lang, COUNT(*) AS n, MIN(doc_id) AS min_doc
       FROM aliased GROUP BY 1, 2 ORDER BY source, lang"""))
 
+  /** Train/test contamination check — the leakage audit every benchmark
+    * pipeline needs: reproducible split assignment (q41's md5 buckets) ×
+    * exact content hashes (q16's md5), flagging docs whose content
+    * appears in more than one split. Two shuffles (hash spread, split
+    * census), both on 16-byte keys — text never shuffles. */
+  private val q50 = Q(
+    "q50_contamination",
+    (s, dir) => {
+      val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+      val split = when(h.isin("d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train")
+      val base = Tables.documents(s, dir)
+        .select(split.as("split"), md5(col("text")).as("ch"))
+      val spread = base.groupBy(col("ch"))
+        .agg(countDistinct(col("split")).as("ns"))
+      base.join(spread, "ch")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("docs"),
+          count(when(col("ns") >= 2, 1)).as("contaminated"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH t AS (
+        SELECT CASE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+          WHEN 'd' THEN 'val'
+          WHEN 'e' THEN 'test' WHEN 'f' THEN 'test'
+          ELSE 'train' END AS split, md5(text) AS ch
+        FROM documents),
+      spread AS (SELECT ch, COUNT(DISTINCT split) AS ns FROM t GROUP BY 1)
+      SELECT split, COUNT(*) AS docs,
+        COUNT(CASE WHEN ns >= 2 THEN 1 END) AS contaminated
+      FROM t JOIN spread USING (ch)
+      GROUP BY 1 ORDER BY split"""))
+
+  /** Repeated-bigram ratio census — the repetition quality signal
+    * (duplicated-n-gram filters in large-corpus curation). A tenth of
+    * the docs get their text doubled so the flag path executes; the
+    * ratio itself is per-row array arithmetic (no shuffle before the
+    * lang census). Average via the decimal-sum pattern (q23). */
+  private val q51 = Q(
+    "q51_repetition",
+    (s, dir) => {
+      val txt = when(col("doc_id") % 10 === 0,
+        concat_ws(" ", col("text"), col("text"))).otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          graft.operators.TextAnalysis.repetitionRatio(txt).as("rep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          (sum(col("rep").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("avg_rep"),
+          count(when(col("rep") > 0.1, 1)).as("flagged"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (
+        SELECT lang,
+          CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text
+               ELSE text END AS txt
+        FROM documents),
+      toks AS (SELECT lang, string_split(txt, ' ') AS t FROM d),
+      rep AS (
+        SELECT lang,
+          CASE WHEN len(t) < 2 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(
+                      list_transform(range(1, len(t)),
+                        i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS DOUBLE)
+                    / CAST(len(t) - 1 AS DOUBLE)
+          END AS rep
+        FROM toks)
+      SELECT lang, COUNT(*) AS docs,
+        CAST(SUM(CAST(rep AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_rep,
+        COUNT(CASE WHEN rep > 0.1 THEN 1 END) AS flagged
+      FROM rep GROUP BY 1 ORDER BY lang"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }

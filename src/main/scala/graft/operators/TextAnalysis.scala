@@ -45,4 +45,28 @@ object TextAnalysis {
     least(lit(1.0), tokenCount(text) / lit(100.0)) * 0.5 +
       stopwordRatio(text) * 0.3 +
       (lit(1.0) - least(lit(1.0), punctCount(text) / lit(20.0))) * 0.2
+
+  /** Word-bigram list. try_element_at: a single-token doc's lone index
+    * would make ANSI element_at throw on the out-of-bounds i+1; callers
+    * guard the n<2 case on the OUTPUT (see repetitionRatio), this just
+    * keeps the expression total. */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
+      i => concat_ws(" ", try_element_at(t, i), try_element_at(t, i + 1)))
+  }
+
+  /** Repeated-bigram ratio in [0,1] — the "repetition" quality signal
+    * (high values flag boilerplate/spam; the duplicated-n-gram-fraction
+    * family of filters used in large-corpus curation): 1 − distinct/
+    * total word bigrams, 0 for docs with fewer than 2 tokens. Pure
+    * per-row array arithmetic, no shuffle, engine-exact (int-derived
+    * doubles, one IEEE division). */
+  def repetitionRatio(text: Column): Column = {
+    val bg = wordBigrams(text)
+    when(tokenCount(text) < 2, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(bg)).cast("double") /
+          size(bg).cast("double"))
+  }
 }
