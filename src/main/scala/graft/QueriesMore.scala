@@ -737,6 +737,63 @@ object QueriesMore {
         COUNT(CASE WHEN rep > 0.1 THEN 1 END) AS flagged
       FROM rep GROUP BY 1 ORDER BY lang"""))
 
+  /** Salted skew JOIN (operators/Skew.saltedJoin) — the join-side
+    * counterpart of q36's salted aggregation: large side salted by
+    * xxhash64 (engine-internal, never surfaces), small side replicated,
+    * join on (key, salt). The oracle is the PLAIN join — proving the
+    * rewrite is row-identical while spreading a hot key over `salts`
+    * reducers. */
+  private val q52 = Q(
+    "q52_salted_join",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, "o_custkey", saltBy = "o_orderkey", salts = 8)
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    },
+    Some("""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Reproducible stratified sampling — data-mixing for training runs:
+    * per-stratum keep rates via md5 buckets (en 8/16, others 4/16), so
+    * the sample is identical across runs, engines, and partitionings
+    * (`sample()` is none of those). Narrow filter; the census is the
+    * only shuffle. */
+  private val q53 = Q(
+    "q53_stratified_sample",
+    (s, dir) => {
+      val h1 = substring(
+        md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 1)
+      val keep = when(col("lang") === "en",
+        h1.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .otherwise(h1.isin("0", "1", "2", "3"))
+      Tables.documents(s, dir)
+        .select(col("lang"), keep.as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          count(when(col("keep"), 1)).as("sampled"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH t AS (
+        SELECT lang,
+          CASE WHEN lang = 'en'
+               THEN substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+               ELSE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3') END AS keep
+        FROM documents)
+      SELECT lang, COUNT(*) AS docs,
+        COUNT(CASE WHEN keep THEN 1 END) AS sampled
+      FROM t GROUP BY 1 ORDER BY lang"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
+    q52, q53)
 }

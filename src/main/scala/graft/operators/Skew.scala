@@ -33,4 +33,24 @@ object Skew {
       .agg(sum(col("_n")).as("n"),
         sum(col("_s")).cast("double").as("sum_value"))
   }
+
+  /** Salted equi-join for skewed KEYS — the join-side counterpart of
+    * [[saltedCountSum]], for when the small side is too large to
+    * broadcast and a hot key would funnel one reducer: the large side
+    * gets a deterministic salt from `saltBy` (xxhash64 — engine-internal
+    * only, the salt never surfaces in results), the small side is
+    * replicated `salts` ways, and the join key becomes (key, salt) so a
+    * hot key spreads over `salts` reducers. Row-identical to
+    * `large.join(small, key)` (the oracle checks exactly that); the
+    * trade is `salts`× shuffle volume OF THE SMALL SIDE only. AQE's
+    * skew-join split covers sort-merge joins adaptively; this is the
+    * explicit form for when you know the hot keys up front. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltBy: String, salts: Int): DataFrame = {
+    val lw = large.withColumn("_salt",
+      pmod(xxhash64(col(saltBy)), lit(salts.toLong)).cast("int"))
+    val sw = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    lw.join(sw, Seq(key, "_salt")).drop("_salt")
+  }
 }
