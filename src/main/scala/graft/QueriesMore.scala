@@ -793,7 +793,45 @@ object QueriesMore {
         COUNT(CASE WHEN keep THEN 1 END) AS sampled
       FROM t GROUP BY 1 ORDER BY lang"""))
 
+  /** int8 embedding quantization census (operators/Quantize): per-dim
+    * min/max stats (64-row broadcast) + narrow encode, then per-dim
+    * code-space usage — the compression audit run before swapping a
+    * float index for a uint8 one. Code arithmetic is identical IEEE
+    * ops on identical doubles in both engines. */
+  private val q54 = Q(
+    "q54_quantize",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+      val codes = graft.operators.Quantize.encode(
+        e, graft.operators.Quantize.dimStats(e))
+      codes.groupBy(col("d"))
+        .agg(countDistinct(col("code")).as("n_codes"),
+          min(col("code")).as("min_code"),
+          max(col("code")).as("max_code"),
+          count(when(col("code") === 0 || col("code") === 255, 1))
+            .as("edge_hits"))
+        .orderBy(col("d"))
+        .filter(col("d") <= 16)
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id AS id, i AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ev GROUP BY 1),
+      codes AS (
+        SELECT id, ev.d,
+          CASE WHEN mx = mn THEN 0
+               ELSE GREATEST(0, LEAST(255,
+                 CAST(FLOOR((x - mn) * 255.0 / (mx - mn)) AS BIGINT)))
+          END AS code
+        FROM ev JOIN stats ON ev.d = stats.d)
+      SELECT d, COUNT(DISTINCT code) AS n_codes,
+        MIN(code) AS min_code, MAX(code) AS max_code,
+        COUNT(CASE WHEN code = 0 OR code = 255 THEN 1 END) AS edge_hits
+      FROM codes WHERE d <= 16
+      GROUP BY 1 ORDER BY d"""))
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53)
+    q52, q53, q54)
 }
