@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: cross-document
+  * boilerplate detection, n-gram-level decontamination, and sequence
+  * packing. Companions to [[Dedup]] (content identity) and
+  * [[TextAnalysis]] (per-row signals) — these are the CROSS-document
+  * curation steps.
+  *
+  * Shuffle economy (the 100 TB posture shared by all three):
+  *  - n-grams are md5-hashed inside the scan stage, so every shuffle
+  *    carries 16-byte keys — document text never leaves the mapper;
+  *  - flag sets are distinct-reduced doc-id relations (one long per
+  *    flagged doc), joined back semi/left — no text on the build side;
+  *  - packing windows partition by the stream column, so independent
+  *    streams pack in parallel (at 100 TB the stream is (source, shard)).
+  */
+object Curation {
+
+  /** Distinct (id, gram-hash) pairs for the word n-grams of `textCol` —
+    * the shared first stage of boilerplate detection and
+    * decontamination. Docs shorter than n tokens contribute nothing. */
+  def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("gh"))
+      .distinct()
+
+  /** Ids of documents containing any word n-gram that occurs in at
+    * least `minDocs` DISTINCT documents — the shared-footer / template
+    * filter (the line-dedup family generalized to n-grams). Two
+    * shuffles, both on gram hashes; the flag relation is one column. */
+  def boilerplateDocs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int): DataFrame = {
+    val grams = gramHashes(docs, idCol, textCol, n)
+    val boiler = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+    grams.join(boiler, Seq("gh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Ids of `train` documents sharing ANY word n-gram with any `test`
+    * document — n-gram-level leakage audit (the GPT-3-appendix-style
+    * decontamination that exact-hash dedup misses). The test side is
+    * distinct-reduced before the semi join, so the build side is the
+    * small one. */
+  def contaminatedDocs(train: DataFrame, test: DataFrame,
+                       idCol: String, textCol: String, n: Int): DataFrame = {
+    val testG = gramHashes(test, idCol, textCol, n).select(col("gh")).distinct()
+    gramHashes(train, idCol, textCol, n)
+      .join(testG, Seq("gh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Concatenate-and-chop sequence packing: assigns each document the
+    * training-sequence index `seq` = (exclusive prefix sum of `tokCol`
+    * within its `streamCol` stream, ordered by `orderCol`) div
+    * `budget`. Integer-exact (the division is double but counts are
+    * < 2^53). Adds a `seq` column; everything else passes through. */
+  def packSequences(docs: DataFrame, streamCol: String, orderCol: String,
+                    tokCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("seq",
+      floor(coalesce(sum(col(tokCol)).over(w), lit(0L)) / lit(budget.toDouble))
+        .cast("long"))
+  }
+}

@@ -56,6 +56,18 @@ object TextAnalysis {
       i => concat_ws(" ", try_element_at(t, i), try_element_at(t, i + 1)))
   }
 
+  /** Word n-gram list (space-joined), empty for docs with fewer than n
+    * tokens. Same per-row array-expression shape as [[wordBigrams]] —
+    * codegen'd, no UDF, no shuffle. Used by cross-document boilerplate
+    * detection (q55) and n-gram decontamination (q56), where the grams
+    * are hashed before any shuffle so only 16-byte keys move. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+  }
+
   /** Repeated-bigram ratio in [0,1] — the "repetition" quality signal
     * (high values flag boilerplate/spam; the duplicated-n-gram-fraction
     * family of filters used in large-corpus curation): 1 − distinct/
