@@ -39,9 +39,18 @@ object StreamingNearDup {
 
   /** (hub, member) candidate edges, append-only. Self-edges are never
     * emitted; a doc landing in several shared buckets emits one edge
-    * per bucket (downstream components dedup naturally). */
+    * per bucket (downstream components dedup naturally).
+    *
+    * `stateTtlMs` bounds the dedup horizon: a bucket with no arrivals
+    * for the TTL has its hub evicted (processing-time timeout), so a
+    * later member starts a fresh hub — near-dups are then only linked
+    * within the horizon, and state stays bounded by the number of
+    * buckets ACTIVE in any TTL window instead of all buckets ever
+    * occupied. Arrivals refresh the bucket's clock. None = link against
+    * all history. */
   def starEdges(docs: DataFrame, idCol: String, textCol: String,
-                n: Int, k: Int, bands: Int): Dataset[Edge] = {
+                n: Int, k: Int, bands: Int,
+                stateTtlMs: Option[Long] = None): Dataset[Edge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val stateEnc = Encoders.product[Hub]
@@ -52,21 +61,26 @@ object StreamingNearDup {
 
     def fn(bk: String, batch: Iterator[Banded],
            state: GroupState[Hub]): Iterator[Edge] = {
-      val members = batch.map(_.docId).toSeq.sorted.distinct
-      if (members.isEmpty) Iterator.empty
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        val out = Seq.newBuilder[Edge]
-        var hub = state.getOption.map(_.hub).getOrElse {
-          members.head // first-seen min member becomes the bucket hub
+        val members = batch.map(_.docId).toSeq.sorted.distinct
+        if (members.isEmpty) Iterator.empty
+        else {
+          val out = Seq.newBuilder[Edge]
+          val hub = state.getOption.map(_.hub).getOrElse {
+            members.head // first-seen min member becomes the bucket hub
+          }
+          members.foreach(m => if (m != hub) out += Edge(hub, m))
+          state.update(Hub(hub))
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          out.result().iterator
         }
-        members.foreach(m => if (m != hub) out += Edge(hub, m))
-        state.update(Hub(hub))
-        out.result().iterator
       }
     }
 
     banded.groupByKey(_.bk)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        stateTtlMs.fold(GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.ProcessingTimeTimeout))(fn)
   }
 }

@@ -47,4 +47,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(!df.columns.contains("text"))
   }
+
+  test("curation gram stage hashes n-grams before the first exchange") {
+    // every Exchange in the boilerplate pipeline must carry gh (16-byte
+    // md5) or doc ids — never the gram text g or the document text
+    val p = planOf(graft.operators.Curation.boilerplateDocs(
+      Tables.documents(spark, sf()), "doc_id", "text", 8, 3))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(exchangeLines.forall(l => !l.contains("g#") && !l.contains("text#")),
+      s"gram/document text in a shuffle key:\n$p")
+  }
 }
