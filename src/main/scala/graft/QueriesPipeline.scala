@@ -180,5 +180,211 @@ object QueriesPipeline {
         MAX(tokens) AS max_fill, MIN(tokens) AS min_fill
       FROM b GROUP BY 1 ORDER BY source"""))
 
-  val list: Seq[Q] = Seq(q55, q56, q57, q58)
+  /** TF-IDF keyword extraction per language — the class-keyword audit a
+    * curation pipeline runs to sanity-check domain labels: term frequency
+    * within the language stratum × inverse document frequency over the
+    * whole corpus, top 5 terms per language. Determinism: score =
+    * (tf·N)::double / df is exact-int arithmetic followed by ONE
+    * correctly-rounded IEEE division — bit-identical across engines — and
+    * the score itself is never emitted (rank/tf/df only, per the
+    * double→decimal hash rule).
+    *
+    * Plan shape: one explode, one (doc,tok) pre-aggregation; lang-tf and
+    * corpus-df both derive from it (two further shuffles on the token —
+    * vocabulary cardinality, not corpus cardinality). N arrives as a
+    * broadcast scalar (1-row cross join), never a collect. */
+  private val q59 = Q(
+    "q59_tfidf_keywords",
+    (s, dir) => {
+      val perDoc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tfd"))
+      val langTf = perDoc.groupBy(col("lang"), col("tok"))
+        .agg(sum(col("tfd")).as("tf"))
+      val df = perDoc.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = langTf.join(df, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("tok").asc)
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("tok"), col("tf"), col("df"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents),
+      perdoc AS (SELECT doc_id, lang, tok, COUNT(*) AS tfd
+                 FROM toks GROUP BY 1, 2, 3),
+      langtf AS (SELECT lang, tok, CAST(SUM(tfd) AS BIGINT) AS tf
+                 FROM perdoc GROUP BY 1, 2),
+      dfreq AS (SELECT tok, COUNT(*) AS df FROM perdoc GROUP BY 1),
+      scored AS (
+        SELECT lang, l.tok, tf, df,
+          CAST(tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / df AS score
+        FROM langtf l JOIN dfreq USING (tok)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY score DESC, tok ASC) AS rank
+        FROM scored)
+      SELECT lang, rank, tok, tf, df FROM ranked
+      WHERE rank <= 5 ORDER BY lang, rank"""))
+
+  /** Chunk-level dedup — the line/paragraph-dedup family (the corpus has
+    * no newlines, so the unit is the non-overlapping 20-word chunk): a
+    * 20-word boilerplate block is prepended to every 5th doc so cross-doc
+    * chunk collisions are guaranteed, each chunk keeps only its first
+    * occurrence (min doc_id·10^5+idx over the chunk hash), and the census
+    * counts survivors per language. The shuffle carries (16-byte chunk
+    * hash, one long) — chunk text never leaves the scan stage. At 100 TB
+    * the arithmetic keeper key becomes min(struct(doc_id, idx)) — same
+    * plan, no key-range assumption. */
+  private val q60 = Q(
+    "q60_chunk_dedup",
+    (s, dir) => {
+      val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+        "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua yes"
+      val txt = when(col("doc_id") % 5 === 0,
+        concat_ws(" ", lit(boiler), col("text"))).otherwise(col("text"))
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          posexplode(TextAnalysis.wordChunks(txt, 20)))
+        .select(col("doc_id"), col("lang"), col("pos").cast("long").as("idx"),
+          md5(col("col")).as("ch"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
+      chunks
+        .withColumn("keep",
+          col("doc_id") * 100000L + col("idx") ===
+            min(col("doc_id") * 100000L + col("idx")).over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("chunks"),
+          count(when(col("keep"), 1)).as("kept"),
+          countDistinct(when(!col("keep"), col("doc_id"))).as("docs_hit"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, lang,
+          CASE WHEN doc_id % 5 = 0 THEN
+            'lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua yes'
+            || ' ' || text
+          ELSE text END AS txt
+        FROM documents),
+      toks AS (SELECT doc_id, lang, string_split(txt, ' ') AS t FROM d),
+      chunks AS (
+        SELECT doc_id, lang, i AS idx,
+          md5(array_to_string(list_slice(t,
+            CAST(i * 20 + 1 AS INT), CAST(i * 20 + 20 AS INT)), ' ')) AS ch
+        FROM toks,
+          UNNEST(range(0, CAST(CEIL(len(t) / 20.0) AS BIGINT))) AS u(i)),
+      k AS (
+        SELECT lang, doc_id,
+          doc_id * 100000 + idx =
+            MIN(doc_id * 100000 + idx) OVER (PARTITION BY ch) AS keep
+        FROM chunks)
+      SELECT lang, COUNT(*) AS chunks,
+        COUNT(CASE WHEN keep THEN 1 END) AS kept,
+        COUNT(DISTINCT CASE WHEN NOT keep THEN doc_id END) AS docs_hit
+      FROM k GROUP BY 1 ORDER BY lang"""))
+
+  /** Unicode NFC normalization census — [[graft.plans.NfcNormalizeExpr]],
+    * the codegen'd native expression (ASCII fast path, JDK Normalizer for
+    * the rest; DuckDB's `nfc_normalize` is the oracle). Every 5th doc gets
+    * a decomposed suffix (e + U+0301, i + U+0308) so the rebuild path
+    * executes; NFC composes both pairs, shrinking the string by exactly 2
+    * code units — a delta both engines' length() agree on (all BMP).
+    * Narrow map, no shuffle before the census. */
+  private val q61 = Q(
+    "q61_nfc_normalize",
+    (s, dir) => {
+      val suffix = " cafe\u0301 nai\u0308ve" // decomposed on purpose
+      val txt = when(col("doc_id") % 5 === 0, concat(col("text"), lit(suffix)))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"), txt.as("txt"))
+        .withColumn("norm", graft.plans.NfcNormalizeExpr.nfc(col("txt")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          count(when(length(col("norm")) =!= length(col("txt")), 1))
+            .as("changed"),
+          sum((length(col("txt")) - length(col("norm"))).cast("long"))
+            .as("delta_units"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (
+        SELECT lang,
+          CASE WHEN doc_id % 5 = 0
+               THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+               ELSE text END AS txt
+        FROM documents),
+      n AS (SELECT lang, txt, nfc_normalize(txt) AS norm FROM d)
+      SELECT lang, COUNT(*) AS docs,
+        COUNT(CASE WHEN length(norm) <> length(txt) THEN 1 END) AS changed,
+        CAST(SUM(length(txt) - length(norm)) AS BIGINT) AS delta_units
+      FROM n GROUP BY 1 ORDER BY lang"""))
+
+  /** Quality-filter funnel — the staged Gopher/C4-style retention report:
+    * four cumulative per-doc rules (length band → stopword density →
+    * repetition → composite quality score), survivors counted per stage
+    * and language. All rule arithmetic is rational (int-derived doubles,
+    * IEEE divisions only — no exp/log), so the comparisons are
+    * bit-identical across engines; only counts are emitted. Narrow
+    * per-row predicates, one census shuffle. */
+  private val q62 = Q(
+    "q62_filter_funnel",
+    (s, dir) => {
+      val t = col("text")
+      val rLen = TextAnalysis.tokenCount(t).between(10, 1000)
+      val rStop = TextAnalysis.stopwordRatio(t) >= 0.02
+      val rRep = TextAnalysis.repetitionRatio(t) <= 0.2
+      val rQ = TextAnalysis.qualityScore(t) >= 0.5
+      Tables.documents(s, dir)
+        .select(col("lang"), rLen.as("s1"), (rLen && rStop).as("s2"),
+          (rLen && rStop && rRep).as("s3"),
+          (rLen && rStop && rRep && rQ).as("s4"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          count(when(col("s1"), 1)).as("pass_len"),
+          count(when(col("s2"), 1)).as("pass_stop"),
+          count(when(col("s3"), 1)).as("pass_rep"),
+          count(when(col("s4"), 1)).as("pass_all"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val stopList = TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH d AS (
+        SELECT lang, string_split(text, ' ') AS t,
+          len(regexp_extract_all(text, '[.,!?;:]')) AS np
+        FROM documents),
+      r AS (
+        SELECT lang,
+          len(t) BETWEEN 10 AND 1000 AS r_len,
+          (len(list_filter(t, t -> ($stopList))) / len(t)) >= 0.02 AS r_stop,
+          CASE WHEN len(t) < 2 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(
+                      list_transform(range(1, len(t)),
+                        i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])))
+                    AS DOUBLE) / CAST(len(t) - 1 AS DOUBLE)
+          END <= 0.2 AS r_rep,
+          LEAST(1.0, len(t) / 100.0) * 0.5 +
+            (len(list_filter(t, t -> ($stopList))) / len(t)) * 0.3 +
+            (1.0 - LEAST(1.0, np / 20.0)) * 0.2 >= 0.5 AS r_q
+        FROM d)
+      SELECT lang, COUNT(*) AS docs,
+        COUNT(CASE WHEN r_len THEN 1 END) AS pass_len,
+        COUNT(CASE WHEN r_len AND r_stop THEN 1 END) AS pass_stop,
+        COUNT(CASE WHEN r_len AND r_stop AND r_rep THEN 1 END) AS pass_rep,
+        COUNT(CASE WHEN r_len AND r_stop AND r_rep AND r_q THEN 1 END) AS pass_all
+      FROM r GROUP BY 1 ORDER BY lang"""
+    })
+
+  val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62)
 }

@@ -68,6 +68,18 @@ object TextAnalysis {
         i => array_join(slice(t, i, lit(n)), " ")))
   }
 
+  /** Non-overlapping `n`-word chunk list (space-joined, trailing partial
+    * chunk included) — the unit of chunk-level dedup (q60), the
+    * line/paragraph-dedup family for a corpus whose documents carry no
+    * newlines. Pure per-row array expression; chunk i covers tokens
+    * [i*n+1, i*n+n]. */
+  def wordChunks(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(0), ceil(size(t) / lit(n.toDouble)).cast("int") - 1),
+      i => array_join(slice(t, i * n + 1, lit(n)), " "))
+  }
+
   /** Repeated-bigram ratio in [0,1] — the "repetition" quality signal
     * (high values flag boilerplate/spam; the duplicated-n-gram-fraction
     * family of filters used in large-corpus curation): 1 − distinct/

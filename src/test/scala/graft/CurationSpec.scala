@@ -19,6 +19,16 @@ class CurationSpec extends SparkSpec {
     assert(got(2) === Seq.empty)
   }
 
+  test("wordChunks: non-overlapping, trailing partial kept, short doc = one chunk") {
+    import spark.implicits._
+    val df = Seq("a b c d e f g", "a b", "x").toDF("text")
+      .select(TextAnalysis.wordChunks(col("text"), 3).as("c"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "d e f", "g"))
+    assert(got(1) === Seq("a b"))
+    assert(got(2) === Seq("x"))
+  }
+
   test("boilerplateDocs: flags only docs sharing an n-gram in >=minDocs docs") {
     import spark.implicits._
     val docs = Seq(
