@@ -386,5 +386,104 @@ object QueriesPipeline {
       FROM r GROUP BY 1 ORDER BY lang"""
     })
 
-  val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62)
+  /** Bloom-prefiltered incremental dedup — [[graft.operators.BloomDedup]]:
+    * the history (every 3rd doc) builds a distributed Bloom filter over
+    * its content hashes; incoming docs pass the narrow might-contain
+    * probe and only the surviving candidates pay the exact confirmation
+    * semi join. bloom→confirm is row-identical to the plain semi join
+    * (no false negatives; false positives die in the confirm), which is
+    * exactly what the oracle checks. A shared body is injected on both
+    * sides (every 30th doc historical, doc_id%10==5 incoming) so the
+    * duplicate path executes — the corpus has no natural exact dups.
+    *
+    * Scale: the history is ONE pass + a broadcast of filter bytes; the
+    * incoming side's probe is codegen'd in the scan, so the confirm join
+    * shuffles only the might-contain remainder, not the batch. */
+  private val q63 = Q(
+    "q63_bloom_prefilter",
+    (s, dir) => {
+      val shared = lit("shared corpus boilerplate body retained for dedup probe")
+      val docs = Tables.documents(s, dir)
+      val hist = docs.filter(col("doc_id") % 3 === 0)
+        .select(md5(when(col("doc_id") % 30 === 0, shared)
+          .otherwise(col("text"))).as("h"))
+        .distinct()
+      val bf = graft.operators.BloomDedup.buildFilter(
+        hist, col("h"), expectedItems = 100000L, numBits = 800000L)
+      val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          md5(when(col("doc_id") % 10 === 5, shared)
+            .otherwise(col("text"))).as("h"))
+      val confirmed = incoming
+        .filter(graft.operators.BloomDedup.mightContain(bf, col("h")))
+        .join(hist, Seq("h"), "left_semi")
+        .select(col("doc_id")).withColumn("dup", lit(1))
+      incoming.join(confirmed, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), count(col("dup")).as("dups"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH hist AS (
+        SELECT DISTINCT CASE WHEN doc_id % 30 = 0
+          THEN 'shared corpus boilerplate body retained for dedup probe'
+          ELSE text END AS txt
+        FROM documents WHERE doc_id % 3 = 0),
+      inc AS (
+        SELECT doc_id, lang, CASE WHEN doc_id % 10 = 5
+          THEN 'shared corpus boilerplate body retained for dedup probe'
+          ELSE text END AS txt
+        FROM documents WHERE doc_id % 3 <> 0)
+      SELECT lang, COUNT(*) AS docs,
+        COUNT(CASE WHEN txt IN (SELECT txt FROM hist) THEN 1 END) AS dups
+      FROM inc GROUP BY 1 ORDER BY lang"""))
+
+  /** CDC snapshot diff — [[graft.operators.SnapshotDiff]]: two simulated
+    * snapshots of `orders` (prev drops keys %97=0 and bumps price on
+    * %89=0; curr drops keys %101=0), classified added / removed /
+    * changed / unchanged. The Spark side compares 16-byte row hashes
+    * after reducing each side to (key, hash); the oracle compares the
+    * columns directly — the two are row-identical (md5 collisions
+    * aside), which is the point: hash-diff IS the full comparison.
+    * The +1.0 price bump is exact IEEE, so "changed" is deterministic. */
+  private val q64 = Q(
+    "q64_snapshot_diff",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cmp = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val prev = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val curr = o.filter(col("o_orderkey") % 101 =!= 0)
+      graft.operators.SnapshotDiff.diff(prev, curr, Seq("o_orderkey"), cmp)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH prev AS (
+        SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_orderpriority,
+          CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0),
+      curr AS (
+        SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_orderpriority,
+          o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0),
+      d AS (
+        SELECT COALESCE(p.k, c.k) AS k,
+          CASE WHEN p.k IS NULL THEN 'added'
+               WHEN c.k IS NULL THEN 'removed'
+               WHEN p.o_custkey IS DISTINCT FROM c.o_custkey
+                 OR p.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+                 OR p.o_orderpriority IS DISTINCT FROM c.o_orderpriority
+                 OR p.o_totalprice IS DISTINCT FROM c.o_totalprice
+               THEN 'changed' ELSE 'unchanged' END AS status
+        FROM prev p FULL JOIN curr c ON p.k = c.k)
+      SELECT status, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+      FROM d GROUP BY 1 ORDER BY status"""))
+
+  val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }
