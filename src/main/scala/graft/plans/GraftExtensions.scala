@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions
   *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
   *
-  * Injects the range-lookup planner strategy and the ip_to_int SQL
-  * function into every session built with it.
+  * Injects the range-lookup planner strategy and the ip_to_int /
+  * nfc_normalize SQL functions into every session built with it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ip_to_int"),
       new ExpressionInfo(classOf[IpToIntExpr].getName, "ip_to_int"),
       (exprs: Seq[Expression]) => IpToIntExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
   }
 }

@@ -26,6 +26,8 @@ class ExtensionsSpec extends AnyFunSuite {
       import spark.implicits._
       assert(spark.sql("SELECT ip_to_int('1.2.3.4') AS v")
         .collect().head.getLong(0) == 16909060L)
+      assert(spark.sql("SELECT nfc_normalize('cafe\u0301') AS v")
+        .collect().head.getString(0) == "caf\u00e9")
       // strategy available without runtime registration
       val probes = Seq(5L, 150L).toDF("k")
       val dim = Seq((0L, 99L, "a")).toDF("lo", "hi", "tag")
