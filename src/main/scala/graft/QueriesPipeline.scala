@@ -485,5 +485,30 @@ object QueriesPipeline {
       SELECT status, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
       FROM d GROUP BY 1 ORDER BY status"""))
 
-  val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+  /** Heavy-hitters via the Misra–Gries sketch
+    * ([[graft.operators.HeavyHitters]]) — q57's vocabulary head computed
+    * through the bounded-memory path instead of the exact groupBy: only
+    * capacity-bounded maps cross the exchange. At capacity 512 ≫ the
+    * corpus's 31-token vocabulary the sketch provably never evicts, so
+    * the result is EXACT and the same oracle as q57's family applies;
+    * the approximation guarantees under eviction are pinned in
+    * HeavyHittersSpec. */
+  private val q65 = Q(
+    "q65_heavy_hitters",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(graft.operators.HeavyHitters.sketch(col("tok"), 512).as("sk"))
+        .select(explode(col("sk")))
+        .select(col("key").as("tok"), col("value").as("est"))
+        .orderBy(col("est").desc, col("tok").asc)
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      SELECT tok, COUNT(*) AS est FROM toks GROUP BY 1
+      ORDER BY est DESC, tok ASC LIMIT 20"""))
+
+  val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
+    q65)
 }
