@@ -48,6 +48,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!df.columns.contains("text"))
   }
 
+  test("chunk dedup shuffles chunk hashes, never chunk text") {
+    // q60's window partitions by ch (md5); the chunk strings live and
+    // die inside the scan stage projection
+    val p = planOf(Queries.all("q60_chunk_dedup")(spark, sf()))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(exchangeLines.forall(l => !l.contains("text#") && !l.contains("col#")),
+      s"chunk/document text in a shuffle key:\n$p")
+  }
+
+  test("snapshot diff reduces to (key, hash) before the join") {
+    val o = Tables.orders(spark, sf())
+    val p = planOf(graft.operators.SnapshotDiff.diff(
+      o, o, Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")))
+    assert(p.contains("FullOuter"), p)
+    // compared columns must not survive into the join output
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(joinLines.nonEmpty, p)
+    assert(joinLines.forall(l => !l.contains("o_orderstatus#")),
+      s"compared column crossed the join instead of its hash:\n$p")
+  }
+
+  test("heavy-hitters partial sketches build map-side (partial aggregate)") {
+    val df = Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(graft.operators.HeavyHitters.sketch(col("tok"), 64).as("sk"))
+    val p = planOf(df)
+    // ObjectHashAggregate partial/final pair with a single-partition
+    // exchange between: only capacity-bounded maps cross it
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(exchanges(p) == 1, s"expected one exchange of partial sketches:\n$p")
+  }
+
   test("curation gram stage hashes n-grams before the first exchange") {
     // every Exchange in the boilerplate pipeline must carry gh (16-byte
     // md5) or doc ids — never the gram text g or the document text
