@@ -509,6 +509,58 @@ object QueriesPipeline {
       SELECT tok, COUNT(*) AS est FROM toks GROUP BY 1
       ORDER BY est DESC, tok ASC LIMIT 20"""))
 
+  /** q59's per-language TF-IDF top-5 recomputed WINDOW-FREE through
+    * [[graft.operators.GroupedTopK]] — partial aggregation keeps ≤ 5
+    * rows per (partition, language) before the exchange, so no
+    * per-group sort ever materializes (the scale fix for the
+    * one-task-per-group window hazard). Same total order (score desc,
+    * tok asc), same oracle as q59 — proving the two plans are
+    * answer-identical. */
+  private val q66 = Q(
+    "q66_grouped_topk",
+    (s, dir) => {
+      val perDoc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tfd"))
+      val langTf = perDoc.groupBy(col("lang"), col("tok"))
+        .agg(sum(col("tfd")).as("tf"))
+      val df = perDoc.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = langTf.join(df, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+      scored.groupBy(col("lang"))
+        .agg(graft.operators.GroupedTopK.topK(5)(
+          col("score"), col("tok"), col("tf"), col("df")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.key").as("tok"), col("col.a").as("tf"),
+          col("col.b").as("df"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents),
+      perdoc AS (SELECT doc_id, lang, tok, COUNT(*) AS tfd
+                 FROM toks GROUP BY 1, 2, 3),
+      langtf AS (SELECT lang, tok, CAST(SUM(tfd) AS BIGINT) AS tf
+                 FROM perdoc GROUP BY 1, 2),
+      dfreq AS (SELECT tok, COUNT(*) AS df FROM perdoc GROUP BY 1),
+      scored AS (
+        SELECT lang, l.tok, tf, df,
+          CAST(tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / df AS score
+        FROM langtf l JOIN dfreq USING (tok)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY score DESC, tok ASC) AS rank
+        FROM scored)
+      SELECT lang, rank, tok, tf, df FROM ranked
+      WHERE rank <= 5 ORDER BY lang, rank"""))
+
   val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65)
+    q65, q66)
 }
