@@ -35,6 +35,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(t3.endsWith("caf\u00e9"))
   }
 
+  test("curate is a fixpoint: curate(curate(x)) == curate(x) on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val words = Vector("the", "a", "of", "and", "to", "in", "is") ++
+      (1 to 60).map(i => s"w$i")
+    val docs = (1 to 300).map { i =>
+      val n = 5 + rnd.nextInt(150)
+      val body = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+      // sprinkle decomposed accents + exact dups to exercise both stages
+      val t = if (i % 11 == 0) body + " cafe\u0301" else body
+      (i.toLong, if (i % 13 == 0) "dup seed " + (i % 3) else t, "en")
+    }.toDF("doc_id", "text", "lang")
+    val once = CurationPipeline.curate(docs, "doc_id", "text")
+    val twice = CurationPipeline.curate(once, "doc_id", "text")
+    val a = once.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = twice.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("run: writes hive partitions + manifest; re-run is idempotent") {
     val dir = Files.createTempDirectory("graft-corpus").toString + "/corpus"
     val docs = Seq(
