@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomDedup, Curation, Dedup}
+
+/** Dev micro-bench (NOT part of the driver contract, like
+  * RangeJoinBench): drives the dedup/curation scale path on a SYNTHETIC
+  * 1M-document corpus — 200× the sf0.1 test corpus — to give the 100 TB
+  * claims a measured data point beyond toy scale and to surface
+  * anything that only breaks past test size.
+  *
+  * The corpus is generated distributed (spark.range + column
+  * expressions, no driver materialization): ~60-word docs from md5-
+  * derived pseudo-words; every 97th doc duplicates doc (id-97)'s text
+  * exactly, every 89th appends one word to it (near-dup).
+  *
+  *   sbt "runMain graft.ScaleBench [nDocs]"
+  */
+object ScaleBench {
+
+  /** Deterministic synthetic corpus, built entirely from column exprs. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).select(col("id").as("doc_id"))
+    // 40 distinct pseudo-words cycled by doc; doc body = 60 words whose
+    // seed mixes doc_id so content is unique unless forced otherwise
+    val seed = (col("doc_id") - pmod(col("doc_id"), lit(97L)))
+    val body = concat_ws(" ", (0 until 60).map(i =>
+      substring(md5(concat(
+        when(pmod(col("doc_id"), lit(97L)) === 0 || pmod(col("doc_id"), lit(89L)) === 0,
+          seed).otherwise(col("doc_id")).cast("string"),
+        lit(s":$i"))), 1, 6)): _*)
+    val txt = when(pmod(col("doc_id"), lit(89L)) === 0 &&
+        pmod(col("doc_id"), lit(97L)) =!= 0,
+      concat(body, lit(" neardupmark"))).otherwise(body)
+    base.select(col("doc_id"), txt.as("text"))
+  }
+
+  private def timed[A](name: String, acc: StringBuilder)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    acc.append(f""""$name":${s}%.2f,""")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new StringBuilder("{")
+    try {
+      // materialize the synthetic corpus to parquet once: operator
+      // timings then measure the operators against a real scan, not
+      // the 60-md5-per-row generator re-running inside every stage
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scale")
+        .resolve("docs").toString
+      timed("generate", acc) {
+        corpus(spark, n).write.mode("overwrite").parquet(tmp)
+      }
+      val docs = spark.read.parquet(tmp)
+
+      val dupGroups = timed("exact_dedup", acc) {
+        docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).count()
+      }
+      // materialize the band table ONCE (the SharedLsh discipline):
+      // star edges reference it twice and the CC loop again — feeding
+      // them the raw plan re-runs the minhash kernel per consumer
+      // (first measured run of this file: 612 s + 721 s at 1M docs;
+      // with the checkpoint + the per-family md5 hoist in
+      // lshBandKeysNarrow both collapse to seconds)
+      val banded = timed("band_table", acc) {
+        val b = Dedup.lshBandKeysNarrow(docs, "doc_id", "text", 5, 8, 2)
+          .toDF("doc_id", "bk").localCheckpoint()
+        b.count()
+        b
+      }
+      val edges = timed("star_edges", acc) {
+        Dedup.lshStarEdgesFrom(banded, "doc_id").count()
+      }
+      val comps = timed("connected_components", acc) {
+        Dedup.connectedComponents(Dedup.lshStarEdgesFrom(banded, "doc_id"))
+          .select(col("component")).distinct().count()
+      }
+      banded.unpersist()
+      val chunkKept = timed("chunk_dedup", acc) {
+        val chunks = docs.select(col("doc_id"),
+          posexplode(graft.operators.TextAnalysis.wordChunks(col("text"), 20)))
+          .select(col("doc_id"), col("pos").cast("long").as("idx"),
+            md5(col("col")).as("ch"))
+        chunks.groupBy(col("ch"))
+          .agg(min(col("doc_id") * 100000L + col("idx")).as("keep"))
+          .count()
+      }
+      val bloomConfirmed = timed("bloom_prefilter", acc) {
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+          .select(md5(col("text")).as("h")).distinct()
+        val bf = BloomDedup.buildFilter(hist, col("h"),
+          expectedItems = n, numBits = math.min(8L * n, 67108863L))
+        val inc = docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        inc.filter(BloomDedup.mightContain(bf, col("h")))
+          .join(hist, Seq("h"), "left_semi").count()
+      }
+      val boiler = timed("boilerplate_ngrams", acc) {
+        Curation.boilerplateDocs(docs, "doc_id", "text", 8, 3).count()
+      }
+      acc.append(f""""n_docs":$n,"dup_groups":$dupGroups,"star_edges":$edges,""" +
+        f""""components":$comps,"chunk_groups":$chunkKept,""" +
+        f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler}""")
+      println(acc.toString)
+    } finally spark.stop()
+  }
+}

@@ -96,17 +96,26 @@ object Dedup {
     require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
+    // Hash economy (the kernel that dominates LSH wall time at corpus
+    // scale — ScaleBench at 1M docs measured 4× on exactly this): the
+    // md5-per-shingle array is computed ONCE per md5 family in its own
+    // projection, and the k per-hash minima only slice the cached hex
+    // strings. Inlining the family array into every h(j) would re-run
+    // the shingle+md5 transform k times per row; two chained selects
+    // keep it k/4 — CollapseProject will not merge them because that
+    // would duplicate a non-cheap expression (SPARK-36718).
     val sh = charShingles(col(textCol), n)
+    val withFams = docs.select(col(idCol) +: (0 until k / 4).map(f =>
+      transform(sh, s => md5(concat(lit(s"m$f"), s))).as(s"_md$f")): _*)
     // hj = min over shingles of hex slice (j%4) of md5("m{j/4}" || s) —
     // the same permutation-min as minhashSignatures, shuffle-free
-    def h(j: Int): Column = array_min(transform(sh,
-      s => substring(md5(concat(lit(s"m${j / 4}"), s)),
-        (j % 4) * 8 + 1, 8)))
+    def h(j: Int): Column = array_min(transform(col(s"_md${j / 4}"),
+      m => substring(m, (j % 4) * 8 + 1, 8)))
     val bandKeys = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => h(b * rows + r))
       md5(concat(lit(b.toString) +: slice: _*))
     }
-    docs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    withFams.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
   }
 
   /** [[lshBandKeysPlan]] + eager `localCheckpoint()`. NOTE: constructing

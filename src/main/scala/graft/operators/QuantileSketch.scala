@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Mergeable quantile sketch as a typed `Aggregator` — the
+  * bounded-memory answer to "p50/p99 of a column over 100 TB" when an
+  * exact per-group quantile would sort a whole group in one task (the
+  * q39 window hazard, see SCALE.md). Design follows Dunning's MERGING
+  * t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
+  * using t-digests", 2019): the summary is a value-sorted list of
+  * (mean, weight) centroids, and adjacent centroids may merge only
+  * while the merged weight stays under the k1-style size bound
+  * `4·W·q·(1−q)/compression` at the merge midpoint quantile q — small
+  * centroids at the tails, big in the middle, so tail quantiles stay
+  * sharp. Reference analog: MailLogSentinel has no sketch family at
+  * all (its reports are exact counts, report.py); this is part of the
+  * beyond-reference scale surface alongside q35/q65.
+  *
+  * Guarantees (mirrors the HeavyHitters exact-regime trick that lets a
+  * sketch carry a DuckDB oracle):
+  *
+  *  - the summary never exceeds O(compression) centroids after a
+  *    compress, and partial aggregation compresses map-side, so only
+  *    bounded buffers cross the exchange;
+  *  - when `compression ≥ 2·n` no two singletons ever merge (the bound
+  *    at the center is 4·n·¼/c = n/c < 2), so the sketch degenerates
+  *    to the exact sorted multiset and quantile extraction is EXACT
+  *    and partitioning-invariant — which is what lets q67 hash-match
+  *    DuckDB;
+  *  - in the approximate regime the result depends on merge order (as
+  *    every t-digest does), but the rank error stays O(q·(1−q)/c);
+  *    QuantileSketchSpec pins an empirical 2% rank bound at c=100.
+  *
+  * Quantile extraction is DISCRETE lower-rank (the q39 convention):
+  * target rank r = ⌊q·(W−1)⌋+1, return the mean of the first centroid
+  * whose cumulative weight reaches r. In the exact regime that is
+  * precisely the sorted element at rank r, so the oracle is a
+  * ROW_NUMBER filter; in the approximate regime it is the centroid
+  * mean covering that rank.
+  */
+object QuantileSketch {
+
+  /** Value-sorted (mean, weight) centroids; a trailing unsorted run of
+    * fresh singletons is allowed between compressions. */
+  type Centroids = Vector[(Double, Long)]
+
+  /** One merge pass over the value-sorted centroids under the t-digest
+    * size bound. Exposed for specs. */
+  private[graft] def compress(cs: Centroids, compression: Int): Centroids = {
+    if (cs.length <= 1) cs
+    else {
+      val sorted = cs.sortBy(_._1)
+      val total = sorted.iterator.map(_._2).sum.toDouble
+      val out = Vector.newBuilder[(Double, Long)]
+      var cm = sorted.head._1
+      var cw = sorted.head._2
+      var cum = 0.0 // total weight already emitted before (cm, cw)
+      sorted.iterator.drop(1).foreach { case (m, w) =>
+        val qMid = (cum + (cw + w) / 2.0) / total
+        val limit = 4.0 * total * qMid * (1.0 - qMid) / compression
+        if (cw + w <= limit) {
+          cm = (cm * cw + m * w) / (cw + w)
+          cw += w
+        } else {
+          out += ((cm, cw)); cum += cw; cm = m; cw = w
+        }
+      }
+      out += ((cm, cw))
+      out.result()
+    }
+  }
+
+  /** Lower-rank discrete quantiles from a compressed (sorted) sketch. */
+  private[graft] def quantilesOf(cs: Centroids, qs: Seq[Double]): Seq[Double] = {
+    val total = cs.iterator.map(_._2).sum
+    if (total == 0L) qs.map(_ => Double.NaN)
+    else qs.map { q =>
+      val target = math.floor(q * (total - 1)).toLong + 1L
+      var cum = 0L
+      var ans = cs.last._1
+      val it = cs.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (m, w) = it.next()
+        cum += w
+        if (cum >= target) { ans = m; found = true }
+      }
+      ans
+    }
+  }
+
+  /** Typed Aggregator: Double in, centroid list as buffer, requested
+    * quantiles out. Fresh values append as singletons and compress only
+    * when the buffer outgrows 4·compression — O(log) amortized sorts. */
+  final class TDigest(compression: Int, qs: Seq[Double])
+      extends Aggregator[Double, Centroids, Seq[Double]] {
+    require(compression > 0, "compression must be positive")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    private val bufCap = math.max(64L, 4L * compression)
+
+    override def zero: Centroids = Vector.empty
+
+    override def reduce(b: Centroids, v: Double): Centroids = {
+      val nb = b :+ (v, 1L)
+      if (nb.length > bufCap) compress(nb, compression) else nb
+    }
+
+    override def merge(a: Centroids, b: Centroids): Centroids = {
+      val ab = a ++ b
+      if (ab.length > bufCap) compress(ab, compression) else ab
+    }
+
+    override def finish(r: Centroids): Seq[Double] =
+      quantilesOf(compress(r, compression), qs)
+
+    override def bufferEncoder: Encoder[Centroids] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  /** Aggregate column: array<double> of the requested quantiles. */
+  def quantiles(value: Column, qs: Seq[Double], compression: Int): Column =
+    udaf(new TDigest(compression, qs)).apply(value)
+}

@@ -28,6 +28,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) == 0, s"narrow path must be shuffle-free:\n$p")
   }
 
+  test("narrow band keys run the md5 kernel once per family, not per hash") {
+    // k=8 minhashes need only k/4=2 md5-per-shingle transforms (4 hex
+    // slices each) plus `bands`=2 per-doc band-key md5s. If
+    // CollapseProject ever inlines the family arrays into each h(j)
+    // (the regression ScaleBench measured as 4x wall time at 1M docs),
+    // the optimized plan grows to k+bands md5 nodes and this fails.
+    import org.apache.spark.sql.catalyst.expressions.Md5
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def countMd5(p: LogicalPlan): Int =
+      p.expressions.map(_.collect { case m: Md5 => m }.size).sum +
+        p.children.map(countMd5).sum
+    val df = Dedup.lshBandKeysNarrow(
+      Tables.documents(spark, sf()), "doc_id", "text", 5, 8, 2)
+    val n = countMd5(df.queryExecution.optimizedPlan)
+    assert(n <= 8 / 4 + 2, s"md5 kernel duplicated: $n nodes in plan")
+  }
+
   test("decimal IVF assignment broadcasts the centroids") {
     val e = Tables.embeddings(spark, sf()).select(col("vec_id").as("id"),
       Similarity.asDouble(col("embedding")).as("v"))
