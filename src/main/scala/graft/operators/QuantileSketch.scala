@@ -11,25 +11,27 @@ import org.apache.spark.sql.functions.udaf
   * q39 window hazard, see SCALE.md). Design follows Dunning's MERGING
   * t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
   * using t-digests", 2019): the summary is a value-sorted list of
-  * (mean, weight) centroids, and adjacent centroids may merge only
-  * while the merged weight stays under the k1-style size bound
-  * `4·W·q·(1−q)/compression` at the merge midpoint quantile q — small
-  * centroids at the tails, big in the middle, so tail quantiles stay
-  * sharp. Reference analog: MailLogSentinel has no sketch family at
-  * all (its reports are exact counts, report.py); this is part of the
-  * beyond-reference scale surface alongside q35/q65.
+  * (mean, weight) centroids, and a centroid may absorb its neighbor
+  * only while its span under the scale function
+  * k1(q) = (c/2π)·asin(2q−1) stays ≤ 1 — k1 is steep at the tails, so
+  * centroids stay tiny there and tail quantiles stay sharp. Reference
+  * analog: MailLogSentinel has no sketch family at all (its reports
+  * are exact counts, report.py); this is part of the beyond-reference
+  * scale surface alongside q35/q65.
   *
   * Guarantees (mirrors the HeavyHitters exact-regime trick that lets a
   * sketch carry a DuckDB oracle):
   *
-  *  - the summary never exceeds O(compression) centroids after a
-  *    compress, and partial aggregation compresses map-side, so only
-  *    bounded buffers cross the exchange;
-  *  - when `compression ≥ 2·n` no two singletons ever merge (the bound
-  *    at the center is 4·n·¼/c = n/c < 2), so the sketch degenerates
-  *    to the exact sorted multiset and quantile extraction is EXACT
-  *    and partitioning-invariant — which is what lets q67 hash-match
-  *    DuckDB;
+  *  - a compress emits at most `compression + 1` centroids (adjacent
+  *    output pairs each span k > 1 over a total k-range of c/2), and
+  *    partial aggregation compresses map-side, so only bounded buffers
+  *    cross the exchange;
+  *  - when `compression ≥ 2·n` no two singletons ever merge: the merge
+  *    of two weight-1 centroids spans Δq = 2/n, and k1's slope is at
+  *    least c/π (its minimum, at q=½), so Δk ≥ 2c/(πn) ≥ 4/π > 1. The
+  *    sketch then degenerates to the exact sorted multiset and
+  *    quantile extraction is EXACT and partitioning-invariant — which
+  *    is what lets q67 hash-match DuckDB;
   *  - in the approximate regime the result depends on merge order (as
   *    every t-digest does), but the rank error stays O(q·(1−q)/c);
   *    QuantileSketchSpec pins an empirical 2% rank bound at c=100.
@@ -47,25 +49,37 @@ object QuantileSketch {
     * fresh singletons is allowed between compressions. */
   type Centroids = Vector[(Double, Long)]
 
-  /** One merge pass over the value-sorted centroids under the t-digest
-    * size bound. Exposed for specs. */
+  /** One merge pass over the value-sorted centroids under the k1 scale
+    * function k1(q) = (c/2π)·asin(2q−1): a centroid may absorb the next
+    * one only while its k-span stays ≤ 1. Any two ADJACENT output
+    * centroids then span k > 1 (the rejected merge would have covered
+    * both), so the output has at most 2·(k1(1)−k1(0)) + 1 = c + 1
+    * centroids — which keeps a compress's result strictly under the
+    * 4·c reduce buffer, preserving the amortized-sort contract. (The
+    * earlier midpoint-weight-limit greedy fragmented to ~4.6c on
+    * uniform data, above the buffer cap: every subsequent append then
+    * re-triggered a full sort.) Exposed for specs. */
   private[graft] def compress(cs: Centroids, compression: Int): Centroids = {
     if (cs.length <= 1) cs
     else {
       val sorted = cs.sortBy(_._1)
       val total = sorted.iterator.map(_._2).sum.toDouble
+      def k1(q: Double): Double = {
+        val qc = math.min(1.0, math.max(0.0, q))
+        compression / (2.0 * math.Pi) * math.asin(2.0 * qc - 1.0)
+      }
       val out = Vector.newBuilder[(Double, Long)]
       var cm = sorted.head._1
       var cw = sorted.head._2
       var cum = 0.0 // total weight already emitted before (cm, cw)
+      var kLeft = k1(0.0)
       sorted.iterator.drop(1).foreach { case (m, w) =>
-        val qMid = (cum + (cw + w) / 2.0) / total
-        val limit = 4.0 * total * qMid * (1.0 - qMid) / compression
-        if (cw + w <= limit) {
+        val qRight = (cum + cw + w) / total
+        if (k1(qRight) - kLeft <= 1.0) {
           cm = (cm * cw + m * w) / (cw + w)
           cw += w
         } else {
-          out += ((cm, cw)); cum += cw; cm = m; cw = w
+          out += ((cm, cw)); cum += cw; kLeft = k1(cum / total); cm = m; cw = w
         }
       }
       out += ((cm, cw))

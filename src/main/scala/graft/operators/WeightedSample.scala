@@ -55,11 +55,23 @@ object WeightedSample {
   /** (df ++ cum) where cum is the global prefix sum of `weightCol` in
     * `idCol` order, built as a two-phase distributed scan: range
     * partition → per-bucket running sum → add broadcast bucket offsets.
+    *
+    * EAGER: the range-partitioned frame is localCheckpoint'd before the
+    * per-bucket totals are collected. The bucket id comes from
+    * `spark_partition_id()`, and the totals collect and the returned
+    * frame are two separate actions — without pinning, AQE may re-plan
+    * the range exchange differently per action (different sampled
+    * boundaries / coalescing), silently shifting rows between buckets
+    * whose offsets were computed under the other layout. The checkpoint
+    * makes both actions read one materialized layout. At corpus scale,
+    * prefer feeding a frame already bucketed by `idCol` (bucketed table
+    * / partitioned layout) so the checkpoint is a metadata no-op.
     */
   def withCumWeight(df: DataFrame, idCol: String, weightCol: String,
                     buckets: Int = 32): DataFrame = {
     val ranged = df.repartitionByRange(buckets, col(idCol))
       .withColumn("_b", spark_partition_id())
+      .localCheckpoint()
     val local = ranged.withColumn("_cumLocal",
       sum(col(weightCol)).over(
         Window.partitionBy(col("_b")).orderBy(col(idCol))

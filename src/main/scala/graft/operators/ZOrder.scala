@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * one range shuffle, each output file covers a compact Z-curve
   * segment, and file-level min/max stats on the ORIGINAL columns
   * become tight (ZOrderSpec measures per-file spread via
-  * `input_file_name()` and asserts ≥4× tighter than arrival order).
+  * `input_file_name()`: ≥2× tighter per column and ≥5× tighter as a
+  * min/max area — the quantity that drives multi-predicate file
+  * skipping; the per-column ideal for 16 files × 2×8-bit keys is ~4×,
+  * shaved because sampled range boundaries straddle Z-quadrants).
   *
   * Bucketization: real columns are first rank-bucketed to `bits`-bit
   * ints. [[bucketBoundaries]]/[[bucketize]] use sampled quantile
@@ -59,9 +62,12 @@ object ZOrder {
 
   /** Map a numeric column to its bucket id (0 .. 2^bits−1) given the
     * boundaries — a fold of `when` comparisons, codegen-friendly for
-    * the handful of bits a Z-key uses. */
+    * the handful of bits a Z-key uses. Folded in REVERSE so the
+    * smallest boundary ends up as the outermost `when`: nested `when`s
+    * short-circuit outermost-first, and every value below b0 also
+    * satisfies `c <= b6`. */
   def bucketize(c: Column, boundaries: Array[Double]): Column =
-    boundaries.zipWithIndex.foldLeft(lit(boundaries.length): Column) {
+    boundaries.zipWithIndex.reverse.foldLeft(lit(boundaries.length): Column) {
       case (acc, (b, i)) => when(c <= b, lit(i)).otherwise(acc)
     }.cast("long")
 
