@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.operators.{QuantileSketch, WeightedSample, ZOrder}
+
+/** Sampling / sketching / layout queries (q67+): the data-mixing and
+  * file-layout operators a training-data pipeline runs after curation.
+  * Same determinism rules as [[Queries]]; each query pins its operator
+  * in the regime where the result is engine-independent (exact sketch
+  * regime, all-integer sampling arithmetic, pure bit interleaves), so
+  * a DuckDB oracle can hash-match bit-for-bit — the approximate /
+  * scale regimes of the same operators are covered by
+  * QuantileSketchSpec / WeightedSampleSpec / ZOrderSpec.
+  */
+object QueriesSample {
+
+  /** Per-group quantiles via the t-digest typed Aggregator
+    * (operators/QuantileSketch.scala). Run in the EXACT regime:
+    * compression 65536 ≥ 2·n for every event_type group up to sf0.1
+    * (max group ≈ 20.3k rows), where the k1 merge bound proves no two
+    * singletons ever merge, so the sketch degenerates to the sorted
+    * multiset and the discrete lower-rank quantile is
+    * partitioning-invariant. Oracle = the same rank filter spelled
+    * with ROW_NUMBER (DuckDB's quantile_disc uses ceil(q·n) ranks —
+    * a different convention, so it is NOT used). */
+  private val q67 = Q(
+    "q67_quantile_sketch",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(QuantileSketch.quantiles(
+          col("value"), Seq(0.5, 0.9, 0.99), compression = 65536).as("qs"))
+        .select(col("event_type"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"),
+          element_at(col("qs"), 3).as("p99"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH t AS (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events)
+      SELECT event_type,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.5*(cnt-1)) AS BIGINT)+1 THEN value END) AS p50,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.9*(cnt-1)) AS BIGINT)+1 THEN value END) AS p90,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.99*(cnt-1)) AS BIGINT)+1 THEN value END) AS p99
+      FROM t GROUP BY event_type ORDER BY event_type"""))
+
+  /** Systematic probability-proportional-to-size sample: exactly 37
+    * docs, inclusion probability ∝ n_chars, deterministic in pure
+    * integer arithmetic (operators/WeightedSample.systematicPps — the
+    * two-phase distributed prefix sum). Oracle spells the same stride
+    * rule over a window prefix sum; FLOOR of the double quotient is
+    * IEEE-identical across engines (operands < 2^53). */
+  private val q68 = Q(
+    "q68_weighted_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      WeightedSample.systematicPps(docs, "doc_id", "n_chars", k = 37)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH c AS (
+        SELECT doc_id, n_chars,
+          SUM(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(n_chars) OVER () AS total
+        FROM documents)
+      SELECT doc_id, n_chars FROM c
+      WHERE FLOOR(cum * 37 / total) > FLOOR((cum - n_chars) * 37 / total)
+      ORDER BY doc_id"""))
+
+  /** Independent Bernoulli weighted sample (P(in) = n_chars / max):
+    * the narrow no-shuffle mixing filter
+    * (operators/WeightedSample.poissonInclude), audited per lang. The
+    * per-row uniform is an md5-derived 32-bit integer and the
+    * comparison is all-integer, so the oracle reproduces it exactly
+    * (DuckDB parses the same 8 hex chars via a 0x cast). */
+  private val q69 = Q(
+    "q69_poisson_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wMax = docs.agg(max(col("n_chars"))).collect()(0).getLong(0)
+      docs.filter(WeightedSample.poissonInclude(
+          "mix", col("doc_id"), col("n_chars"), lit(wMax)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("n_chars")).as("chars_sel"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n_sel,
+        CAST(SUM(n_chars) AS BIGINT) AS chars_sel
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              * (SELECT MAX(n_chars) FROM documents)
+            < n_chars * 4294967296
+      GROUP BY lang ORDER BY lang"""))
+
+  /** Z-order key census: Morton-interleave two 8-bit event coordinates
+    * (operators/ZOrder.zkey — pure shift/mask expressions, stays in
+    * whole-stage codegen) and profile the 64 leading-bit buckets the
+    * layout writer would range-partition on. The oracle unrolls the
+    * same 16 bit placements; both engines compute identical BIGINT
+    * keys. The actual file-layout win (per-file min/max tightening) is
+    * pinned by ZOrderSpec, which reads back written files. */
+  private val q70 = Q(
+    "q70_zorder_key",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(ZOrder.zkey(
+          Seq(col("user_id") % 256, col("event_id") % 256), bits = 8)
+          .as("zkey"))
+        .groupBy(shiftright(col("zkey"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val parts = (0 until 8).flatMap { i =>
+        Seq(s"((((user_id % 256) >> $i) & 1) << ${2 * i + 1})",
+          s"((((event_id % 256) >> $i) & 1) << ${2 * i})")
+      }
+      s"""WITH z AS (SELECT (${parts.mkString(" | ")}) AS zkey FROM events)
+      SELECT zkey >> 10 AS bucket, COUNT(*) AS n,
+        MIN(zkey) AS zmin, MAX(zkey) AS zmax
+      FROM z GROUP BY 1 ORDER BY 1"""
+    })
+
+  val list: Seq[Q] = Seq(q67, q68, q69, q70)
+}
