@@ -3,16 +3,17 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.{QuantileSketch, WeightedSample, ZOrder}
+import graft.operators.{PageRank, QuantileSketch, WeightedSample, ZOrder}
 
-/** Sampling / sketching / layout queries (q67+): the data-mixing and
-  * file-layout operators a training-data pipeline runs after curation.
-  * Same determinism rules as [[Queries]]; each query pins its operator
-  * in the regime where the result is engine-independent (exact sketch
-  * regime, all-integer sampling arithmetic, pure bit interleaves), so
-  * a DuckDB oracle can hash-match bit-for-bit — the approximate /
-  * scale regimes of the same operators are covered by
-  * QuantileSketchSpec / WeightedSampleSpec / ZOrderSpec.
+/** Sampling / sketching / layout / graph queries (q67+): the
+  * data-mixing, file-layout, and graph-centrality operators a
+  * training-data pipeline runs after curation. Same determinism rules
+  * as [[Queries]]; each query pins its operator in the regime where
+  * the result is engine-independent (exact sketch regime, all-integer
+  * sampling and rank arithmetic, pure bit interleaves), so a DuckDB
+  * oracle can hash-match bit-for-bit — the approximate / scale regimes
+  * of the same operators are covered by QuantileSketchSpec /
+  * WeightedSampleSpec / ZOrderSpec / PageRankSpec.
   */
 object QueriesSample {
 
@@ -128,5 +129,70 @@ object QueriesSample {
       FROM z GROUP BY 1 ORDER BY 1"""
     })
 
-  val list: Seq[Q] = Seq(q67, q68, q69, q70)
+  /** Full CUBE with grouping ids — completes the multi-dimensional
+    * aggregate family next to q27's ROLLUP and q46's PIVOT. The gid
+    * column disambiguates which NULLs are subtotal markers vs data
+    * (the reference never needs this; its reports are flat counts —
+    * report.py — but any BI consumer of the events store does). */
+  private val q71 = Q(
+    "q71_cube",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg((grouping(col("o_orderstatus"))
+            + grouping(col("o_orderpriority")) * 2).cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("rev"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) + 2*GROUPING(o_orderpriority) AS INT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** Fixed-iteration PageRank over a derived interaction graph
+    * (operators/PageRank.scala — scaled integer arithmetic, so ANY
+    * partitioning and any engine produce bit-identical ranks). The
+    * oracle unrolls the same three iterations as chained CTEs with the
+    * same floor divisions. 50-node graph here; the operator's join/agg
+    * shape is the one that scales (see its scaladoc). */
+  private val q72 = Q(
+    "q72_pagerank",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((col("user_id") % 50).as("src"),
+          ((col("user_id") + col("event_id")) % 50).as("dst"))
+      PageRank.run(e, "src", "dst", iterations = 3)
+        .select(col("n").as("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+    },
+    Some("""WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id + event_id) % 50 AS dst
+        FROM events WHERE user_id % 50 <> (user_id + event_id) % 50),
+      nodes AS (SELECT DISTINCT n FROM
+        (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+      od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+      r0 AS (SELECT n, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+      c1 AS (SELECT e.dst AS n, CAST(SUM(r0.r // od.d) AS BIGINT) AS c
+             FROM e JOIN od USING (src) JOIN r0 ON r0.n = e.src GROUP BY 1),
+      r1 AS (SELECT nodes.n,
+               CAST(150000000000 + (85 * COALESCE(c1.c, 0)) // 100 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c1 ON nodes.n = c1.n),
+      c2 AS (SELECT e.dst AS n, CAST(SUM(r1.r // od.d) AS BIGINT) AS c
+             FROM e JOIN od USING (src) JOIN r1 ON r1.n = e.src GROUP BY 1),
+      r2 AS (SELECT nodes.n,
+               CAST(150000000000 + (85 * COALESCE(c2.c, 0)) // 100 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c2 ON nodes.n = c2.n),
+      c3 AS (SELECT e.dst AS n, CAST(SUM(r2.r // od.d) AS BIGINT) AS c
+             FROM e JOIN od USING (src) JOIN r2 ON r2.n = e.src GROUP BY 1),
+      r3 AS (SELECT nodes.n,
+               CAST(150000000000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c3 ON nodes.n = c3.n)
+      SELECT n AS node, r AS rank FROM r3 ORDER BY rank DESC, node"""))
+
+  val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72)
 }
