@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.{PageRank, QuantileSketch, WeightedSample, ZOrder}
+import graft.operators.{Funnel, PageRank, QuantileSketch, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -194,5 +194,97 @@ object QueriesSample {
              FROM nodes LEFT JOIN c3 ON nodes.n = c3.n)
       SELECT n AS node, r AS rank FROM r3 ORDER BY rank DESC, node"""))
 
-  val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72)
+  /** Single-pass column profiling — the ANALYZE-style stats feed (null
+    * counts, exact NDV, min/max per column) that a cost-based optimizer
+    * or data-quality monitor reads. ONE scan: all 6 columns' stats in
+    * one aggregate, unpivoted with `stack` into a row per column.
+    * Numeric and string min/max live in separate typed columns — a
+    * single mixed column would hash on engine-specific number
+    * formatting. Exact NDV via Spark's Expand is the oracle-checkable
+    * choice; at 100 TB swap count_distinct for approx_count_distinct
+    * (HLL) per column — same single-scan shape without the expand. */
+  private val q73 = Q(
+    "q73_profile",
+    (s, dir) => {
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val t = Tables.events(s, dir)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val wide = t.agg(
+        count(lit(1)).as("n"),
+        nulls("event_id").as("nu_ei"), count_distinct(col("event_id")).as("nd_ei"),
+        min(col("event_id")).cast("double").as("mn_ei"), max(col("event_id")).cast("double").as("mx_ei"),
+        nulls("user_id").as("nu_ui"), count_distinct(col("user_id")).as("nd_ui"),
+        min(col("user_id")).cast("double").as("mn_ui"), max(col("user_id")).cast("double").as("mx_ui"),
+        nulls("value").as("nu_v"), count_distinct(col("value")).as("nd_v"),
+        min(col("value")).as("mn_v"), max(col("value")).as("mx_v"),
+        nulls("ts").as("nu_ts"), count_distinct(col("ts_ms")).as("nd_ts"),
+        min(col("ts_ms")).cast("double").as("mn_ts"), max(col("ts_ms")).cast("double").as("mx_ts"),
+        nulls("event_type").as("nu_et"), count_distinct(col("event_type")).as("nd_et"),
+        min(col("event_type")).as("mn_et"), max(col("event_type")).as("mx_et"),
+        nulls("props").as("nu_p"), count_distinct(col("props")).as("nd_p"),
+        min(col("props")).as("mn_p"), max(col("props")).as("mx_p"))
+      wide.selectExpr("n",
+        """stack(6,
+          'event_id',   nu_ei, nd_ei, mn_ei, mx_ei, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'user_id',    nu_ui, nd_ui, mn_ui, mx_ui, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'value',      nu_v,  nd_v,  mn_v,  mx_v,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'ts_ms',      nu_ts, nd_ts, mn_ts, mx_ts, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'event_type', nu_et, nd_et, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_et, mx_et,
+          'props',      nu_p,  nd_p,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_p,  mx_p)
+          AS (col_name, n_nulls, n_distinct, vmin_num, vmax_num, vmin_str, vmax_str)""")
+        .orderBy(col("col_name"))
+    },
+    Some("""SELECT 'event_id' AS col_name, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        COUNT(DISTINCT event_id) AS n_distinct,
+        CAST(MIN(event_id) AS DOUBLE) AS vmin_num, CAST(MAX(event_id) AS DOUBLE) AS vmax_num,
+        CAST(NULL AS VARCHAR) AS vmin_str, CAST(NULL AS VARCHAR) AS vmax_str FROM events
+      UNION ALL
+      SELECT 'user_id', COUNT(*), CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT user_id), CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'value', COUNT(*), CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT value), MIN(value), MAX(value),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'ts_ms', COUNT(*), CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT epoch_ms(ts)), CAST(MIN(epoch_ms(ts)) AS DOUBLE), CAST(MAX(epoch_ms(ts)) AS DOUBLE),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'event_type', COUNT(*), CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT event_type), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        MIN(event_type), MAX(event_type) FROM events
+      UNION ALL
+      SELECT 'props', COUNT(*), CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT props), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        MIN(props), MAX(props) FROM events
+      ORDER BY col_name"""))
+
+  /** Windowed sequential funnel (operators/Funnel.scala):
+    * view → click → purchase with a 24 h conversion window per step —
+    * the per-step filter runs BEFORE each shuffle, so only the step's
+    * own events move. Sf0.01 converts 150 → 60 → 25. */
+  private val q74 = Q(
+    "q74_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .selectExpr("user_id", "event_type", "unix_millis(ts) as ms")
+      Funnel.counts(ev, "user_id", "event_type", "ms",
+        Seq("view", "click", "purchase"), maxGapMs = Some(86400000L))
+    },
+    Some("""WITH t AS (
+        SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS ms FROM events),
+      s1 AS (SELECT u, MIN(ms) AS t1 FROM t WHERE et = 'view' GROUP BY 1),
+      s2 AS (SELECT t.u, MIN(t.ms) AS t2 FROM t JOIN s1 USING (u)
+             WHERE t.et = 'click' AND t.ms > s1.t1
+               AND t.ms <= s1.t1 + 86400000 GROUP BY 1),
+      s3 AS (SELECT t.u, MIN(t.ms) AS t3 FROM t JOIN s2 USING (u)
+             WHERE t.et = 'purchase' AND t.ms > s2.t2
+               AND t.ms <= s2.t2 + 86400000 GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3"""))
+
+  val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74)
 }
