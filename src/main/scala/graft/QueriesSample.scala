@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.{Funnel, PageRank, QuantileSketch, WeightedSample, ZOrder}
+import graft.operators.{DupSpans, Funnel, PageRank, QuantileSketch, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -286,5 +286,56 @@ object QueriesSample {
              (SELECT COUNT(*) FROM s2) AS n2,
              (SELECT COUNT(*) FROM s3) AS n3"""))
 
-  val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74)
+  /** Repeated-span coverage per language (operators/DupSpans.scala):
+    * how many characters of each doc are 20-gram-exact text shared
+    * with ≥2 docs, interval-union'd via gaps-and-islands. The
+    * substring-level complement of q17/q40's whole-doc near-dup:
+    * catches template-stitched docs those miss. Counts stay integers
+    * end-to-end (no fraction division), so the oracle hashes exactly. */
+  private val q75 = Q(
+    "q75_dup_spans",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DupSpans.coverage(docs, "doc_id", "text", n = 20, minDocs = 2)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_dup"),
+          sum(col("covered")).as("covered_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH g AS (
+        SELECT doc_id, lang, n_chars, i AS pos,
+          substr(text, CAST(i AS INT), 20) AS gram
+        FROM documents, LATERAL (SELECT UNNEST(range(1, len(text) - 18)) AS i) t
+        WHERE len(text) >= 20),
+      dup AS (
+        SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd
+                          FROM g GROUP BY 1)
+        WHERE nd >= 2),
+      p AS (SELECT doc_id, lang, n_chars, pos FROM g
+            WHERE gram IN (SELECT gram FROM dup)),
+      brk AS (
+        SELECT doc_id, lang, n_chars, pos,
+          CASE WHEN LAG(pos) OVER w IS NULL OR pos > LAG(pos) OVER w + 20
+               THEN 1 ELSE 0 END AS b
+        FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      isl AS (
+        SELECT doc_id, lang, n_chars, pos,
+          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk),
+      runs AS (
+        SELECT doc_id, lang, n_chars, island,
+          MAX(pos) + 20 - MIN(pos) AS run_len
+        FROM isl GROUP BY 1, 2, 3, 4),
+      perdoc AS (
+        SELECT doc_id, lang, n_chars, CAST(SUM(run_len) AS BIGINT) AS covered
+        FROM runs GROUP BY 1, 2, 3)
+      SELECT lang, COUNT(*) AS n_docs_dup,
+        CAST(SUM(covered) AS BIGINT) AS covered_chars,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM perdoc GROUP BY lang ORDER BY lang"""))
+
+  val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }
