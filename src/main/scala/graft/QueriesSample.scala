@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
+import graft.operators.Similarity
 import graft.operators.{DupSpans, Funnel, PageRank, QuantileSketch, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
@@ -337,5 +339,126 @@ object QueriesSample {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM perdoc GROUP BY lang ORDER BY lang"""))
 
-  val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75)
+  /** Equi-depth histogram by COMPOSITION: boundaries from the t-digest
+    * in its exact regime (q67's kernel, global this time), bucket
+    * assignment with ZOrder.bucketize's when-chain — the two operators
+    * q67/q70 already pinned, now producing the optimizer-statistics
+    * histogram (equi-depth is what CBOs keep, not equi-width q45).
+    * Oracle derives identical boundaries via ROW_NUMBER rank filters
+    * and the same <=-chain. */
+  private val q76 = Q(
+    "q76_equidepth_hist",
+    (s, dir) => {
+      val t = Tables.events(s, dir).select(col("value"))
+      val qs = (1 to 7).map(_ / 8.0)
+      // exact regime: compression >= 2n up to sf0.1 (n = 100k events)
+      val bounds = t
+        .agg(QuantileSketch.quantiles(col("value"), qs, 262144).as("q"))
+        .collect()(0).getSeq[Double](0).toArray
+      t.select(col("value"), ZOrder.bucketize(col("value"), bounds).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val bexprs = (1 to 7).map(i =>
+        s"MAX(CASE WHEN rn = CAST(FLOOR($i.0/8*(cnt-1)) AS BIGINT)+1 THEN value END) AS b$i")
+        .mkString(",\n          ")
+      val bcases = (1 to 7).map(i => s"WHEN value <= b$i THEN ${i - 1}")
+        .mkString(" ")
+      s"""WITH t AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+          COUNT(*) OVER () AS cnt FROM events),
+        bounds AS (SELECT $bexprs FROM t),
+        assigned AS (SELECT value, CASE $bcases ELSE 7 END AS bucket
+                     FROM events, bounds)
+      SELECT bucket, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM assigned GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Token-budget allocation: per language keep the longest docs while
+    * the running total stays within half the language's characters —
+    * the mixing step that trims each domain to its corpus budget.
+    * All-integer (2·cum ≤ total avoids division). The per-lang window
+    * is the simple form; at corpus scale the same cum comes from
+    * WeightedSample.withCumWeight run per partition-pruned lang slice. */
+  private val q77 = Q(
+    "q77_token_budget",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("lang"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("total", sum(col("n_chars")).over(tot))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("cum") * 2 <= col("total"), 1L).otherwise(0L))
+            .as("kept_docs"),
+          sum(when(col("cum") * 2 <= col("total"), col("n_chars"))
+            .otherwise(0L)).as("kept_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH w AS (SELECT lang, doc_id, n_chars,
+        SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(n_chars) OVER (PARTITION BY lang) AS total FROM documents)
+      SELECT lang,
+        CAST(SUM(CASE WHEN 2*cum <= total THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        CAST(SUM(CASE WHEN 2*cum <= total THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        COUNT(*) AS n_docs
+      FROM w GROUP BY lang ORDER BY lang"""))
+
+  /** Reciprocal nearest neighbors: pairs where EACH vector is in the
+    * other's cosine top-5 — the high-precision semantic-dedup verdict
+    * (one-way kNN flags hubs; mutual kNN doesn't). Bounded exact
+    * kernel over a 120-vector slice (decimal dot products, id
+    * tiebreaks — q20's determinism recipe); at corpus scale the same
+    * reciprocity check runs on the IVF/LSH candidate lists. */
+  private val q78 = Q(
+    "q78_mutual_knn",
+    (s, dir) => {
+      val sub = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 120)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val t = Similarity.cosineTopK(sub, sub, 5)
+        .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+      val ta = t.select(col("q_id").as("id_a"), col("vec_id").as("id_b"),
+        col("rnk").as("rnk_ab"))
+      val tb = t.select(col("q_id").as("bq"), col("vec_id").as("bv"),
+        col("rnk").as("rnk_ba"))
+      ta.join(tb, col("id_a") === col("bv") && col("id_b") === col("bq")
+          && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("rnk_ab"), col("rnk_ba"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
+        WHERE vec_id < 120),
+      norms AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      dots AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM ev q JOIN ev e ON q.i = e.i AND e.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      cos AS (SELECT q_id, dots.vec_id, dot / (nq.nrm * ne.nrm) AS cosim
+        FROM dots JOIN norms nq ON q_id = nq.vec_id
+        JOIN norms ne ON dots.vec_id = ne.vec_id),
+      t AS (SELECT q_id, vec_id, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cosim DESC, vec_id) AS rnk
+        FROM cos) r WHERE rnk <= 5)
+      SELECT a.q_id AS id_a, a.vec_id AS id_b,
+        a.rnk AS rnk_ab, b.rnk AS rnk_ba
+      FROM t a JOIN t b ON a.q_id = b.vec_id AND a.vec_id = b.q_id
+        AND a.q_id < a.vec_id
+      ORDER BY id_a, id_b"""))
+
+  val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
+    q76, q77, q78)
 }

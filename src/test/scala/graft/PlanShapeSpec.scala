@@ -100,6 +100,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) == 1, s"expected one exchange of partial sketches:\n$p")
   }
 
+  test("q73 profile computes every column's stats in ONE parquet scan") {
+    // the single-pass claim: six columns' nulls/NDV/min/max from one
+    // table read (the NDV Expand multiplies rows, not scans)
+    val p = planOf(Queries.all("q73_profile")(spark, sf()))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one scan, got $scans:\n$p")
+  }
+
+  test("q67 t-digest partials cross the exchange as bounded buffers") {
+    // typed Aggregator => ObjectHashAggregate partial/final pair;
+    // only compressed centroid vectors move between them
+    val p = planOf(Queries.all("q67_quantile_sketch")(spark, sf()))
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("dup-span grams are hashed before every exchange") {
+    // q75's stage 1: text must die in the scan-side projection; every
+    // exchange carries md5 hashes, positions, or doc ids only
+    val p = planOf(graft.operators.DupSpans.dupPositions(
+      Tables.documents(spark, sf()), "doc_id", "text", 20, 2))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(exchangeLines.forall(!_.contains("text#")),
+      s"document text in a shuffle key:\n$p")
+  }
+
+  test("funnel filters each step's events before its shuffle") {
+    // q74: only a step's own (u, ms) rows move; the event-type column
+    // is consumed by the pre-shuffle filter
+    val p = planOf(Queries.all("q74_funnel")(spark, sf()))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(exchangeLines.forall(l =>
+      !l.contains("et#") && !l.contains("event_type#")),
+      s"unfiltered event types in a shuffle:\n$p")
+  }
+
   test("curation gram stage hashes n-grams before the first exchange") {
     // every Exchange in the boilerplate pipeline must carry gh (16-byte
     // md5) or doc ids — never the gram text g or the document text
