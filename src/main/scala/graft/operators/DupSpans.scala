@@ -35,7 +35,14 @@ import org.apache.spark.sql.functions._
 object DupSpans {
 
   /** (doc_id, pos) of every position whose char n-gram occurs in at
-    * least `minDocs` DISTINCT documents. Positions are 1-based. */
+    * least `minDocs` DISTINCT documents. Positions are 1-based.
+    *
+    * Two shuffle economies measured at sf0.1 (9.2 s → target <4 s):
+    * grams move as 16-BYTE unhex'd md5 binaries, not 32-char hex
+    * strings (halves every exchange), and the minDocs=2 common case
+    * detects "≥2 distinct docs" as `min(doc_id) != max(doc_id)` — one
+    * plain map-side-combinable aggregate instead of the
+    * distinct-aggregate rewrite's Expand + double shuffle. */
   def dupPositions(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minDocs: Int): DataFrame = {
     require(n >= 2 && minDocs >= 2)
@@ -44,13 +51,20 @@ object DupSpans {
       .select(col(idCol).as("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, length($textCol) - ${n - 1}), " +
-            s"i -> md5(substring($textCol, i, $n)))"))
+            s"i -> unhex(md5(substring($textCol, i, $n))))"))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    val dup = grams.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("h"))
+    val dup =
+      if (minDocs == 2)
+        grams.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("h"))
+      else
+        grams.groupBy(col("h"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select(col("h"))
     grams.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
   }
 
