@@ -459,6 +459,71 @@ object QueriesSample {
         AND a.q_id < a.vec_id
       ORDER BY id_a, id_b"""))
 
+  /** Multi-probe sign-LSH audit (operators/Similarity
+    * .multiProbeCandidates): per query, candidate-set size and how
+    * many of the exact top-5 the probes recover. Probing the bucket
+    * plus all Hamming-1 flips explodes the QUERY side only; candidate
+    * generation stays an equi-join on bucket id. The oracle replays
+    * the same probes with xor and the q20 decimal kernel for truth. */
+  private val q79 = Q(
+    "q79_multiprobe_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val qrs = e.filter(col("id") < 8)
+      val cand = Similarity.multiProbeCandidates(e, qrs, bits = 8)
+      val top5 = Similarity.cosineTopK(e, qrs, 5)
+        .select(col("q_id"), col("vec_id"))
+      val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+      val hits = cand.join(top5, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      qrs.select(col("id").as("q_id"))
+        .join(nCand, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      val bitsExpr = (1 to 8)
+        .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      val flips = (0 +: (0 until 8).map(1 << _)).map(f => s"($f)").mkString(",")
+      s"""WITH b AS (SELECT vec_id, $bitsExpr AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS q_id, bucket AS qb FROM b WHERE vec_id < 8),
+        probes AS (SELECT q_id, xor(qb, flip) AS pb
+                   FROM q, (VALUES $flips) f(flip)),
+        cand AS (SELECT q_id, b.vec_id FROM probes JOIN b ON b.bucket = pb
+                 WHERE b.vec_id <> q_id),
+        ev AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+               FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+        norms AS (SELECT vec_id,
+            SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+          FROM ev GROUP BY 1),
+        qv AS (SELECT * FROM ev WHERE vec_id < 8),
+        dots AS (SELECT qv.vec_id AS q_id, e.vec_id AS vec_id,
+            CAST(SUM(CAST(qv.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+          FROM qv JOIN ev e ON qv.i = e.i AND e.vec_id <> qv.vec_id
+          GROUP BY 1, 2),
+        cos AS (SELECT q_id, dots.vec_id, dot / (nq.nrm * ne.nrm) AS cosim
+          FROM dots JOIN norms nq ON q_id = nq.vec_id
+          JOIN norms ne ON dots.vec_id = ne.vec_id),
+        top5 AS (SELECT q_id, vec_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosim DESC, vec_id) AS rnk
+          FROM cos) r WHERE rnk <= 5),
+        agg AS (SELECT q_id, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+        hits AS (SELECT c.q_id, COUNT(*) AS hits FROM cand c
+                 JOIN top5 t ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+                 GROUP BY 1)
+      SELECT q.q_id, COALESCE(a.n_cand, 0) AS n_cand,
+        COALESCE(h.hits, 0) AS hits
+      FROM q LEFT JOIN agg a USING (q_id) LEFT JOIN hits h USING (q_id)
+      ORDER BY q_id"""
+    })
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78)
+    q76, q77, q78, q79)
 }

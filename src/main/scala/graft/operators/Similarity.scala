@@ -74,6 +74,30 @@ object Similarity {
       when(element_at(v, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-probe sign-LSH candidates: each query probes its OWN bucket
+    * plus every Hamming-distance-1 neighbor (flip one of `bits` sign
+    * bits) — the standard recall-recovery move for sign LSH, where a
+    * near-duplicate lands in a different bucket exactly when ONE
+    * borderline dimension crosses zero. The probe set explodes the
+    * QUERY side only (× bits+1, queries are the small side); candidate
+    * generation stays an equi-join on the bucket id, never a cross
+    * join. Returns (q_id, vec_id) with self-pairs removed; duplicates
+    * impossible (distinct probe buckets). */
+  def multiProbeCandidates(corpus: DataFrame, queries: DataFrame,
+                           bits: Int): DataFrame = {
+    val flips = array((0 +: (0 until bits).map(1L << _).map(_.toInt))
+      .map(lit): _*)
+    val probes = queries
+      .select(col("id").as("q_id"), signBucket(col("v"), bits).as("qb"))
+      .withColumn("flip", explode(flips))
+      .select(col("q_id"), col("qb").bitwiseXOR(col("flip")).as("pb"))
+    val c = corpus.select(col("id").as("vec_id"),
+      signBucket(col("v"), bits).as("bucket"))
+    c.join(probes, col("bucket") === col("pb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN: coarse quantizer + probed cell search
   // ------------------------------------------------------------------
