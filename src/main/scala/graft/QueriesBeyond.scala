@@ -319,6 +319,47 @@ object QueriesBeyond {
     Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS h
       FROM documents ORDER BY doc_id"""))
 
+  /** Edit-distance verification of the LSH candidates (q17's shared
+    * band table): exact Levenshtein over candidate pairs only — the
+    * order-sensitive verdict kernel (Dedup.editDistancePairs' verify
+    * leg; shuffled paragraphs fool Jaccard/q19, not edit distance).
+    * Output = the verified near-dups (4·dist ≤ max_len) with their
+    * distances; the O(|a|·|b|) kernel never sees a non-candidate. */
+  private val q82 = Q(
+    "q82_edit_verify",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("t_a"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("t_b"))
+      SharedLsh.candidatePairs(s, dir)
+        .join(ta, "doc_a").join(tb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("t_a"), col("t_b")).as("dist"),
+          greatest(length(col("t_a")), length(col("t_b"))).as("max_len"))
+        .filter(col("dist") * 4 <= col("max_len"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH $ShinglesSql,
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS dist,
+        GREATEST(len(ta.text), len(tb.text)) AS max_len
+      FROM cand JOIN documents ta ON doc_a = ta.doc_id
+      JOIN documents tb ON doc_b = tb.doc_id
+      WHERE levenshtein(ta.text, tb.text) * 4
+        <= GREATEST(len(ta.text), len(tb.text))
+      ORDER BY doc_a, doc_b"""
+    })
+
   val list: Seq[Q] = Seq(
-    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q82)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.operators.Similarity
-import graft.operators.{DupSpans, Funnel, PageRank, QuantileSketch, WeightedSample, ZOrder}
+import graft.operators.{DupSpans, Funnel, PageRank, QuantileSketch, RecordLinkage, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -524,6 +524,87 @@ object QueriesSample {
       ORDER BY q_id"""
     })
 
+  /** Blocked record linkage (operators/RecordLinkage.scala): customer
+    * vs a deterministically perturbed CRM snapshot (every 5th record's
+    * segment flipped, every 3rd's balance bucket shifted), blocked on
+    * nation, scored 4·name + 2·segment + 1·balance-bucket agreement.
+    * The score histogram separates true matches (score ≥ 4: the name
+    * agrees) from same-block noise (0–3) — integer weights keep it
+    * hash-exact. */
+  private val q80 = Q(
+    "q80_record_linkage",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val clean = cust.select(col("c_custkey"), col("c_nationkey"),
+        col("c_name"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100).cast("long").as("bb"))
+      val dirty = cust.select(
+        (col("c_custkey") + 100000).as("snap_key"), col("c_nationkey"),
+        col("c_name"),
+        when(col("c_custkey") % 5 === 0, "FLIPPED")
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        (floor(col("c_acctbal") / 100).cast("long") +
+          when(col("c_custkey") % 3 === 0, 1L).otherwise(0L)).as("bb"))
+      RecordLinkage.scorePairs(clean, dirty, "c_custkey", "snap_key",
+          col("c_nationkey"), col("c_nationkey"),
+          Seq(RecordLinkage.eq("name", 4), RecordLinkage.eq("seg", 2),
+            RecordLinkage.eq("bal", 1)),
+          Map("name" -> (col("c_name"), col("c_name")),
+            "seg" -> (col("c_mktsegment"), col("c_mktsegment")),
+            "bal" -> (col("bb"), col("bb"))))
+        .groupBy(col("score")).agg(count(lit(1)).as("n"))
+        .orderBy(col("score"))
+    },
+    Some("""WITH l AS (
+        SELECT c_custkey AS id_l, c_nationkey AS blk, c_name AS nm,
+          c_mktsegment AS seg, CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bb
+        FROM customer),
+      r AS (
+        SELECT c_custkey + 100000 AS id_r, c_nationkey AS blk, c_name AS nm,
+          CASE WHEN c_custkey % 5 = 0 THEN 'FLIPPED' ELSE c_mktsegment END AS seg,
+          CAST(FLOOR(c_acctbal / 100) AS BIGINT)
+            + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS bb
+        FROM customer),
+      p AS (
+        SELECT id_l, id_r,
+          (CASE WHEN l.nm = r.nm THEN 4 ELSE 0 END
+           + CASE WHEN l.seg = r.seg THEN 2 ELSE 0 END
+           + CASE WHEN l.bb = r.bb THEN 1 ELSE 0 END) AS score
+        FROM l JOIN r USING (blk))
+      SELECT CAST(score AS BIGINT) AS score, COUNT(*) AS n
+      FROM p GROUP BY 1 ORDER BY score"""))
+
+  /** Same-day event-type co-occurrence (market-basket support counts
+    * at day granularity): distinct (user, day, type) then a within-
+    * user-day self-join — the pair table that feeds association rules.
+    * The distinct runs BEFORE the self-join, so fan-out is bounded by
+    * types-per-user-day (≤5), not raw event counts. */
+  private val q81 = Q(
+    "q81_cooccurrence",
+    (s, dir) => {
+      // integer epoch-day, not to_date: immune to session timezone
+      val d = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+          col("event_type"))
+        .distinct()
+      val a = d.select(col("user_id"), col("day"), col("event_type").as("ta"))
+      val b = d.select(col("user_id").as("u2"), col("day").as("d2"),
+        col("event_type").as("tb"))
+      a.join(b, col("user_id") === col("u2") && col("day") === col("d2")
+          && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n"))
+        .orderBy(col("ta"), col("tb"))
+    },
+    Some("""WITH d AS (
+        SELECT DISTINCT user_id,
+          CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) AS day, event_type
+        FROM events)
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.day = b.day
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79)
+    q76, q77, q78, q79, q80, q81)
 }

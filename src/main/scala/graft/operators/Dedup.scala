@@ -38,6 +38,30 @@ object Dedup {
     docs.select(col(idCol), explode(charShingles(col(textCol), n)).as("sh"))
       .distinct()
 
+  /** Candidate pairs sharing ≥ `minShared` distinct char n-grams,
+    * verified with EXACT Levenshtein distance — the order-sensitive
+    * verification kernel next to [[jaccardPairs]]' set-overlap screen
+    * (shuffled paragraphs look identical to Jaccard; edit distance
+    * sees them). O(|a|·|b|) per pair — gate it to candidate sets,
+    * never the corpus. Output: (da, db, shared, dist, max_len); a
+    * near-dup verdict is then an integer predicate like
+    * `dist·k ≤ max_len`. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minShared: Long): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val a = sh.select(col(idCol).as("da"), col("sh"))
+    val b = sh.select(col(idCol).as("db"), col("sh").as("sh2"))
+    val cand = a.join(b, col("sh") === col("sh2") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val ta = docs.select(col(idCol).as("da"), col(textCol).as("t_a"))
+    val tb = docs.select(col(idCol).as("db"), col(textCol).as("t_b"))
+    cand.join(ta, "da").join(tb, "db")
+      .select(col("da"), col("db"), col("shared"),
+        levenshtein(col("t_a"), col("t_b")).as("dist"),
+        greatest(length(col("t_a")), length(col("t_b"))).as("max_len"))
+  }
+
   /** Per-doc MinHash signature table: idCol, h0..h{k-1}.
     *
     * Hash economy: one md5 yields 32 hex chars = four independent 32-bit
