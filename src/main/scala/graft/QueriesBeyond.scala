@@ -331,12 +331,24 @@ object QueriesBeyond {
       val docs = Tables.documents(s, dir)
       val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("t_a"))
       val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("t_b"))
+      // dist >= |la-lb| always, so pairs whose LENGTHS already differ
+      // by more than max_len/4 can never pass — filter them before the
+      // O(|a|*|b|) kernel. The survivors run the BANDED DP
+      // (levenshtein with a threshold: O(n*threshold)); the global
+      // threshold maxLen/4 bounds every per-pair verdict cutoff, and
+      // the sentinel -1 (distance above threshold) is excluded by the
+      // same verdict filter. Both prunings are semantics-preserving —
+      // the oracle states the plain filter.
+      val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
       SharedLsh.candidatePairs(s, dir)
         .join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("la", length(col("t_a")))
+        .withColumn("lb", length(col("t_b")))
+        .filter(abs(col("la") - col("lb")) * 4 <= greatest(col("la"), col("lb")))
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("t_a"), col("t_b")).as("dist"),
-          greatest(length(col("t_a")), length(col("t_b"))).as("max_len"))
-        .filter(col("dist") * 4 <= col("max_len"))
+          levenshtein(col("t_a"), col("t_b"), maxLen / 4 + 1).as("dist"),
+          greatest(col("la"), col("lb")).as("max_len"))
+        .filter(col("dist") >= 0 && col("dist") * 4 <= col("max_len"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some {

@@ -37,12 +37,12 @@ object DupSpans {
   /** (doc_id, pos) of every position whose char n-gram occurs in at
     * least `minDocs` DISTINCT documents. Positions are 1-based.
     *
-    * Two shuffle economies measured at sf0.1 (9.2 s → target <4 s):
-    * grams move as 16-BYTE unhex'd md5 binaries, not 32-char hex
-    * strings (halves every exchange), and the minDocs=2 common case
-    * detects "≥2 distinct docs" as `min(doc_id) != max(doc_id)` — one
-    * plain map-side-combinable aggregate instead of the
-    * distinct-aggregate rewrite's Expand + double shuffle. */
+    * Shuffle economies (sf0.1: 9.2 s naive → ~3 s): grams move as
+    * 16-BYTE unhex'd md5 binaries, not 32-char hex strings (halves
+    * every exchange), and the minDocs=2 common case evaluates
+    * "≥2 distinct docs" with a window min/max in ONE gram shuffle —
+    * the aggregate+semi-join formulation re-runs the md5 explode as
+    * the probe side, and the gram stage is the dominant cost. */
   def dupPositions(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minDocs: Int): DataFrame = {
     require(n >= 2 && minDocs >= 2)
@@ -54,18 +54,26 @@ object DupSpans {
             s"i -> unhex(md5(substring($textCol, i, $n))))"))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    val dup =
-      if (minDocs == 2)
-        grams.groupBy(col("h"))
-          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-          .filter(col("mn") =!= col("mx"))
-          .select(col("h"))
-      else
-        grams.groupBy(col("h"))
-          .agg(count_distinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= minDocs)
-          .select(col("h"))
-    grams.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
+    if (minDocs == 2) {
+      // single-shuffle shape: instead of aggregating the dup-hash set
+      // and semi-joining the grams back (which re-runs the whole md5
+      // explode as the probe side — the gram stage is the dominant
+      // cost), ship the grams ONCE partitioned by hash and evaluate
+      // "≥2 distinct docs" in place with an unbounded window min/max
+      // over each hash group (sf0.1: ~8 s → ~3 s)
+      val w = Window.partitionBy(col("h"))
+      grams
+        .withColumn("mn", min(col("doc_id")).over(w))
+        .withColumn("mx", max(col("doc_id")).over(w))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("doc_id"), col("pos"))
+    } else {
+      val dup = grams.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("h"))
+      grams.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
+    }
   }
 
   /** Per-doc covered-character count: (doc_id, covered BIGINT). Docs
