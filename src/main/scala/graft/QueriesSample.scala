@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.operators.Similarity
-import graft.operators.{DupSpans, Funnel, PageRank, QuantileSketch, RecordLinkage, WeightedSample, ZOrder}
+import graft.operators.{Bfs, DupSpans, Funnel, PageRank, QuantileSketch, RecordLinkage, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -605,6 +605,39 @@ object QueriesSample {
         AND a.event_type < b.event_type
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Multi-source BFS distances (operators/Bfs.scala) over the q72
+    * interaction graph from seeds {0,1,2}, 4 relaxation rounds —
+    * integer hop counts are partitioning- and engine-exact; the
+    * oracle unrolls the same rounds (LEAST + COALESCE(min+1)). */
+  private val q83 = Q(
+    "q83_bfs_distance",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((col("user_id") % 50).as("src"),
+          ((col("user_id") + col("event_id")) % 50).as("dst"))
+      Bfs.distances(e, "src", "dst", Seq(0L, 1L, 2L), rounds = 4)
+        .select(col("n").as("node"), col("d").as("dist"))
+        .orderBy(col("node"))
+    },
+    Some {
+      val rounds = (1 to 4).map { k =>
+        val p = k - 1
+        s"""u$k AS (SELECT e.dst AS n, MIN(d$p.d + 1) AS nd
+             FROM e JOIN d$p ON d$p.n = e.src GROUP BY 1),
+           d$k AS (SELECT d$p.n, LEAST(d$p.d, COALESCE(u$k.nd, 9999)) AS d
+             FROM d$p LEFT JOIN u$k USING (n))"""
+      }.mkString(",\n      ")
+      s"""WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id + event_id) % 50 AS dst
+        FROM events WHERE user_id % 50 <> (user_id + event_id) % 50),
+      nodes AS (SELECT DISTINCT n FROM
+        (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+      d0 AS (SELECT n, CASE WHEN n IN (0, 1, 2) THEN 0 ELSE 9999 END AS d
+             FROM nodes),
+      $rounds
+      SELECT n AS node, CAST(d AS BIGINT) AS dist FROM d4 ORDER BY node"""
+    })
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81)
+    q76, q77, q78, q79, q80, q81, q83)
 }
