@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.operators.Similarity
-import graft.operators.{Bfs, DupSpans, Funnel, PageRank, QuantileSketch, RecordLinkage, WeightedSample, ZOrder}
+import graft.operators.{Bfs, DupSpans, Funnel, NdvSketch, PageRank, QuantileSketch, RecordLinkage, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -638,6 +638,32 @@ object QueriesSample {
       SELECT n AS node, CAST(d AS BIGINT) AS dist FROM d4 ORDER BY node"""
     })
 
+  /** Linear-counting NDV sketch census (operators/NdvSketch.scala):
+    * per event type, the OR-mergeable bitmap's occupied-bit count over
+    * md5-derived positions. The position expression is plain column
+    * arithmetic, so the oracle derives IDENTICAL positions and
+    * COUNT(DISTINCT position) equals the popcount exactly — collisions
+    * included; the float log-estimate stays out of the output
+    * (NdvSketchSpec pins its accuracy). */
+  private val q84 = Q(
+    "q84_ndv_sketch",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          NdvSketch.position(col("props"), log2m = 12).as("pos"))
+        .groupBy(col("event_type"))
+        .agg(NdvSketch.sketch(col("pos"), 12).as("sk"))
+        .select(col("event_type"),
+          expr("aggregate(transform(sk, x -> bit_count(x)), 0, (a, b) -> a + b)")
+            .cast("long").as("occupied"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+        COUNT(DISTINCT
+          CAST(('0x' || substr(md5(CAST(props AS VARCHAR)), 1, 8)) AS BIGINT)
+            & 4095) AS occupied
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q83)
+    q76, q77, q78, q79, q80, q81, q83, q84)
 }
