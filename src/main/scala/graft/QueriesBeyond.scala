@@ -19,6 +19,22 @@ object QueriesBeyond {
     """sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
       FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i))"""
 
+  /** Shared oracle SQL fragment (follows ShinglesSql): MinHash
+    * signatures and the 2×4 band keys — the mirror of
+    * Dedup.minhashSignatures' slice scheme (component j = MIN of hex
+    * slice j%4 of md5('m{j/4}' || shingle)). Interpolated by BOTH q17
+    * and q82 so the scheme lives in one place. */
+  private val MinhashBandsSql = {
+    val mins = (0 until 8)
+      .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+      .mkString(", ")
+    s"""sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig)"""
+  }
+
   /** Exact dedup: hash-groupBy on md5(text) (content hash), keeper = min
     * id. One shuffle on the 16-byte hash — the 100-TB exact-dedup shape. */
   private val q16 = Q(
@@ -42,22 +58,11 @@ object QueriesBeyond {
       // computation per session+input — the persisted-artifact shape)
       SharedLsh.candidatePairs(s, dir)
         .orderBy(col("doc_a"), col("doc_b")),
-    Some {
-      // mirror of Dedup.minhashSignatures' slice scheme: component j =
-      // MIN of hex slice (j%4) of md5('m{j/4}' || shingle)
-      val mins = (0 until 8)
-        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
-        .mkString(", ")
-      s"""WITH $ShinglesSql,
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-      bands AS (
-        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
-        UNION ALL
-        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig)
+    Some(s"""WITH $ShinglesSql,
+      $MinhashBandsSql
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-      ORDER BY doc_a, doc_b"""
-    })
+      ORDER BY doc_a, doc_b"""))
 
   /** 16-bit SimHash bucket census. */
   private val q18 = Q(
@@ -327,40 +332,15 @@ object QueriesBeyond {
     * distances; the O(|a|·|b|) kernel never sees a non-candidate. */
   private val q82 = Q(
     "q82_edit_verify",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("t_a"))
-      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("t_b"))
-      // dist >= |la-lb| always, so pairs whose LENGTHS already differ
-      // by more than max_len/4 can never pass — filter them before the
-      // O(|a|*|b|) kernel. The survivors run the BANDED DP
-      // (levenshtein with a threshold: O(n*threshold)); the global
-      // threshold maxLen/4 bounds every per-pair verdict cutoff, and
-      // the sentinel -1 (distance above threshold) is excluded by the
-      // same verdict filter. Both prunings are semantics-preserving —
-      // the oracle states the plain filter.
-      val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
-      SharedLsh.candidatePairs(s, dir)
-        .join(ta, "doc_a").join(tb, "doc_b")
-        .withColumn("la", length(col("t_a")))
-        .withColumn("lb", length(col("t_b")))
-        .filter(abs(col("la") - col("lb")) * 4 <= greatest(col("la"), col("lb")))
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("t_a"), col("t_b"), maxLen / 4 + 1).as("dist"),
-          greatest(col("la"), col("lb")).as("max_len"))
-        .filter(col("dist") >= 0 && col("dist") * 4 <= col("max_len"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some {
-      val mins = (0 until 8)
-        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
-        .mkString(", ")
-      s"""WITH $ShinglesSql,
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-      bands AS (
-        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
-        UNION ALL
-        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+    (s, dir) =>
+      // Dedup.editVerifiedPairs applies the length prefilter and the
+      // banded threshold DP (both semantics-preserving — the oracle
+      // states the plain filter)
+      Dedup.editVerifiedPairs(SharedLsh.candidatePairs(s, dir),
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $ShinglesSql,
+      $MinhashBandsSql,
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS dist,
@@ -369,8 +349,7 @@ object QueriesBeyond {
       JOIN documents tb ON doc_b = tb.doc_id
       WHERE levenshtein(ta.text, tb.text) * 4
         <= GREATEST(len(ta.text), len(tb.text))
-      ORDER BY doc_a, doc_b"""
-    })
+      ORDER BY doc_a, doc_b"""))
 
   val list: Seq[Q] = Seq(
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q82)

@@ -649,6 +649,10 @@ object QueriesSample {
     "q84_ndv_sketch",
     (s, dir) => {
       Tables.events(s, dir)
+        // NULL props would decode to a phantom position 0 in the
+        // Aggregator while COUNT(DISTINCT) ignores them — filter to
+        // keep the popcount == oracle identity (NdvSketch scaladoc)
+        .where(col("props").isNotNull)
         .select(col("event_type"),
           NdvSketch.position(col("props"), log2m = 12).as("pos"))
         .groupBy(col("event_type"))
@@ -662,7 +666,8 @@ object QueriesSample {
         COUNT(DISTINCT
           CAST(('0x' || substr(md5(CAST(props AS VARCHAR)), 1, 8)) AS BIGINT)
             & 4095) AS occupied
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events WHERE props IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
 
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84)

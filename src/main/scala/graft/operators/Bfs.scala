@@ -25,13 +25,7 @@ object Bfs {
                 sources: Seq[Long], rounds: Int,
                 inf: Long = 9999L): DataFrame = {
     require(sources.nonEmpty && rounds >= 0)
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-    val nodes = e.select(col("src").as("n"))
-      .union(e.select(col("dst").as("n"))).distinct()
+    val (e, nodes) = Graphs.normalize(edges, srcCol, dstCol)
     var dist = nodes.withColumn("d",
       when(col("n").isin(sources: _*), 0L).otherwise(lit(inf)))
     for (_ <- 1 to rounds) {

@@ -38,28 +38,41 @@ object Dedup {
     docs.select(col(idCol), explode(charShingles(col(textCol), n)).as("sh"))
       .distinct()
 
-  /** Candidate pairs sharing ≥ `minShared` distinct char n-grams,
-    * verified with EXACT Levenshtein distance — the order-sensitive
-    * verification kernel next to [[jaccardPairs]]' set-overlap screen
-    * (shuffled paragraphs look identical to Jaccard; edit distance
-    * sees them). O(|a|·|b|) per pair — gate it to candidate sets,
-    * never the corpus. Output: (da, db, shared, dist, max_len); a
-    * near-dup verdict is then an integer predicate like
-    * `dist·k ≤ max_len`. */
-  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, minShared: Long): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
-    val a = sh.select(col(idCol).as("da"), col("sh"))
-    val b = sh.select(col(idCol).as("db"), col("sh").as("sh2"))
-    val cand = a.join(b, col("sh") === col("sh2") && col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-    val ta = docs.select(col(idCol).as("da"), col(textCol).as("t_a"))
-    val tb = docs.select(col(idCol).as("db"), col(textCol).as("t_b"))
-    cand.join(ta, "da").join(tb, "db")
-      .select(col("da"), col("db"), col("shared"),
-        levenshtein(col("t_a"), col("t_b")).as("dist"),
-        greatest(length(col("t_a")), length(col("t_b"))).as("max_len"))
+  /** Exact-Levenshtein verification over CANDIDATE pairs — the
+    * order-sensitive verdict kernel next to [[jaccardPairs]]' set-
+    * overlap screen (shuffled paragraphs look identical to Jaccard;
+    * edit distance sees them). `pairs` carries (doc_a, doc_b) from any
+    * blocker — LSH banding (SharedLsh.candidatePairs, q82), shingle
+    * overlap, record-linkage blocks; the O(|a|·|b|) kernel never sees
+    * a non-candidate. Two semantics-preserving prunings:
+    *
+    *  - length prefilter: dist ≥ |la−lb| always, so a pair whose
+    *    lengths already differ by more than max_len/maxDistDen can
+    *    never pass the verdict — dropped before the kernel;
+    *  - banded DP: Spark's thresholded levenshtein costs
+    *    O(n·threshold); the global maxLen/maxDistDen+1 threshold
+    *    bounds every per-pair cutoff, and the −1 above-threshold
+    *    sentinel is excluded by the verdict filter.
+    *
+    * Returns pairs with `dist·maxDistDen ≤ max_len` (default: within
+    * 25% of the longer text) as (doc_a, doc_b, dist, max_len). */
+  def editVerifiedPairs(pairs: DataFrame, docs: DataFrame,
+                        idCol: String, textCol: String,
+                        maxDistDen: Int = 4): DataFrame = {
+    require(maxDistDen >= 1)
+    val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("t_a"))
+    val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("t_b"))
+    val maxLen = docs.agg(max(length(col(textCol)))).collect()(0).getInt(0)
+    pairs.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("la", length(col("t_a")))
+      .withColumn("lb", length(col("t_b")))
+      .filter(abs(col("la") - col("lb")) * maxDistDen
+        <= greatest(col("la"), col("lb")))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("t_a"), col("t_b"), maxLen / maxDistDen + 1)
+          .as("dist"),
+        greatest(col("la"), col("lb")).as("max_len"))
+      .filter(col("dist") >= 0 && col("dist") * maxDistDen <= col("max_len"))
   }
 
   /** Per-doc MinHash signature table: idCol, h0..h{k-1}.

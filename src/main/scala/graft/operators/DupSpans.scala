@@ -42,9 +42,19 @@ object DupSpans {
     * every exchange), and the minDocs=2 common case evaluates
     * "≥2 distinct docs" with a window min/max in ONE gram shuffle —
     * the aggregate+semi-join formulation re-runs the md5 explode as
-    * the probe side, and the gram stage is the dominant cost. */
+    * the probe side, and the gram stage is the dominant cost.
+    *
+    * HAZARD (the honest trade of that window): WindowExec buffers each
+    * gram's FULL position list in its task (spill-backed), so a hot
+    * boilerplate gram present in a large fraction of a huge corpus
+    * concentrates its rows in one buffered group — whereas the
+    * aggregate path partial-aggregates map-side and the semi-join
+    * probe STREAMS. At test scale the window wins; for corpora with
+    * known template boilerplate pass `windowFastPath = false` (or
+    * strip boilerplate first, Curation.boilerplateDocs). */
   def dupPositions(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, minDocs: Int): DataFrame = {
+                   n: Int, minDocs: Int,
+                   windowFastPath: Boolean = true): DataFrame = {
     require(n >= 2 && minDocs >= 2)
     val grams = docs
       .where(length(col(textCol)) >= n) // sequence(1,0) would DESCEND
@@ -54,7 +64,7 @@ object DupSpans {
             s"i -> unhex(md5(substring($textCol, i, $n))))"))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    if (minDocs == 2) {
+    if (minDocs == 2 && windowFastPath) {
       // single-shuffle shape: instead of aggregating the dup-hash set
       // and semi-joining the grams back (which re-runs the whole md5
       // explode as the probe side — the gram stage is the dominant
@@ -68,6 +78,7 @@ object DupSpans {
         .filter(col("mn") =!= col("mx"))
         .select(col("doc_id"), col("pos"))
     } else {
+      // streams hot grams: map-side partial agg + semi-join probe
       val dup = grams.groupBy(col("h"))
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= minDocs)
@@ -79,8 +90,9 @@ object DupSpans {
   /** Per-doc covered-character count: (doc_id, covered BIGINT). Docs
     * with no duplicated gram are absent. */
   def coverage(docs: DataFrame, idCol: String, textCol: String,
-               n: Int, minDocs: Int): DataFrame = {
-    val p = dupPositions(docs, idCol, textCol, n, minDocs)
+               n: Int, minDocs: Int,
+               windowFastPath: Boolean = true): DataFrame = {
+    val p = dupPositions(docs, idCol, textCol, n, minDocs, windowFastPath)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val isl = p
       .withColumn("b",

@@ -29,7 +29,12 @@ object NdvSketch {
 
   /** Bit position for any column: first 8 md5 hex chars as a 32-bit
     * int, masked to [0, 2^log2m). Pure column arithmetic — the same
-    * expression is DuckDB-spellable (q84's oracle). */
+    * expression is DuckDB-spellable (q84's oracle).
+    *
+    * NULL CONTRACT: position(NULL) is NULL, and the primitive-Long
+    * Aggregator input would decode that NULL as 0 — a phantom bit 0
+    * that SQL's null-ignoring COUNT(DISTINCT …) does not count.
+    * Callers must filter nulls out BEFORE [[sketch]] (q84 does). */
   def position(c: Column, log2m: Int): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
       .bitwiseAND(lit((1L << log2m) - 1))

@@ -43,13 +43,7 @@ object PageRank {
           iterations: Int, scale: Long = 1000000000000L,
           dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-    val nodes = e.select(col("src").as("n"))
-      .union(e.select(col("dst").as("n"))).distinct()
+    val (e, nodes) = Graphs.normalize(edges, srcCol, dstCol)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // one co-partitioned frame (src, dst, d); every iteration joins it
     // by src, so its shuffle output is reused round to round

@@ -24,7 +24,10 @@ object AttributionJoin {
     * sides' watermark delay — the allowed out-of-orderness. */
   def run(views: DataFrame, clicks: DataFrame,
           windowMs: Long, delayMs: Long): DataFrame = {
-    val delay = s"${delayMs / 1000} seconds"
+    // milliseconds verbatim — dividing down to whole seconds would
+    // silently narrow the promised out-of-orderness (delayMs=500 must
+    // tolerate 500 ms, not 0)
+    val delay = s"$delayMs milliseconds"
     val v = views
       .select(col("user").as("v_user"),
         timestamp_millis(col("ms")).as("v_ts"))
