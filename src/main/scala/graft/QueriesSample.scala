@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.operators.Similarity
-import graft.operators.{Bfs, DupSpans, Funnel, NdvSketch, PageRank, QuantileSketch, RecordLinkage, WeightedSample, ZOrder}
+import graft.operators.{Bfs, DupSpans, Funnel, NdvSketch, PageRank, QuantileSketch, RecordLinkage, Scd2, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -669,6 +669,46 @@ object QueriesSample {
       FROM events WHERE props IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** SCD2 point-in-time resolution (operators/Scd2.scala): signup
+    * events are the dimension's change stream (validity intervals via
+    * lead), purchases are the facts — each resolves to the profile
+    * version valid AT PURCHASE TIME, never a later one (the
+    * time-travel-correctness property that a naive latest-value join
+    * violates). 1791 of 1981 purchases resolve at sf0.01; the 190
+    * preceding their user's first signup drop, per SCD2 contract. */
+  private val q85 = Q(
+    "q85_scd2_lookup",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+      val v = Scd2.versions(ev.filter(col("event_type") === "signup"),
+        "user_id", "ms", "event_id", Seq("value"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("fms"))
+      Scd2.lookup(facts, v, "user_id", col("fms"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("attr_sum"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH upd AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events
+        WHERE event_type = 'signup'),
+      v AS (
+        SELECT user_id, value, ms AS vfrom,
+          LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS vto
+        FROM upd),
+      f AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+            WHERE event_type = 'purchase'),
+      j AS (SELECT f.user_id, v.value
+            FROM f JOIN v ON f.user_id = v.user_id
+              AND f.ms >= v.vfrom AND (v.vto IS NULL OR f.ms < v.vto))
+      SELECT user_id, COUNT(*) AS n_matched,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attr_sum
+      FROM j GROUP BY user_id ORDER BY user_id"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q83, q84)
+    q76, q77, q78, q79, q80, q81, q83, q84, q85)
 }
