@@ -137,6 +137,27 @@ class PlanShapeSpec extends SparkSpec {
       s"unfiltered event types in a shuffle:\n$p")
   }
 
+  test("scd2 lookup shuffles on the key only; the interval test is a post-join filter") {
+    // q85: no range-join explosion — an equi-join on user_id with the
+    // [vfrom, vto) predicate applied after; no cartesian/broadcast-NL
+    val p = planOf(Queries.all("q85_scd2_lookup")(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate degraded the join:\n$p")
+  }
+
+  test("record linkage blocks via an equi-join, never a cross join") {
+    val p = planOf(Queries.all("q80_record_linkage")(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking key lost:\n$p")
+  }
+
+  test("ndv sketch partials cross the exchange as bounded bitmaps") {
+    val p = planOf(Queries.all("q84_ndv_sketch")(spark, sf()))
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("curation gram stage hashes n-grams before the first exchange") {
     // every Exchange in the boilerplate pipeline must carry gh (16-byte
     // md5) or doc ids — never the gram text g or the document text
