@@ -48,13 +48,27 @@ object Bench {
           best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
       }
     }
-    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Round to 3 decimals: at 85 queries, full Double precision (~17 sig
+    // digits each) made the r3 JSON line long enough that the driver's
+    // output tail-window truncated it mid-dict ("parsed": null). 1 ms
+    // resolution is below measurement noise anyway.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // stop Spark BEFORE printing so the JSON line is the last stdout line
+    // ahead of sbt's [success] banner — keeps it inside the driver's tail
+    // window; also persist to a file as a truncation-proof fallback.
     spark.stop()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
   }
 }

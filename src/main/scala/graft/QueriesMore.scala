@@ -137,29 +137,19 @@ object QueriesMore {
       GROUP BY 1 ORDER BY 1"""))
 
   /** Embedding-cosine near-dup candidates: sign-LSH bucket equi-join
-    * (the scale path — no cross join anywhere), exact cosine filter on
-    * candidates. Pairs only; raw cosines are engine-1-ulp-divergent
-    * (see q20 note). */
+    * (the scale path — no cross join anywhere), cheap double-kernel
+    * prefilter, exact decimal confirm on survivors (see
+    * Similarity.cosineNearDupPairs). Pairs only; raw cosines are
+    * engine-1-ulp-divergent (see q20 note). Bits pinned at 8 so the
+    * SQL twin can spell the buckets; production derives bits from the
+    * corpus size via Similarity.bucketBitsFor. */
   private val q34 = Q(
     "q34_cosine_neardup",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        graft.operators.Similarity.asDouble(col("embedding")).as("v"),
-        graft.operators.Similarity.signBucket(col("embedding"), 8).as("b"))
-      val withN = e.withColumn("nrm",
-        graft.operators.Similarity.normDecimal(col("v")))
-      val a = withN.select(col("vec_id").as("va"), col("v").as("xa"),
-        col("nrm").as("na"), col("b"))
-      val bb = withN.select(col("vec_id").as("vb"), col("v").as("xb"),
-        col("nrm").as("nb"), col("b").as("b2"))
-      a.join(bb, col("b") === col("b2") && col("va") < col("vb"))
-        .filter(
-          graft.operators.Similarity.dotDecimal(col("xa"), col("xb"))
-            .cast("double") / (col("na") * col("nb")) >= 0.3)
-        .select(col("va"), col("vb"))
-        .orderBy(col("va"), col("vb"))
-    },
+    (s, dir) =>
+      graft.operators.Similarity
+        .cosineNearDupPairs(Tables.embeddings(s, dir), bits = 8,
+          threshold = 0.3)
+        .orderBy(col("va"), col("vb")),
     Some("""WITH ev AS (
         SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
         FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.operators.Similarity
-import graft.operators.{Bfs, DupSpans, Funnel, NdvSketch, PageRank, QuantileSketch, RecordLinkage, Scd2, WeightedSample, ZOrder}
+import graft.operators.{Bfs, ColumnProfile, DupSpans, Funnel, NdvSketch, PageRank, QuantileSketch, RecordLinkage, Scd2, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -21,20 +21,23 @@ object QueriesSample {
 
   /** Per-group quantiles via the t-digest typed Aggregator
     * (operators/QuantileSketch.scala). Run in the EXACT regime:
-    * compression 65536 ≥ 2·n for every event_type group up to sf0.1
-    * (max group ≈ 20.3k rows), where the k1 merge bound proves no two
+    * compression ≥ 2·n derived from the ACTUAL row count (total count
+    * bounds every group), where the k1 merge bound proves no two
     * singletons ever merge, so the sketch degenerates to the sorted
     * multiset and the discrete lower-rank quantile is
-    * partitioning-invariant. Oracle = the same rank filter spelled
+    * partitioning-invariant at ANY sf (the count() pre-pass is
+    * parquet-metadata-only). Oracle = the same rank filter spelled
     * with ROW_NUMBER (DuckDB's quantile_disc uses ceil(q·n) ranks —
     * a different convention, so it is NOT used). */
   private val q67 = Q(
     "q67_quantile_sketch",
     (s, dir) => {
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir)
+      val comp = QuantileSketch.exactCompressionFor(ev.count())
+      ev
         .groupBy(col("event_type"))
         .agg(QuantileSketch.quantiles(
-          col("value"), Seq(0.5, 0.9, 0.99), compression = 65536).as("qs"))
+          col("value"), Seq(0.5, 0.9, 0.99), compression = comp).as("qs"))
         .select(col("event_type"),
           element_at(col("qs"), 1).as("p50"),
           element_at(col("qs"), 2).as("p90"),
@@ -196,46 +199,39 @@ object QueriesSample {
              FROM nodes LEFT JOIN c3 ON nodes.n = c3.n)
       SELECT n AS node, r AS rank FROM r3 ORDER BY rank DESC, node"""))
 
-  /** Single-pass column profiling — the ANALYZE-style stats feed (null
-    * counts, exact NDV, min/max per column) that a cost-based optimizer
-    * or data-quality monitor reads. ONE scan: all 6 columns' stats in
-    * one aggregate, unpivoted with `stack` into a row per column.
-    * Numeric and string min/max live in separate typed columns — a
-    * single mixed column would hash on engine-specific number
-    * formatting. Exact NDV via Spark's Expand is the oracle-checkable
-    * choice; at 100 TB swap count_distinct for approx_count_distinct
-    * (HLL) per column — same single-scan shape without the expand. */
+  /** Column spec shared by q73 (exact twin) and the production approx
+    * profile (PlanShapeSpec pins the latter's plan has no Expand). */
+  private[graft] val profileCols = Seq(
+    ColumnProfile.ProfCol("event_id", numeric = true),
+    ColumnProfile.ProfCol("user_id", numeric = true),
+    ColumnProfile.ProfCol("value", numeric = true),
+    ColumnProfile.ProfCol("ts_ms", numeric = true),
+    ColumnProfile.ProfCol("event_type", numeric = false),
+    ColumnProfile.ProfCol("props", numeric = false))
+
+  private[graft] def eventsWithTsMs(s: org.apache.spark.sql.SparkSession,
+                                    dir: String) =
+    Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+
+  /** The production profile: same single scan, HLL NDV, no Expand. Not
+    * oracled (HLL estimates are engine-specific); q73 is the exact twin
+    * whose hash match proves the shared scan/stack skeleton. */
+  private[graft] def profileApprox(s: org.apache.spark.sql.SparkSession,
+                                   dir: String) =
+    ColumnProfile.profile(eventsWithTsMs(s, dir), profileCols, exact = false)
+      .orderBy(col("col_name"))
+
+  /** Single-pass column profiling (operators/ColumnProfile.scala) in the
+    * exact-NDV regime — Spark plans the 6 exact distincts as one Expand
+    * (×6 row blowup), which the oracle genuinely needs; the production
+    * twin [[profileApprox]] swaps in approx_count_distinct and its plan
+    * carries no Expand (PlanShapeSpec). */
   private val q73 = Q(
     "q73_profile",
-    (s, dir) => {
-      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-      val t = Tables.events(s, dir)
-        .withColumn("ts_ms", unix_millis(col("ts")))
-      val wide = t.agg(
-        count(lit(1)).as("n"),
-        nulls("event_id").as("nu_ei"), count_distinct(col("event_id")).as("nd_ei"),
-        min(col("event_id")).cast("double").as("mn_ei"), max(col("event_id")).cast("double").as("mx_ei"),
-        nulls("user_id").as("nu_ui"), count_distinct(col("user_id")).as("nd_ui"),
-        min(col("user_id")).cast("double").as("mn_ui"), max(col("user_id")).cast("double").as("mx_ui"),
-        nulls("value").as("nu_v"), count_distinct(col("value")).as("nd_v"),
-        min(col("value")).as("mn_v"), max(col("value")).as("mx_v"),
-        nulls("ts").as("nu_ts"), count_distinct(col("ts_ms")).as("nd_ts"),
-        min(col("ts_ms")).cast("double").as("mn_ts"), max(col("ts_ms")).cast("double").as("mx_ts"),
-        nulls("event_type").as("nu_et"), count_distinct(col("event_type")).as("nd_et"),
-        min(col("event_type")).as("mn_et"), max(col("event_type")).as("mx_et"),
-        nulls("props").as("nu_p"), count_distinct(col("props")).as("nd_p"),
-        min(col("props")).as("mn_p"), max(col("props")).as("mx_p"))
-      wide.selectExpr("n",
-        """stack(6,
-          'event_id',   nu_ei, nd_ei, mn_ei, mx_ei, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'user_id',    nu_ui, nd_ui, mn_ui, mx_ui, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'value',      nu_v,  nd_v,  mn_v,  mx_v,  CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'ts_ms',      nu_ts, nd_ts, mn_ts, mx_ts, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'event_type', nu_et, nd_et, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_et, mx_et,
-          'props',      nu_p,  nd_p,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_p,  mx_p)
-          AS (col_name, n_nulls, n_distinct, vmin_num, vmax_num, vmin_str, vmax_str)""")
-        .orderBy(col("col_name"))
-    },
+    (s, dir) =>
+      ColumnProfile.profile(eventsWithTsMs(s, dir), profileCols,
+          exact = true)
+        .orderBy(col("col_name")),
     Some("""SELECT 'event_id' AS col_name, COUNT(*) AS n,
         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         COUNT(DISTINCT event_id) AS n_distinct,
@@ -351,9 +347,10 @@ object QueriesSample {
     (s, dir) => {
       val t = Tables.events(s, dir).select(col("value"))
       val qs = (1 to 7).map(_ / 8.0)
-      // exact regime: compression >= 2n up to sf0.1 (n = 100k events)
+      // exact regime at any sf: compression derived from the row count
+      val comp = QuantileSketch.exactCompressionFor(t.count())
       val bounds = t
-        .agg(QuantileSketch.quantiles(col("value"), qs, 262144).as("q"))
+        .agg(QuantileSketch.quantiles(col("value"), qs, comp).as("q"))
         .collect()(0).getSeq[Double](0).toArray
       t.select(col("value"), ZOrder.bucketize(col("value"), bounds).as("bucket"))
         .groupBy(col("bucket"))
@@ -709,6 +706,40 @@ object QueriesSample {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attr_sum
       FROM j GROUP BY user_id ORDER BY user_id"""))
 
+  /** EXACT duplicated-substring spans (operators/ExactSubstring.scala):
+    * maximal per-doc character ranges covered by a substring of length
+    * ≥ 20 occurring ≥ 2 times ANYWHERE in the corpus (within-doc
+    * repeats count) — q75's gram screen hardened to text-confirmed
+    * exactness and emitting the spans themselves; q75 stays the cheap
+    * per-language coverage diagnostic. */
+  private val q86 = Q(
+    "q86_exact_dup_spans",
+    (s, dir) =>
+      graft.operators.ExactSubstring
+        .dupSpans(Tables.documents(s, dir), "doc_id", "text", minLen = 20)
+        .orderBy(col("doc_id"), col("span_start")),
+    Some("""WITH g AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+          substr(text, CAST(i AS INT), 20) AS gram
+        FROM documents, LATERAL (SELECT UNNEST(range(1, len(text) - 18)) AS i) t
+        WHERE len(text) >= 20),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+      brk AS (
+        SELECT doc_id, pos,
+          CASE WHEN LAG(pos) OVER w IS NULL OR pos > LAG(pos) OVER w + 20
+               THEN 1 ELSE 0 END AS b
+        FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      isl AS (
+        SELECT doc_id, pos,
+          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk)
+      SELECT doc_id, MIN(pos) AS span_start,
+        CAST(MAX(pos) + 20 - MIN(pos) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q83, q84, q85)
+    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86)
 }

@@ -18,13 +18,20 @@ import org.apache.spark.sql.functions._
   * (shuffle reusable across rounds, as in PageRank) + a min-combine
   * aggregation on dst. `rounds` bounds the radius explicitly — the
   * caller picks the diameter bound, and lineage stays bounded without
-  * checkpointing. Unreached nodes keep `inf`. */
+  * checkpointing. Unreached nodes keep `inf`.
+  *
+  * `inf` must exceed every reachable distance: real distances reach at
+  * most `rounds`, so `rounds < inf` is required — otherwise a node at
+  * exactly `inf` hops would alias the unreached sentinel and relaxation
+  * would silently propagate inf+1 values as if they were distances. */
 object Bfs {
 
   def distances(edges: DataFrame, srcCol: String, dstCol: String,
                 sources: Seq[Long], rounds: Int,
                 inf: Long = 9999L): DataFrame = {
     require(sources.nonEmpty && rounds >= 0)
+    require(rounds < inf,
+      s"inf sentinel ($inf) must exceed the max achievable distance ($rounds)")
     val (e, nodes) = Graphs.normalize(edges, srcCol, dstCol)
     var dist = nodes.withColumn("d",
       when(col("n").isin(sources: _*), 0L).otherwise(lit(inf)))

@@ -62,7 +62,10 @@ object Dedup {
     require(maxDistDen >= 1)
     val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("t_a"))
     val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("t_b"))
-    val maxLen = docs.agg(max(length(col(textCol)))).collect()(0).getInt(0)
+    // max() over an empty frame is NULL — default 0 rather than NPE on
+    // an empty docs input (the result is empty either way)
+    val maxLenRow = docs.agg(max(length(col(textCol)))).collect()(0)
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     pairs.join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("la", length(col("t_a")))
       .withColumn("lb", length(col("t_b")))

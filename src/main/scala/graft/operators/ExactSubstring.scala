@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT duplicated-substring spans — the full substring-level dedup
+  * deliverable (the "remove duplicated spans" tool; cf. the
+  * suffix-array exact-substring-dedup line of work in PAPERS.md):
+  * for every document, the maximal character ranges covered by some
+  * substring of length ≥ `minLen` that occurs at least twice in the
+  * corpus (ANY two occurrences, including twice within one document —
+  * stricter than DupSpans' cross-document-only contract, and emitting
+  * the spans themselves rather than per-doc coverage counts).
+  *
+  * Exactness argument (why a fixed-length gram cover IS the exact
+  * answer, no suffix array required for the SPAN semantics): a
+  * duplicated substring S with |S| = m ≥ L occurring at positions
+  * p₁ ≠ p₂ duplicates every one of its L-grams, so positions
+  * p₁..p₁+m−L all start duplicated L-grams and their L-windows cover
+  * exactly [p₁, p₁+m−1]; conversely a duplicated L-gram is itself a
+  * duplicated substring of length L. Hence
+  * union-of-duplicated-substring-chars = union-of-duplicated-L-gram
+  * windows, character-exact. (A suffix array additionally yields the
+  * per-span MATCH LENGTH in one pass — the scale path when span
+  * lengths, not just extents, are needed: prefix-doubling SA
+  * construction is log n sorted shuffles, still Spark-shaped.)
+  *
+  * Cost shape, in DupSpans' shuffle economy (16-byte in-place md5
+  * grams, text never explodes):
+  *  1. gram stage: one shuffle of (doc_id, pos, h) keyed by h;
+  *     occurrence-count ≥ 2 evaluated in place with a window count
+  *     (`windowFastPath`, same hot-gram hazard + fallback flag as
+  *     DupSpans) or with a map-side-combined aggregate + semi join;
+  *  2. hash→text confirm: ONLY the surviving candidate positions
+  *     rejoin the docs to re-extract their literal gram, which is
+  *     grouped BY TEXT to discard md5-collision false positives — the
+  *     "exact" in the name rests on string equality, not on a hash;
+  *     confirm volume ≈ truly-duplicated positions, not corpus size;
+  *  3. spans: per-doc gaps-and-islands (window bounded by doc length,
+  *     no low-cardinality hazard) merges overlapping/adjacent L-windows
+  *     into maximal (span_start, span_len) rows.
+  */
+object ExactSubstring {
+
+  /** (doc_id, span_start, span_len): maximal spans of text duplicated
+    * somewhere in the corpus at length ≥ minLen. Positions 1-based;
+    * docs shorter than minLen never emit. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               minLen: Int, windowFastPath: Boolean = true): DataFrame = {
+    require(minLen >= 2, "minLen must be at least 2")
+    val d = docs.where(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val grams = d.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(1, length(_text) - ${minLen - 1}), " +
+          s"i -> unhex(md5(substring(_text, i, $minLen))))"))
+        .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val cand =
+      if (windowFastPath) {
+        val wh = Window.partitionBy(col("h"))
+        grams.withColumn("c", count(lit(1)).over(wh))
+          .filter(col("c") >= 2)
+          .select(col("doc_id"), col("pos"))
+      } else {
+        val dupH = grams.groupBy(col("h"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
+        grams.join(dupH, Seq("h"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+      }
+    val withGram = cand.join(d, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(_text, pos, $minLen)").as("gram"))
+    val wg = Window.partitionBy(col("gram"))
+    val confirmed = withGram
+      .withColumn("c", count(lit(1)).over(wg))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    confirmed
+      .withColumn("b",
+        when(lag(col("pos"), 1).over(wd).isNull ||
+          col("pos") > lag(col("pos"), 1).over(wd) + minLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("b")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minLen - min(col("pos"))).cast("long")
+          .as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+}

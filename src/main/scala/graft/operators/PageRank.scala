@@ -36,9 +36,14 @@ object PageRank {
   /** Ranks after `iterations` rounds: (n BIGINT, rank BIGINT). Node ids
     * must be non-negative (floor division = truncation only then);
     * callers with string keys hash them to longs first.
-    * Overflow bound: dampingPct · maxInDeg · scale must stay < 2^63
-    * (9.2e18) — at the default scale that allows in-degrees to ~10^5;
-    * lower `scale` for denser graphs. */
+    * Overflow bound: total rank mass never grows (each round redistributes
+    * then damps it), so every rank and every per-node contribution sum is
+    * ≤ n·scale, and the safe condition is n · scale < 2^63 (9.2e18) —
+    * ~9·10^6 nodes at the default scale, independent of degree
+    * distribution (a hub chain can concentrate up to ~n·scale of mass on
+    * one node, so a per-edge in-degree bound alone is NOT sufficient).
+    * Lower `scale` for larger graphs; rank resolution degrades gracefully
+    * (ranks are integers in units of scale⁻¹). */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, scale: Long = 1000000000000L,
           dampingPct: Int = 85): DataFrame = {

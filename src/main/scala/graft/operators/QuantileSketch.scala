@@ -134,6 +134,22 @@ object QuantileSketch {
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
   }
 
+  /** Compression that puts the sketch in its EXACT regime for an input
+    * of `n` rows (compression ≥ 2·n ⇒ no two singletons ever merge —
+    * see the object doc). Derive it from the ACTUAL input count rather
+    * than hard-coding: a fixed constant is the scale trap — correct at
+    * the SF it was sized for, silently approximate one SF up. `n` may
+    * be the total row count even when aggregating per group (every
+    * group is ≤ the total). Refuses rather than degrades when 2·n
+    * overflows Int — at that scale the exact regime is infeasible and
+    * the caller should run the approximate regime deliberately. */
+  def exactCompressionFor(n: Long): Int = {
+    require(n >= 0 && 2L * n <= Int.MaxValue.toLong,
+      s"exact t-digest regime infeasible for n=$n rows (2n overflows); " +
+        "use a fixed approximate compression instead")
+    math.max(64, (2L * n).toInt)
+  }
+
   /** Aggregate column: array<double> of the requested quantiles. */
   def quantiles(value: Column, qs: Seq[Double], compression: Int): Column =
     udaf(new TDigest(compression, qs)).apply(value)

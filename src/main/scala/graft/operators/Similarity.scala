@@ -74,6 +74,55 @@ object Similarity {
       when(element_at(v, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Bucket width that keeps within-bucket candidate growth linear:
+    * with b sign bits there are 2^b buckets and ~n²/2^b candidate
+    * pairs, so b must track ⌈log₂ n⌉ as the corpus grows (fixed bits
+    * ⇒ quadratic pair growth — the 100× trap). Floor of 8 keeps small
+    * corpora out of the 1-bucket degenerate case; the cap is the
+    * embedding dimensionality (signBucket reads one dim per bit). */
+  def bucketBitsFor(n: Long, dims: Int): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(dims, math.max(8, ceilLog2))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucket equi-join
+    * (never a cross join), double-kernel PREFILTER with a slack band,
+    * exact decimal confirm only on survivors.
+    *
+    * The two-kernel split is the whole cost story: candidates number
+    * ~n²/2^bits, so the per-candidate kernel must be the cheap codegen'd
+    * double fold. Its accumulation error over `dims` terms is
+    * ~dims·2⁻⁵² ≈ 1e-14 relative — far below `slack` (1e-6) — so
+    * `cos_double ≥ threshold − slack` can never reject a pair the exact
+    * kernel would keep; the expensive order-invariant decimal kernel
+    * (what makes the result oracle-hashable, see [[dotDecimal]]) then
+    * runs only on the handful of near-threshold survivors. Double norms
+    * are computed once per vector BEFORE the join (narrow), not per
+    * candidate pair.
+    *
+    * `emb` needs (vec_id, embedding:array<float>). For production use
+    * pass bits = [[bucketBitsFor]](corpusSize, dims); oracle queries pin
+    * a fixed bits so the SQL twin can spell the same buckets. */
+  def cosineNearDupPairs(emb: DataFrame, bits: Int,
+                         threshold: Double): DataFrame = {
+    val slack = 1e-6
+    val e = emb.select(
+      col("vec_id"),
+      asDouble(col("embedding")).as("v"),
+      signBucket(col("embedding"), bits).as("b"))
+      .withColumn("nd", sqrt(dotDouble(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("va"), col("v").as("xa"),
+      col("nd").as("nda"), col("b"))
+    val bb = e.select(col("vec_id").as("vb"), col("v").as("xb"),
+      col("nd").as("ndb"), col("b").as("b2"))
+    a.join(bb, col("b") === col("b2") && col("va") < col("vb"))
+      .filter(dotDouble(col("xa"), col("xb")) /
+        (col("nda") * col("ndb")) >= threshold - slack)
+      .filter(dotDecimal(col("xa"), col("xb")).cast("double") /
+        (normDecimal(col("xa")) * normDecimal(col("xb"))) >= threshold)
+      .select(col("va"), col("vb"))
+  }
+
   /** Multi-probe sign-LSH candidates: each query probes its OWN bucket
     * plus every Hamming-distance-1 neighbor (flip one of `bits` sign
     * bits) — the standard recall-recovery move for sign LSH, where a

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * implementations could flip a near-tie:
   *
   *  - [[poissonInclude]]: independent Bernoulli with inclusion
-  *    probability w/wMax. The per-row uniform is the first 12 hex
-  *    chars of md5(seed||id) read as a 48-bit int; include iff
-  *    u·wMax < w·2^48. Narrow filter, no shuffle — the 100 TB default.
+  *    probability w/wMax. The per-row uniform is the first 8 hex
+  *    chars of md5(seed||id) read as a 32-bit int; include iff
+  *    u·wMax < w·2^32. Narrow filter, no shuffle — the 100 TB default.
   *  - [[systematicPps]]: classic systematic probability-proportional-
   *    to-size sampling (fixed stride over the cumulative weight line):
   *    row included iff ⌊cum·k/W⌋ > ⌊(cum−w)·k/W⌋ — EXACTLY k rows,

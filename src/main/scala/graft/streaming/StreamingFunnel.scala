@@ -26,9 +26,20 @@ object StreamingFunnel {
 
   /** `nSteps` funnel over pre-mapped step indices (0-based; map event
     * types to indices upstream). Emits one Conversion per user, when
-    * step nSteps-1 first completes. `maxGapMs < 0` disables windows. */
+    * step nSteps-1 first completes. `maxGapMs < 0` disables windows.
+    *
+    * State lifetime: by default state is kept forever (NoTimeout) —
+    * the batch-parity contract, right for bounded replays and tests.
+    * On a long-running stream with unbounded user cardinality that is
+    * unbounded state growth, so `idleTimeoutMs ≥ 0` switches to an
+    * EVENT-TIME timeout: a user whose last event is idle past the
+    * timeout (by watermark time) has their state dropped — a
+    * half-completed funnel then restarts from step 0 if the user
+    * returns. Requires `withWatermark` on the input's event-time
+    * column; pick idleTimeoutMs ≥ maxGapMs·nSteps so no still-viable
+    * conversion can be evicted. */
   def run(events: Dataset[Event], nSteps: Int,
-          maxGapMs: Long = -1L): Dataset[Conversion] = {
+          maxGapMs: Long = -1L, idleTimeoutMs: Long = -1L): Dataset[Conversion] = {
     require(nSteps >= 1)
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[Conversion]
@@ -36,28 +47,38 @@ object StreamingFunnel {
 
     def fn(user: Long, batch: Iterator[Event],
            state: GroupState[FunnelState]): Iterator[Conversion] = {
-      val t = state.getOption
-        .map(_.times.toArray)
-        .getOrElse(Array.fill(nSteps)(-1L))
-      val alreadyDone = t(nSteps - 1) >= 0
-      batch.toSeq.sortBy(e => (e.ms, e.step)).foreach { e =>
-        if (e.step >= 0 && e.step < nSteps) {
-          val prevOk =
-            if (e.step == 0) t(0) < 0
-            else t(e.step) < 0 && t(e.step - 1) >= 0 &&
-              e.ms > t(e.step - 1) &&
-              (maxGapMs < 0 || e.ms <= t(e.step - 1) + maxGapMs)
-          if (prevOk) t(e.step) = e.ms
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val t = state.getOption
+          .map(_.times.toArray)
+          .getOrElse(Array.fill(nSteps)(-1L))
+        val alreadyDone = t(nSteps - 1) >= 0
+        val batchSeq = batch.toSeq
+        batchSeq.sortBy(e => (e.ms, e.step)).foreach { e =>
+          if (e.step >= 0 && e.step < nSteps) {
+            val prevOk =
+              if (e.step == 0) t(0) < 0
+              else t(e.step) < 0 && t(e.step - 1) >= 0 &&
+                e.ms > t(e.step - 1) &&
+                (maxGapMs < 0 || e.ms <= t(e.step - 1) + maxGapMs)
+            if (prevOk) t(e.step) = e.ms
+          }
         }
+        state.update(FunnelState(t.toSeq))
+        if (idleTimeoutMs >= 0 && batchSeq.nonEmpty)
+          state.setTimeoutTimestamp(batchSeq.map(_.ms).max + idleTimeoutMs)
+        if (!alreadyDone && t(nSteps - 1) >= 0)
+          Iterator(Conversion(user, t.toSeq))
+        else Iterator.empty
       }
-      state.update(FunnelState(t.toSeq))
-      if (!alreadyDone && t(nSteps - 1) >= 0)
-        Iterator(Conversion(user, t.toSeq))
-      else Iterator.empty
     }
 
+    val timeoutConf =
+      if (idleTimeoutMs >= 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
 }
