@@ -158,6 +158,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("production profile (approx NDV) plans with ONE scan and NO Expand") {
+    // the q73 oracle twin needs exact NDV and pays the Expand ×6 row
+    // blowup; the production ColumnProfile path must not
+    val p = planOf(QueriesSample.profileApprox(spark, sf()))
+    assert(!p.contains("Expand"), s"HLL profile must not Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"expected one scan:\n$p")
+  }
+
+  test("cosine near-dup pairs join on the sign bucket, never a cross join") {
+    val p = planOf(Queries.all("q34_cosine_neardup")(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket equi-join degraded:\n$p")
+  }
+
+  test("exact dup spans: corpus-wide gram stage shuffles hashes, not text") {
+    // stage 1 (every position of every doc) must move 16-byte md5s;
+    // full document text may cross an exchange only once — the
+    // doc-keyed rejoin that re-extracts candidate grams for the exact
+    // text confirm (candidate-bounded, not corpus-bounded)
+    val p = planOf(graft.operators.ExactSubstring.dupSpans(
+      Tables.documents(spark, sf()), "doc_id", "text", 20))
+    val textExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("_text#")).size
+    assert(textExchanges <= 1,
+      s"document text in more than the confirm-rejoin exchange:\n$p")
+  }
+
   test("curation gram stage hashes n-grams before the first exchange") {
     // every Exchange in the boilerplate pipeline must carry gh (16-byte
     // md5) or doc ids — never the gram text g or the document text

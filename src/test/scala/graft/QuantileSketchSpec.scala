@@ -67,6 +67,24 @@ class QuantileSketchSpec extends SparkSpec {
     assert(c.map(_._1) == c.map(_._1).sorted)
   }
 
+  test("exact-regime compression scales with the input count") {
+    // the de-trap: q67/q76 derive compression from the actual row
+    // count instead of an sf0.1-sized constant, so the exact regime
+    // (compression >= 2n, no singleton merges) holds at ANY sf
+    assert(QuantileSketch.exactCompressionFor(100) == 200)
+    assert(QuantileSketch.exactCompressionFor(100000) == 200000)
+    assert(QuantileSketch.exactCompressionFor(1000000) == 2000000)
+    assert(QuantileSketch.exactCompressionFor(0) == 64, "small-n floor")
+    // monotone in n — growing the input can never leave the regime
+    val ns = Seq(10L, 1000L, 50000L, 5000000L)
+    assert(ns.map(QuantileSketch.exactCompressionFor) ==
+      ns.map(QuantileSketch.exactCompressionFor).sorted)
+    // refuses (not silently degrades) where the regime is infeasible
+    intercept[IllegalArgumentException] {
+      QuantileSketch.exactCompressionFor(2000000000L)
+    }
+  }
+
   test("tail centroids stay much smaller than central ones") {
     val n = 10000
     val c = QuantileSketch.compress(

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ColumnProfile, StatsCatalog}
+
+class StatsCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq(
+    ColumnProfile.ProfCol("x", numeric = true),
+    ColumnProfile.ProfCol("s", numeric = false))
+
+  private def sample = Seq(
+    (1.0, "a"), (2.0, "b"), (2.0, "b"), (3.0, "c"))
+    .toDF("x", "s")
+
+  test("profile round-trips through the catalog; point lookups read back") {
+    val dir = Files.createTempDirectory("graft-stats").toString
+    val prof = ColumnProfile.profile(sample, cols, exact = true)
+    StatsCatalog.writeProfile(dir, "t1", prof)
+    val back = StatsCatalog.readProfile(spark, dir, "t1")
+    assert(back.columns.sorted.toSeq == prof.columns.sorted.toSeq)
+    assert(back.orderBy("col_name").collect().toSeq ==
+      prof.orderBy("col_name").collect().toSeq)
+    assert(StatsCatalog.ndv(spark, dir, "t1", "x") == Some(3L))
+    assert(StatsCatalog.ndv(spark, dir, "t1", "s") == Some(3L))
+    assert(StatsCatalog.nullCount(spark, dir, "t1", "x") == Some(0L))
+    assert(StatsCatalog.ndv(spark, dir, "t1", "missing").isEmpty)
+  }
+
+  test("re-profiling one table replaces only that table's partition") {
+    val dir = Files.createTempDirectory("graft-stats2").toString
+    StatsCatalog.writeProfile(dir, "a",
+      ColumnProfile.profile(sample, cols, exact = true))
+    StatsCatalog.writeProfile(dir, "b",
+      ColumnProfile.profile(sample.limit(2), cols, exact = true))
+    // refresh table a from a grown frame; b must be untouched
+    StatsCatalog.writeProfile(dir, "a",
+      ColumnProfile.profile(
+        sample.union(Seq((9.0, "z")).toDF("x", "s")), cols, exact = true))
+    assert(StatsCatalog.ndv(spark, dir, "a", "x") == Some(4L))
+    assert(StatsCatalog.ndv(spark, dir, "b", "x") == Some(2L))
+    // exactly one stored row per (table, column)
+    val all = spark.read.parquet(s"$dir/profile")
+    assert(all.groupBy("table_name", "col_name").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("histogram round-trips; bounds come back in bucket order") {
+    val dir = Files.createTempDirectory("graft-stats3").toString
+    val hist = Seq((0, 10L, 0.0, 2.5), (1, 10L, 2.5, 5.0), (2, 10L, 5.0, 9.0))
+      .toDF("bucket", "n", "vmin", "vmax")
+    StatsCatalog.writeHistogram(dir, "t1", "x", hist)
+    val back = StatsCatalog.readHistogram(spark, dir, "t1", "x")
+    assert(back.orderBy("bucket").collect().toSeq ==
+      hist.orderBy("bucket").collect().toSeq)
+    assert(StatsCatalog.histogramBounds(spark, dir, "t1", "x") ==
+      Seq(2.5, 5.0, 9.0))
+  }
+
+  test("the q76 equi-depth histogram persists and reads back as stats") {
+    val dir = Files.createTempDirectory("graft-stats4").toString
+    val hist = Queries.all("q76_equidepth_hist")(spark, sf())
+    StatsCatalog.writeHistogram(dir, "events", "value", hist)
+    val bounds = StatsCatalog.histogramBounds(spark, dir, "events", "value")
+    assert(bounds.size == hist.count())
+    assert(bounds == bounds.sorted, "equi-depth bounds must ascend")
+  }
+}

@@ -80,6 +80,58 @@ class StreamingFunnelSpec extends SparkSpec {
       "the gap must disqualify some conversions")
   }
 
+  /** Explicit-slice variant with a watermark on the event time — the
+    * harness for the event-time state-timeout contract. */
+  private def streamedSlices(slices: Seq[Seq[(Long, Int, Long)]],
+                             idleTimeoutMs: Long): Map[Long, Seq[Long]] = {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val d = Files.createTempDirectory("graft-sfn-wm")
+    val in = d.resolve("in"); Files.createDirectories(in)
+    val ckpt = d.resolve("ckpt").toString
+    val out = d.resolve("out").toString
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      Files.write(in.resolve(s"b$i.csv"),
+        slice.map { case (u, st, ms) => s"$u,$st,$ms" }.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+      val events = spark.readStream
+        .schema("user LONG, step INT, ms LONG")
+        .csv(in.toString)
+        .withColumn("ets", timestamp_millis(col("ms")))
+        .withWatermark("ets", "0 milliseconds")
+        .as[StreamingFunnel.Event]
+      val q = StreamingFunnel.run(events, steps.length,
+          maxGapMs = -1L, idleTimeoutMs = idleTimeoutMs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .as[StreamingFunnel.Conversion]
+      .collect().map(c => c.user -> c.times).toMap
+  }
+
+  test("idle state is evicted by the event-time timeout; NoTimeout keeps it") {
+    // user 1 half-converts, goes idle while the watermark advances far
+    // past the timeout (slice 3 carries only other-user traffic so the
+    // timeout sweep runs), then completes the last step — with the
+    // timeout the earlier steps are forgotten and NO conversion emits;
+    // with the default NoTimeout the same slices convert
+    val slices = Seq(
+      Seq((1L, 0, 10L), (1L, 1, 20L), (2L, 0, 30L)),
+      Seq((2L, 1, 500000L)),
+      Seq((2L, 0, 600000L)),
+      Seq((1L, 2, 600100L)))
+    assert(streamedSlices(slices, idleTimeoutMs = 1000L) == Map.empty,
+      "timed-out user must not convert from evicted state")
+    assert(streamedSlices(slices, idleTimeoutMs = -1L) ==
+      Map(1L -> Seq(10L, 20L, 600100L)),
+      "NoTimeout control must still convert")
+  }
+
   test("a user converts at most once") {
     // user 1 completes the funnel twice over; only one emission
     val rows = Seq(
