@@ -294,7 +294,10 @@ object QueriesSample {
     "q75_dup_spans",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      DupSpans.coverage(docs, "doc_id", "text", n = 20, minDocs = 2)
+      DupSpans.coverageFromPositions(
+          DupSpans.dupPositionsFromGrams(SharedGrams.grams(s, dir),
+            minDocs = 2),
+          n = 20)
         .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs_dup"),
@@ -716,7 +719,8 @@ object QueriesSample {
     "q86_exact_dup_spans",
     (s, dir) =>
       graft.operators.ExactSubstring
-        .dupSpans(Tables.documents(s, dir), "doc_id", "text", minLen = 20)
+        .dupSpansFromGrams(SharedGrams.grams(s, dir),
+          Tables.documents(s, dir), "doc_id", "text", minLen = 20)
         .orderBy(col("doc_id"), col("span_start")),
     Some("""WITH g AS (
         SELECT doc_id, CAST(i AS INT) AS pos,

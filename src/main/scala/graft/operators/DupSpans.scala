@@ -52,11 +52,17 @@ object DupSpans {
     * probe STREAMS. At test scale the window wins; for corpora with
     * known template boilerplate pass `windowFastPath = false` (or
     * strip boilerplate first, Curation.boilerplateDocs). */
-  def dupPositions(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, minDocs: Int,
-                   windowFastPath: Boolean = true): DataFrame = {
-    require(n >= 2 && minDocs >= 2)
-    val grams = docs
+  /** The shared stage-1 artifact: (doc_id, pos, h) — every char n-gram
+    * position hashed in place (16-byte unhex'd md5; text never survives
+    * the explode). Both [[dupPositions]] (q75) and
+    * [[ExactSubstring.dupSpans]] (q86) consume exactly this table, so
+    * `SharedGrams` materializes it once per session+input, pre-
+    * partitioned by h — each consumer's h-keyed window then reuses the
+    * layout without re-exploding or re-shuffling. */
+  def grams(docs: DataFrame, idCol: String, textCol: String,
+            n: Int): DataFrame = {
+    require(n >= 2)
+    docs
       .where(length(col(textCol)) >= n) // sequence(1,0) would DESCEND
       .select(col(idCol).as("doc_id"),
         posexplode(expr(
@@ -64,6 +70,18 @@ object DupSpans {
             s"i -> unhex(md5(substring($textCol, i, $n))))"))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+  }
+
+  def dupPositions(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minDocs: Int,
+                   windowFastPath: Boolean = true): DataFrame =
+    dupPositionsFromGrams(grams(docs, idCol, textCol, n), minDocs,
+      windowFastPath)
+
+  /** [[dupPositions]] over a prebuilt (doc_id, pos, h) gram table. */
+  def dupPositionsFromGrams(grams: DataFrame, minDocs: Int,
+                            windowFastPath: Boolean = true): DataFrame = {
+    require(minDocs >= 2)
     if (minDocs == 2 && windowFastPath) {
       // single-shuffle shape: instead of aggregating the dup-hash set
       // and semi-joining the grams back (which re-runs the whole md5
@@ -91,8 +109,12 @@ object DupSpans {
     * with no duplicated gram are absent. */
   def coverage(docs: DataFrame, idCol: String, textCol: String,
                n: Int, minDocs: Int,
-               windowFastPath: Boolean = true): DataFrame = {
-    val p = dupPositions(docs, idCol, textCol, n, minDocs, windowFastPath)
+               windowFastPath: Boolean = true): DataFrame =
+    coverageFromPositions(
+      dupPositions(docs, idCol, textCol, n, minDocs, windowFastPath), n)
+
+  /** [[coverage]] over prebuilt duplicated (doc_id, pos) rows. */
+  def coverageFromPositions(p: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val isl = p
       .withColumn("b",

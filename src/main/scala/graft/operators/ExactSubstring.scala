@@ -47,16 +47,20 @@ object ExactSubstring {
     * somewhere in the corpus at length ≥ minLen. Positions 1-based;
     * docs shorter than minLen never emit. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-               minLen: Int, windowFastPath: Boolean = true): DataFrame = {
+               minLen: Int, windowFastPath: Boolean = true): DataFrame =
+    dupSpansFromGrams(
+      DupSpans.grams(docs, idCol, textCol, minLen),
+      docs, idCol, textCol, minLen, windowFastPath)
+
+  /** [[dupSpans]] over a prebuilt [[DupSpans.grams]] table (the shared
+    * stage-1 artifact — see `SharedGrams`); `docs` is still needed for
+    * the candidate-bounded text confirm rejoin. */
+  def dupSpansFromGrams(grams: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, minLen: Int,
+                        windowFastPath: Boolean = true): DataFrame = {
     require(minLen >= 2, "minLen must be at least 2")
     val d = docs.where(length(col(textCol)) >= minLen)
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-    val grams = d.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(1, length(_text) - ${minLen - 1}), " +
-          s"i -> unhex(md5(substring(_text, i, $minLen))))"))
-        .as(Seq("pos0", "h")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
     val cand =
       if (windowFastPath) {
         val wh = Window.partitionBy(col("h"))

@@ -27,7 +27,16 @@ object Similarity {
   /** Cast array<float> → array<double> (element casts are exact). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Native codegen'd fused loop (plans/DotDoubleExpr) — Spark's
+    * zip_with/aggregate HOFs are CodegenFallback, which made this hot
+    * kernel interpreted AND broke the surrounding codegen span. */
   def dotDouble(a: Column, b: Column): Column =
+    graft.plans.DotDoubleExpr.dotDouble(a, b)
+
+  /** The higher-order-function formulation dotDouble replaced; kept as
+    * the agreement reference (DotDoubleExprSpec asserts bit-identical
+    * results — both are strict left-to-right double folds). */
+  private[graft] def dotDoubleHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** decimal(18,16), not (38,18): precision ≤ 18 keeps Spark's Decimal

@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_double"),
+      new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double"),
+      (exprs: Seq[Expression]) => DotDoubleExpr(exprs(0), exprs(1))))
   }
 }
