@@ -744,6 +744,37 @@ object QueriesSample {
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start"""))
 
+  /** Distributed suffix-array ranks (operators/SuffixArray.scala):
+    * prefix-doubling dense ranks of every 32-bounded suffix, on a
+    * deterministic 10% document slice (the slice scales WITH sf; the
+    * full-corpus cost is ~log₂(32) range shuffles regardless). The
+    * oracle spells the identical contract as one DENSE_RANK over the
+    * sorted bounded suffixes; per-doc rank sums pin every rank without
+    * shipping a row per position through the harness. */
+  private val q87 = Q(
+    "q87_suffix_ranks",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      graft.operators.SuffixArray
+        .suffixRanks(docs, "doc_id", "text", maxLen = 32, startLen = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_suffixes"),
+          sum(col("rank")).as("rank_sum"),
+          min(col("rank")).as("rank_min"),
+          max(col("rank")).as("rank_max"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 32) AS sfx
+        FROM documents, LATERAL (SELECT UNNEST(range(1, len(text)+1)) AS i) t
+        WHERE doc_id % 10 = 0),
+      r AS (SELECT doc_id, DENSE_RANK() OVER (ORDER BY sfx) AS rk FROM p)
+      SELECT doc_id, COUNT(*) AS n_suffixes,
+        CAST(SUM(rk) AS BIGINT) AS rank_sum,
+        CAST(MIN(rk) AS BIGINT) AS rank_min,
+        CAST(MAX(rk) AS BIGINT) AS rank_max
+      FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86)
+    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87)
 }
