@@ -18,13 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * in codegen, so an ANN kernel (q34's prefilter, IVF assign/search,
   * StreamingAnn's buckets via norms) stays inside one codegen stage.
   *
-  * Semantics match the HOF formulation on the library's vector columns
-  * (equal-length, non-null elements): a strict left-to-right double
-  * fold — bit-identical to zip_with+aggregate's fold order, which
-  * DotDoubleExprSpec asserts. Mismatched lengths fold over the common
-  * prefix (zip_with would inject nulls and poison the sum to null —
-  * vectors of unequal dims are a caller bug either way); null ARRAY
-  * input → null via the standard null-safe path.
+  * Semantics are EXACTLY the HOF formulation's (DotDoubleExprSpec
+  * asserts bit-identical results, same left-to-right fold order):
+  * mismatched lengths or a null element yield null (zip_with pads the
+  * shorter side with nulls / passes element nulls through, and the sum
+  * then poisons to null); null ARRAY input → null via the standard
+  * null-safe path. That exact parity is what licenses
+  * [[DotDoubleRule]], the optimizer rule that rewrites the HOF pattern
+  * into this expression wherever a user wrote the idiomatic form.
   */
 case class DotDoubleExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,7 +42,10 @@ case class DotDoubleExpr(left: Expression, right: Expression)
       s"dot_double requires ARRAY<DOUBLE> inputs, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // always nullable: length mismatch / null elements null the result
+  // even when both array inputs are non-nullable (and a non-nullable
+  // ev.isNull would be a constant the generated code cannot assign)
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_double"
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -49,7 +53,22 @@ case class DotDoubleExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"${ev.value} = graft.plans.DotDoubleExpr.dot($a, $b);"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $acc = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
@@ -59,17 +78,20 @@ case class DotDoubleExpr(left: Expression, right: Expression)
 
 object DotDoubleExpr {
 
-  /** Strict left-to-right fold over the common prefix; one static
-    * kernel serves eval and codegen so both paths agree. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Strict left-to-right fold; null on length mismatch or any null
+    * element (the zip_with/aggregate semantics). Interpreted-eval twin
+    * of the generated loop. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   /** Column-level entry point. */
@@ -81,4 +103,49 @@ object DotDoubleExpr {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_double", exprs => DotDoubleExpr(exprs(0), exprs(1)), "built-in")
+}
+
+/** Optimizer rule: rewrite the idiomatic higher-order-function dot
+  * product — `aggregate(zip_with(a, b, (x, y) -> x * y), 0d,
+  * (acc, v) -> acc + v)` — into [[DotDoubleExpr]]. Users (and SQL
+  * authors) writing the natural declarative form then get the fused
+  * codegen'd loop without knowing the native function exists; the
+  * rewrite is semantics-preserving because DotDoubleExpr reproduces
+  * the HOF null contract exactly (length mismatch / null element /
+  * null array → null) and both fold left-to-right (double + and × are
+  * commutative bit-for-bit, so argument order inside the lambdas is
+  * free). Guards are structural: double arrays, literal 0.0 zero, a
+  * two-distinct-variable product (zip_with(a, a, x*x)-style
+  * same-variable lambdas do NOT match), an identity finish lambda.
+  * Registered via GraftExtensions.injectOptimizerRule. */
+object DotDoubleRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def isArrDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(l, r, LambdaFunction(
+              Multiply(ma: NamedLambdaVariable, mb: NamedLambdaVariable, _),
+              Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(
+              Add(aa: NamedLambdaVariable, ab: NamedLambdaVariable, _),
+              Seq(mc: NamedLambdaVariable, me: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(fa: NamedLambdaVariable), _))
+          if zero == 0.0 && isArrDouble(l) && isArrDouble(r) &&
+            Set(ma.exprId, mb.exprId) == Set(zx.exprId, zy.exprId) &&
+            Set(aa.exprId, ab.exprId) == Set(mc.exprId, me.exprId) &&
+            fin.exprId == fa.exprId =>
+        DotDoubleExpr(l, r)
+    }
 }

@@ -10,12 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions
   *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
   *
-  * Injects the range-lookup planner strategy and the ip_to_int /
-  * nfc_normalize SQL functions into every session built with it.
+  * Injects the range-lookup planner strategy, the ip_to_int /
+  * nfc_normalize / dot_double SQL functions, and the HOF-dot-product
+  * rewrite rule into every session built with it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => RangeLookup.Strategy)
+    e.injectOptimizerRule(_ => DotDoubleRule)
     e.injectFunction((
       FunctionIdentifier("ip_to_int"),
       new ExpressionInfo(classOf[IpToIntExpr].getName, "ip_to_int"),

@@ -24,15 +24,54 @@ class DotDoubleExprSpec extends SparkSpec {
     assert(df.filter(not(col("native") <=> col("hof"))).count() == 0)
   }
 
-  test("null array input yields null; empty arrays yield 0.0") {
+  test("null contract matches the HOF exactly: null/mismatched/empty") {
     val df = Seq(
-      (Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]),
-      (Some(Seq.empty[Double]), Some(Seq.empty[Double])))
+      (Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]), // null array
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])), // both empty
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0))))            // length mismatch
       .toDF("a", "b")
-      .select(Similarity.dotDouble(col("a"), col("b")).as("d"))
+      .select(Similarity.dotDouble(col("a"), col("b")).as("native"),
+        Similarity.dotDoubleHof(col("a"), col("b")).as("hof"))
     val rows = df.collect()
-    assert(rows(0).isNullAt(0))
-    assert(rows(1).getDouble(0) == 0.0)
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1),
+      "zip_with pads the short side with nulls and poisons the sum — " +
+        "the native expression must agree")
+  }
+
+  private def countDots(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+    plan.expressions.map(_.collect { case d: DotDoubleExpr => d }.size).sum +
+      plan.children.map(countDots).sum
+
+  test("optimizer rule rewrites the HOF pattern into the native expression") {
+    val df = vecs(9, 50, 8).toDF("a", "b")
+      .select(Similarity.dotDoubleHof(col("a"), col("b")).as("d"))
+    val analyzed = org.apache.spark.sql.GraftSqlBridge.logicalPlan(df)
+    assert(countDots(analyzed) == 0, "fixture must start as the HOF form")
+    val rewritten = graft.plans.DotDoubleRule(analyzed)
+    assert(countDots(rewritten) == 1, s"rule must fire:\n$rewritten")
+    // the rewritten plan computes identical values
+    val a = org.apache.spark.sql.GraftSqlBridge.dataset(spark, rewritten)
+      .collect().map(_.getDouble(0)).toSeq
+    val b = df.collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
+  test("rule guards: same-variable product and non-zero seed do not match") {
+    // zip_with(a, a, x*x): the product reuses ONE lambda variable —
+    // not a dot product of two arrays; must not rewrite
+    val sq = vecs(10, 5, 4).toDF("a", "b").select(
+      aggregate(zip_with(col("a"), col("a"), (x, _) => x * x),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(countDots(graft.plans.DotDoubleRule(
+      org.apache.spark.sql.GraftSqlBridge.logicalPlan(sq))) == 0)
+    // non-zero seed changes the result; must not rewrite
+    val seeded = vecs(11, 5, 4).toDF("a", "b").select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(1.0), (acc, x) => acc + x).as("d"))
+    assert(countDots(graft.plans.DotDoubleRule(
+      org.apache.spark.sql.GraftSqlBridge.logicalPlan(seeded))) == 0)
   }
 
   test("SQL registration works") {

@@ -33,6 +33,24 @@ class ExtensionsSpec extends AnyFunSuite {
       val dim = Seq((0L, 99L, "a")).toDF("lo", "hi", "tag")
       val out = graft.plans.RangeLookup.join(probes, dim, "k", "lo", "hi")
       assert(out.count() == 2)
+      // dot_double function + the HOF-rewrite optimizer rule (input
+      // must come from a real relation — literal arrays constant-fold
+      // before the rewrite can be observed)
+      assert(spark.sql(
+        "SELECT dot_double(array(1d, 2d), array(3d, 4d)) AS v")
+        .collect().head.getDouble(0) == 11.0)
+      spark.range(4).selectExpr(
+          "array(cast(id as double), cast(id + 1 as double)) AS a")
+        .createOrReplaceTempView("ext_vs")
+      val hof = spark.sql("""
+        SELECT aggregate(zip_with(a, a, (x, y) -> x * y),
+          0d, (acc, v) -> acc + v) AS d FROM ext_vs""")
+      assert(hof.queryExecution.optimizedPlan.expressions.map(
+        _.collect { case d: graft.plans.DotDoubleExpr => d }.size).sum == 1,
+        s"extension rule must rewrite the SQL HOF form:\n" +
+          hof.queryExecution.optimizedPlan)
+      // id=0: 0*0 + 1*1 = 1
+      assert(hof.orderBy("d").collect().head.getDouble(0) == 1.0)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
