@@ -775,6 +775,50 @@ object QueriesSample {
         CAST(MAX(rk) AS BIGINT) AS rank_max
       FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Constraint audit (operators/Validate.scala): null / domain /
+    * range / regex checks fused into ONE scan + a per-key hash agg for
+    * uniqueness — the pre-ingestion data-quality gate. The fixture
+    * mixes passing and failing checks (the 'error' event type is
+    * outside the declared set; value exceeds the declared range). */
+  private val q88 = Q(
+    "q88_validate",
+    (s, dir) =>
+      graft.operators.Validate.audit(Tables.events(s, dir), Seq(
+        graft.operators.Validate.NotNull("user_id"),
+        graft.operators.Validate.InSet("event_type",
+          Seq("view", "click", "purchase", "signup")),
+        graft.operators.Validate.InRange("value", 0.0, 100.0),
+        graft.operators.Validate.Matches("props", "^\\{"),
+        graft.operators.Validate.Unique(Seq("event_id"))))
+        .orderBy(col("check_name")),
+    Some("""SELECT 'not_null(user_id)' AS check_name,
+        CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        COUNT(*) AS n_rows FROM events
+      UNION ALL
+      SELECT 'in_set(event_type)',
+        CAST(SUM(CASE WHEN event_type IS NOT NULL
+          AND event_type NOT IN ('view','click','purchase','signup')
+          THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(*) FROM events
+      UNION ALL
+      SELECT 'in_range(value)',
+        CAST(SUM(CASE WHEN value IS NOT NULL
+          AND (value < 0.0 OR value > 100.0)
+          THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(*) FROM events
+      UNION ALL
+      SELECT 'matches(props)',
+        CAST(SUM(CASE WHEN props IS NOT NULL
+          AND NOT regexp_matches(props, '^\{')
+          THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(*) FROM events
+      UNION ALL
+      SELECT 'unique(event_id)',
+        CAST(COUNT(*) - (SELECT COUNT(*) FROM
+          (SELECT DISTINCT event_id FROM events) d) AS BIGINT),
+        COUNT(*) FROM events
+      ORDER BY check_name"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87)
+    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88)
 }
