@@ -819,6 +819,44 @@ object QueriesSample {
         COUNT(*) FROM events
       ORDER BY check_name"""))
 
+  /** Per-doc longest repeated substring (SuffixArray.longestRepeatPerDoc,
+    * capped at 16): rank ties give the full bounded-suffix length,
+    * adjacent distinct ranks resolve by LCP level descent. The oracle
+    * leans on the SA property the operator itself uses — a suffix's
+    * best match is one of its SA-order NEIGHBORS — so DuckDB sorts the
+    * bounded suffixes and char-compares each with LAG/LEAD only, never
+    * all pairs. Full level ladder required (startLen = 1), so the
+    * query runs on a 2% doc slice (the slice still scales with sf). */
+  private val q89 = Q(
+    "q89_longest_repeat",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
+      val idx = graft.operators.SuffixArray
+        .build(docs, "doc_id", "text", maxLen = 16)
+      graft.operators.SuffixArray.longestRepeatPerDoc(idx)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+          substr(text, CAST(i AS INT), 16) AS sfx
+        FROM documents, LATERAL (SELECT UNNEST(range(1, len(text)+1)) AS i) t
+        WHERE doc_id % 50 = 0),
+      o AS (SELECT doc_id, sfx,
+          LAG(sfx)  OVER (ORDER BY sfx, doc_id, pos) AS prv,
+          LEAD(sfx) OVER (ORDER BY sfx, doc_id, pos) AS nxt
+        FROM p),
+      l AS (SELECT doc_id,
+          GREATEST(
+            COALESCE((SELECT MAX(L) FROM (SELECT UNNEST(range(1, 17)) AS L) u
+              WHERE substr(sfx, 1, CAST(L AS INT)) = substr(prv, 1, CAST(L AS INT))
+                AND L <= len(sfx)), 0),
+            COALESCE((SELECT MAX(L) FROM (SELECT UNNEST(range(1, 17)) AS L) u
+              WHERE substr(sfx, 1, CAST(L AS INT)) = substr(nxt, 1, CAST(L AS INT))
+                AND L <= len(sfx)), 0)) AS rep
+        FROM o)
+      SELECT doc_id, CAST(MAX(rep) AS BIGINT) AS max_repeat_len
+      FROM l GROUP BY doc_id ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88)
+    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89)
 }
