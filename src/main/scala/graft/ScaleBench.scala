@@ -113,9 +113,38 @@ object ScaleBench {
       val boiler = timed("boilerplate_ngrams", acc) {
         Curation.boilerplateDocs(docs, "doc_id", "text", 8, 3).count()
       }
+      // round-4 operators at the same synthetic scale
+      val spans = timed("exact_dup_spans", acc) {
+        graft.operators.ExactSubstring
+          .dupSpans(docs, "doc_id", "text", 20).count()
+      }
+      val saRows = timed("suffix_ranks_2pct", acc) {
+        graft.operators.SuffixArray.suffixRanks(
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          maxLen = 32, startLen = 8).count()
+      }
+      val audited = timed("validate_audit", acc) {
+        graft.operators.Validate.audit(docs, Seq(
+          graft.operators.Validate.NotNull("text"),
+          graft.operators.Validate.Matches("text", "^[0-9a-f]"),
+          graft.operators.Validate.Unique(Seq("doc_id")))).count()
+      }
+      // synthetic embeddings: 16 md5-derived dims in [-1, 1), n/10 rows
+      val nEmb = math.max(1000L, n / 10)
+      val emb = spark.range(nEmb).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 15), i ->
+          cast(conv(substring(md5(concat(cast(id as string), ':', i)), 1, 8),
+            16, 10) as float) / 2147483648.0f - 1.0f)""").as("embedding"))
+      val bits = graft.operators.Similarity.bucketBitsFor(nEmb, 16)
+      val pairs = timed("cosine_neardup", acc) {
+        graft.operators.Similarity
+          .cosineNearDupPairs(emb, bits, threshold = 0.8).count()
+      }
       acc.append(f""""n_docs":$n,"dup_groups":$dupGroups,"star_edges":$edges,""" +
         f""""components":$comps,"chunk_groups":$chunkKept,""" +
-        f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler}""")
+        f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler,""" +
+        f""""dup_span_docs":$spans,"sa_positions":$saRows,""" +
+        f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs}""")
       println(acc.toString)
     } finally spark.stop()
   }

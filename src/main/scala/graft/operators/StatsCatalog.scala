@@ -85,4 +85,54 @@ object StatsCatalog {
       .filter(col("col_name") === column)
       .select(col(stat).cast("long"))
       .collect().headOption.map(_.getLong(0))
+
+  // ------------------------------------------------------------------
+  // File-level min/max — the data-skipping index a ZOrder (or any
+  // clustered) layout exists to tighten: a reader holding a predicate
+  // consults these instead of opening every footer.
+  // ------------------------------------------------------------------
+
+  /** Per-file min/max of numeric `columns` for the parquet table at
+    * `path`: ONE scan grouped by input_file_name (map-side combined —
+    * one output row per file×column, never data-sized). */
+  def collectFileStats(spark: SparkSession, path: String,
+                       columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty)
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"mn_$i"),
+        max(col(c)).cast("double").as(s"mx_$i"))
+    }
+    val rows = columns.zipWithIndex
+      .map { case (c, i) => s"'$c', mn_$i, mx_$i" }
+      .mkString(", ")
+    spark.read.parquet(path)
+      .select(input_file_name().as("file") +: columns.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("file",
+        s"stack(${columns.length}, $rows) AS (col_name, vmin, vmax)")
+  }
+
+  /** Persist file stats for `table` (same per-table refresh contract
+    * as profiles/histograms). */
+  def writeFileStats(dir: String, table: String, stats: DataFrame): Unit =
+    write(stats, s"$dir/filestats", table)
+
+  def readFileStats(spark: SparkSession, dir: String,
+                    table: String): DataFrame =
+    spark.read.parquet(s"$dir/filestats")
+      .filter(col("table_name") === table)
+      .drop("table_name")
+
+  /** Files provably irrelevant to `lo <= column <= hi` — the skip
+    * list a scan planner subtracts before listing. A file with NULL
+    * min/max (all-null column) is never claimed skippable. */
+  def skippableFiles(spark: SparkSession, dir: String, table: String,
+                     column: String, lo: Double, hi: Double): Seq[String] =
+    readFileStats(spark, dir, table)
+      .filter(col("col_name") === column &&
+        col("vmin").isNotNull && col("vmax").isNotNull &&
+        (col("vmax") < lo || col("vmin") > hi))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
 }

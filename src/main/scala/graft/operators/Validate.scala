@@ -85,4 +85,24 @@ object Validate {
         col("n_rows").cast("long").as("n_rows")))
       .reduce(_.union(_))
   }
+
+  /** Referential-integrity check — the cross-table member of the
+    * family (audit's checks are single-table): rows of `df` whose
+    * `column` value has no match in `dim(dimCol)`. Nulls pass (the
+    * shared null contract). One LEFT join against the DISTINCT key
+    * set (dedup first — a duplicated dimension key would multiply
+    * probe rows) + one conditional count; AQE broadcasts the key set
+    * when small. Result row unions with [[audit]]'s frame. */
+  def refIntegrity(df: DataFrame, column: String, dim: DataFrame,
+                   dimCol: String): DataFrame =
+    df.select(col(column))
+      .join(dim.select(col(dimCol).as("_dk")).distinct(),
+        col(column) === col("_dk"), "left")
+      .agg(
+        sum(when(col(column).isNotNull && col("_dk").isNull, 1L)
+          .otherwise(0L)).as("violations"),
+        count(lit(1)).as("n_rows"))
+      .select(lit(s"ref_integrity($column)").as("check_name"),
+        col("violations").cast("long").as("violations"),
+        col("n_rows").cast("long").as("n_rows"))
 }

@@ -61,6 +61,30 @@ class StatsCatalogSpec extends SparkSpec {
       Seq(2.5, 5.0, 9.0))
   }
 
+  test("file stats round-trip and prove skipping on a range-clustered layout") {
+    val dir = Files.createTempDirectory("graft-stats5").toString
+    val data = Files.createTempDirectory("graft-fstat").resolve("t").toString
+    // range-partitioned by value -> per-file min/max are tight slices
+    spark.range(1000).selectExpr("id", "cast(id as double) AS v")
+      .repartitionByRange(4, col("v"))
+      .write.parquet(data)
+    val stats = StatsCatalog.collectFileStats(spark, data, Seq("v"))
+    assert(stats.count() >= 4, "one row per file expected")
+    StatsCatalog.writeFileStats(dir, "t", stats)
+    val back = StatsCatalog.readFileStats(spark, dir, "t")
+    assert(back.count() == stats.count())
+    // a point-range predicate must skip most files...
+    val skip = StatsCatalog.skippableFiles(spark, dir, "t", "v", 10.0, 20.0)
+    assert(skip.size >= stats.count() - 2,
+      s"clustered layout should skip all but ~1 file, skipped ${skip.size}")
+    // ...and never skip a file that contains matching rows
+    val matching = spark.read.parquet(data)
+      .filter(col("v").between(10.0, 20.0))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(skip.toSet.intersect(matching).isEmpty, "skipped a needed file")
+  }
+
   test("the q76 equi-depth histogram persists and reads back as stats") {
     val dir = Files.createTempDirectory("graft-stats4").toString
     val hist = Queries.all("q76_equidepth_hist")(spark, sf())

@@ -40,6 +40,26 @@ class ValidateSpec extends SparkSpec {
     assert(got("unique(id,et)") == (0L, 4L))
   }
 
+  test("referential integrity counts orphan keys; nulls pass; unions with audit") {
+    val facts = Seq(Some(1L), Some(2L), Some(9L), None).toDF("k")
+    val dim = Seq(1L, 2L, 3L, 3L).toDF("dk") // duplicate key must not multiply
+    val report = Validate.audit(facts, Seq(NotNull("k")))
+      .union(Validate.refIntegrity(facts, "k", dim, "dk"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(report("ref_integrity(k)") == (1L, 4L)) // only 9 is an orphan
+    assert(report("not_null(k)") == (1L, 4L))
+  }
+
+  test("referential integrity on the star schema: orders -> customer is clean") {
+    val orders = Tables.orders(spark, sf())
+    val customer = Tables.customer(spark, sf())
+    val row = Validate.refIntegrity(orders, "o_custkey", customer, "c_custkey")
+      .collect().head
+    assert(row.getLong(1) == 0L, "every order must reference a customer")
+    assert(row.getLong(2) == orders.count())
+  }
+
   test("the one-scan claim holds: row-local audit reads the table once") {
     val audit = Validate.audit(Tables.events(spark, sf()), Seq(
       NotNull("user_id"), InSet("event_type", Seq("view")),
