@@ -30,6 +30,8 @@ object ColumnProfile {
   def profile(df: DataFrame, cols: Seq[ProfCol], exact: Boolean,
               rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.forall(!_.name.contains("'")),
+      "column names must not contain single quotes (interpolated into stack())")
     def ndv(c: Column): Column =
       if (exact) count_distinct(c) else approx_count_distinct(c, rsd)
     val aggs = cols.zipWithIndex.flatMap { case (pc, i) =>

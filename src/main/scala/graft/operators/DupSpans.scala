@@ -113,19 +113,30 @@ object DupSpans {
     coverageFromPositions(
       dupPositions(docs, idCol, textCol, n, minDocs, windowFastPath), n)
 
-  /** [[coverage]] over prebuilt duplicated (doc_id, pos) rows. */
-  def coverageFromPositions(p: DataFrame, n: Int): DataFrame = {
+  /** Maximal runs of overlapping/adjacent n-length windows over
+    * duplicated (doc_id, pos) rows — the ONE gaps-and-islands merge
+    * both substring-dedup consumers read (q75 sums run lengths, q86
+    * emits the runs as spans): a new island opens when
+    * `pos > prev + n`, each island covers max(pos)+n−min(pos) chars.
+    * Returns (doc_id, run_start, run_len). */
+  def islandRuns(p: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val isl = p
+    p
       .withColumn("b",
         when(lag(col("pos"), 1).over(w).isNull ||
           col("pos") > lag(col("pos"), 1).over(w) + n, 1L)
           .otherwise(0L))
       .withColumn("island", sum(col("b")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    isl.groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) + n - min(col("pos"))).as("run_len"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("run_start"),
+        (max(col("pos")) + n - min(col("pos"))).as("run_len"))
+      .select(col("doc_id"), col("run_start"), col("run_len"))
+  }
+
+  /** [[coverage]] over prebuilt duplicated (doc_id, pos) rows. */
+  def coverageFromPositions(p: DataFrame, n: Int): DataFrame =
+    islandRuns(p, n)
       .groupBy(col("doc_id"))
       .agg(sum(col("run_len")).as("covered"))
-  }
 }

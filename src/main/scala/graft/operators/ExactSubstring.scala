@@ -81,18 +81,8 @@ object ExactSubstring {
       .withColumn("c", count(lit(1)).over(wg))
       .filter(col("c") >= 2)
       .select(col("doc_id"), col("pos"))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    confirmed
-      .withColumn("b",
-        when(lag(col("pos"), 1).over(wd).isNull ||
-          col("pos") > lag(col("pos"), 1).over(wd) + minLen, 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("b")).over(
-        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + minLen - min(col("pos"))).cast("long")
-          .as("span_len"))
-      .select(col("doc_id"), col("span_start"), col("span_len"))
+    DupSpans.islandRuns(confirmed, minLen)
+      .select(col("doc_id"), col("run_start").as("span_start"),
+        col("run_len").cast("long").as("span_len"))
   }
 }

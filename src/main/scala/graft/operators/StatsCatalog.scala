@@ -98,6 +98,8 @@ object StatsCatalog {
   def collectFileStats(spark: SparkSession, path: String,
                        columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty)
+    require(columns.forall(!_.contains("'")),
+      "column names must not contain single quotes (interpolated into stack())")
     val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).cast("double").as(s"mn_$i"),
         max(col(c)).cast("double").as(s"mx_$i"))

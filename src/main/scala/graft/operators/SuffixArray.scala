@@ -61,14 +61,8 @@ object SuffixArray {
     val local = ranged.withColumn("_lr", dense_rank().over(w).cast("long"))
     val totals = local.groupBy(col("_b")).agg(max(col("_lr")).as("_t"))
       .orderBy(col("_b")).collect()
-    var acc = 0L
-    val offsets = totals.map { r =>
-      val o = (r.getInt(0), acc); acc += r.getLong(1); o
-    }.toMap
-    val offsetCol = offsets.foldLeft(lit(0L): Column) {
-      case (e, (b, off)) => when(col("_b") === b, lit(off)).otherwise(e)
-    }
-    local.withColumn("rank", col("_lr") + offsetCol)
+    local.withColumn("rank",
+        col("_lr") + WeightedSample.bucketOffsetCol(totals, col("_b")))
       .drop("_k", "_b", "_lr")
   }
 
@@ -94,9 +88,11 @@ object SuffixArray {
           s"transform(sequence(1, length($textCol)), " +
             s"i -> substring($textCol, i, $startLen))")).as(Seq("pos0", "c")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("c"))
-    // position count from the cheap pre-explode scan
-    val n = docs.where(length(col(textCol)) >= 1)
-      .agg(sum(length(col(textCol)).cast("long"))).collect()(0).getLong(0)
+    // position count from the cheap pre-explode scan; sum() over an
+    // empty frame is NULL — an empty corpus builds an empty index
+    val nRow = docs.where(length(col(textCol)) >= 1)
+      .agg(sum(length(col(textCol)).cast("long"))).collect()(0)
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     require(n < 3000000000L,
       s"packed pair keys need n < 3e9 positions, got $n — " +
         "use a two-column range sort past that")

@@ -56,6 +56,8 @@ object Validate {
     * combinations (null keys group like any other value). */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
+    require(checks.forall(!_.name.contains("'")),
+      "check names must not contain single quotes (interpolated into stack())")
     val rowLocal = checks.filter(!_.isInstanceOf[Unique])
     val uniques = checks.collect { case u: Unique => u }
     val frames = Seq.newBuilder[DataFrame]

@@ -81,15 +81,26 @@ object WeightedSample {
       .agg(sum(col(weightCol)).as("_t"))
       .orderBy(col("_b"))
       .collect()
+    local.withColumn("cum",
+        col("_cumLocal") + bucketOffsetCol(totals, col("_b")))
+      .drop("_b", "_cumLocal")
+  }
+
+  /** Fold collected per-bucket totals ((bucket id: Int, total: Long)
+    * rows in bucket order) into the broadcast starting-offset column
+    * every two-phase range scan adds to its per-bucket local values —
+    * shared by [[withCumWeight]] (prefix sums) and
+    * SuffixArray.denseRankBy (dense-rank offsets), so the offset
+    * arithmetic cannot diverge between them. */
+  private[operators] def bucketOffsetCol(
+      totals: Seq[org.apache.spark.sql.Row], bucket: Column): Column = {
     var acc = 0L
     val offsets = totals.map { r =>
       val o = (r.getInt(0), acc); acc += r.getLong(1); o
-    }.toMap
-    val offsetCol = offsets.foldLeft(lit(0L): Column) {
-      case (e, (b, off)) => when(col("_b") === b, lit(off)).otherwise(e)
     }
-    local.withColumn("cum", col("_cumLocal") + offsetCol)
-      .drop("_b", "_cumLocal")
+    offsets.foldLeft(lit(0L): Column) {
+      case (e, (b, off)) => when(bucket === b, lit(off)).otherwise(e)
+    }
   }
 
   /** Systematic PPS: exactly k of the rows, inclusion ∝ weight,

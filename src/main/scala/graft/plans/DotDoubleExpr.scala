@@ -99,10 +99,16 @@ object DotDoubleExpr {
     GraftSqlBridge.column(DotDoubleExpr(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  private[plans] def fromExprs(exprs: Seq[Expression]): DotDoubleExpr = {
+    require(exprs.length == 2,
+      s"dot_double expects 2 arguments, got ${exprs.length}")
+    DotDoubleExpr(exprs(0), exprs(1))
+  }
+
   /** SQL registration: SELECT dot_double(v, qv) ... */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_double", exprs => DotDoubleExpr(exprs(0), exprs(1)), "built-in")
+      "dot_double", fromExprs, "built-in")
 }
 
 /** Optimizer rule: rewrite the idiomatic higher-order-function dot
@@ -142,7 +148,13 @@ object DotDoubleRule
               Seq(mc: NamedLambdaVariable, me: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(fa: NamedLambdaVariable), _))
-          if zero == 0.0 && isArrDouble(l) && isArrDouble(r) &&
+          // raw-bits zero test: Scala's == calls -0.0 equal to 0.0,
+          // but a -0.0 seed is observable (empty arrays return the
+          // seed) and the native fold starts from +0.0
+          if (zero match {
+            case d: Double => java.lang.Double.doubleToRawLongBits(d) == 0L
+            case _ => false
+          }) && isArrDouble(l) && isArrDouble(r) &&
             Set(ma.exprId, mb.exprId) == Set(zx.exprId, zy.exprId) &&
             Set(aa.exprId, ab.exprId) == Set(mc.exprId, me.exprId) &&
             fin.exprId == fa.exprId =>

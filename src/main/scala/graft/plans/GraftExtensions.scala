@@ -29,6 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double"),
-      (exprs: Seq[Expression]) => DotDoubleExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotDoubleExpr.fromExprs(exprs)))
   }
 }

@@ -69,7 +69,11 @@ object StreamingAnn {
         if (rows.isEmpty) Iterator.empty
         else {
           val resident = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          // re-deliveries (at-least-once sources) must not re-add a
+          // resident: state stays one entry per vector, and probes
+          // pair each member once per arrival
           val newHome = rows.filter(_.home).map(_.id).distinct.sorted
+            .filterNot(resident.contains)
           val members = resident ++ newHome
           val out = Seq.newBuilder[Cand]
           rows.map(_.id).distinct.foreach { q =>

@@ -67,8 +67,18 @@ object StreamingFunnel {
           }
         }
         state.update(FunnelState(t.toSeq))
-        if (idleTimeoutMs >= 0 && batchSeq.nonEmpty)
-          state.setTimeoutTimestamp(batchSeq.map(_.ms).max + idleTimeoutMs)
+        if (idleTimeoutMs >= 0 && batchSeq.nonEmpty) {
+          // deadline from the latest activity SEEN (batch max or an
+          // already-recorded step time) — a late batch must never
+          // SHRINK the deadline; and clamp above the watermark: Spark
+          // throws on a timeout timestamp at/below it, and late rows
+          // DO reach this function (no pre-filter), so an old-ms
+          // straggler would otherwise kill the whole query
+          val lastSeen = (batchSeq.map(_.ms) ++ t.filter(_ >= 0)).max
+          state.setTimeoutTimestamp(
+            math.max(lastSeen + idleTimeoutMs,
+              state.getCurrentWatermarkMs() + 1))
+        }
         if (!alreadyDone && t(nSteps - 1) >= 0)
           Iterator(Conversion(user, t.toSeq))
         else Iterator.empty

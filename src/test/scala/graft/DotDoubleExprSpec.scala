@@ -72,6 +72,13 @@ class DotDoubleExprSpec extends SparkSpec {
         lit(1.0), (acc, x) => acc + x).as("d"))
     assert(countDots(graft.plans.DotDoubleRule(
       org.apache.spark.sql.GraftSqlBridge.logicalPlan(seeded))) == 0)
+    // -0.0 seed is observable (empty arrays return the seed; the
+    // native fold starts from +0.0) — raw-bits guard must not match
+    val negZero = vecs(12, 5, 4).toDF("a", "b").select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(-0.0), (acc, x) => acc + x).as("d"))
+    assert(countDots(graft.plans.DotDoubleRule(
+      org.apache.spark.sql.GraftSqlBridge.logicalPlan(negZero))) == 0)
   }
 
   test("SQL registration works") {

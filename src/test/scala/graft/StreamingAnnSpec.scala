@@ -67,6 +67,34 @@ class StreamingAnnSpec extends SparkSpec {
       "slicing (with per-slice query restarts) must not change the set")
   }
 
+  test("re-delivered vectors neither duplicate state nor emissions") {
+    // v0/v1 share a bucket (identical signs); v0 is delivered TWICE
+    // across slices (at-least-once source). v1's later arrival must
+    // pair with v0 exactly once per probe hit, not once per delivery.
+    val v0 = 0L -> Seq(0.5, 0.5, 0.5, 0.5, 0.1, 0.1, 0.1, 0.1)
+    val v1 = 1L -> Seq(0.4, 0.6, 0.5, 0.5, 0.2, 0.1, 0.1, 0.1)
+    val d = Files.createTempDirectory("graft-sann-redeliver")
+    val in = d.resolve("in").toString
+    val ckpt = d.resolve("ckpt").toString
+    val out = d.resolve("out").toString
+    Seq(Seq(v0), Seq(v0), Seq(v1)).foreach { slice =>
+      slice.toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+      val q = StreamingAnn.candidates(
+          spark.readStream.schema("id LONG, v ARRAY<DOUBLE>").parquet(in),
+          bits)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val raw = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // v1 probes bits+1 buckets but only ONE contains v0 (same bucket);
+    // had the re-delivery re-added v0 to state, this would be 2 rows
+    assert(raw.count(_ == (1L, 0L)) == 1,
+      s"duplicate emission from re-delivered resident: $raw")
+  }
+
   test("no self pairs; every pair is within Hamming distance 1") {
     val vecs = vectors(seed = 23, n = 40, dims = 8)
     val byId = vecs.toMap

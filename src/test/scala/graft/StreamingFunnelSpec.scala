@@ -124,7 +124,10 @@ class StreamingFunnelSpec extends SparkSpec {
       Seq((1L, 0, 10L), (1L, 1, 20L), (2L, 0, 30L)),
       Seq((2L, 1, 500000L)),
       Seq((2L, 0, 600000L)),
-      Seq((1L, 2, 600100L)))
+      // slice 4 includes a LATE straggler (ms far below the 600000
+      // watermark): its naive deadline would be below the watermark,
+      // which Spark rejects — the clamp must keep the query alive
+      Seq((1L, 2, 600100L), (3L, 0, 100L)))
     assert(streamedSlices(slices, idleTimeoutMs = 1000L) == Map.empty,
       "timed-out user must not convert from evicted state")
     assert(streamedSlices(slices, idleTimeoutMs = -1L) ==

@@ -93,6 +93,14 @@ class SuffixArraySpec extends SparkSpec {
     assert(ranks(1) == want && ranks(8) == want && ranks(32) == want)
   }
 
+  test("empty corpus builds an empty index instead of throwing") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(empty, "doc_id", "text", 8).count() == 0)
+    val onlyEmptyDocs = Seq(1L -> "", 2L -> "").toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(onlyEmptyDocs, "doc_id", "text", 8)
+      .count() == 0)
+  }
+
   test("rank assignment is invariant to the bucket count") {
     val docs = Seq(1L -> "mississippi", 2L -> "missive", 3L -> "pips")
     val a = SuffixArray.suffixRanks(docs.toDF("doc_id", "text"),
