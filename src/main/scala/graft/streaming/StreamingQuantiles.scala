@@ -49,9 +49,9 @@ object StreamingQuantiles {
     configure(w).start()
   }
 
-  /** Global quantiles: merge every committed batch sketch. */
-  def summary(spark: SparkSession, dir: String, qs: Seq[Double],
-              compression: Int): Seq[Double] = {
+  /** Merge every committed batch sketch into one compressed digest. */
+  def mergedCentroids(spark: SparkSession, dir: String,
+                      compression: Int): QuantileSketch.Centroids = {
     val sketches = spark.read.parquet(dir)
       .select(col("mean"), col("weight"), col("batch"))
       .collect()
@@ -59,6 +59,45 @@ object StreamingQuantiles {
       .toSeq.sortBy(_._1)
       .map(_._2.map(r =>
         (r.getAs[Double]("mean"), r.getAs[Long]("weight"))).toVector)
-    QuantileSketch.mergeAndQuantiles(sketches, qs, compression)
+    QuantileSketch.compress(
+      sketches.foldLeft(Vector.empty: QuantileSketch.Centroids)(_ ++ _),
+      compression)
+  }
+
+  /** Global quantiles: merge every committed batch sketch. */
+  def summary(spark: SparkSession, dir: String, qs: Seq[Double],
+              compression: Int): Seq[Double] =
+    QuantileSketch.quantilesOf(mergedCentroids(spark, dir, compression), qs)
+
+  /** Refresh the StatsCatalog equi-depth histogram for (table, column)
+    * from the sketch directory — the STREAMING leg of the stats
+    * pipeline: the stream maintains bounded mergeable sketches per
+    * batch, this refresh is a metadata-sized batch job over them (no
+    * data rescan), and a planner reads the result via
+    * `StatsCatalog.histogramBounds`. In the sketch's exact regime the
+    * boundaries equal the exact sorted ranks (q76's contract) and the
+    * per-bucket counts are exact; in the approximate regime both carry
+    * the documented O(q(1−q)/c) rank error. Buckets with no centroids
+    * are absent, matching q76's shape. */
+  def refreshCatalogHistogram(spark: SparkSession, sketchDir: String,
+                              catalogDir: String, table: String,
+                              column: String, nBuckets: Int,
+                              compression: Int): Unit = {
+    require(nBuckets >= 2)
+    val merged = mergedCentroids(spark, sketchDir, compression)
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = QuantileSketch.quantilesOf(merged, qs).toArray
+    def bucketOf(m: Double): Int = {
+      val i = bounds.indexWhere(m <= _)
+      if (i < 0) nBuckets - 1 else i
+    }
+    val rows = merged.groupBy { case (m, _) => bucketOf(m) }
+      .toSeq.sortBy(_._1)
+      .map { case (b, cs) =>
+        (b, cs.map(_._2).sum, cs.map(_._1).min, cs.map(_._1).max)
+      }
+    import spark.implicits._
+    graft.operators.StatsCatalog.writeHistogram(catalogDir, table, column,
+      rows.toDF("bucket", "n", "vmin", "vmax"))
   }
 }

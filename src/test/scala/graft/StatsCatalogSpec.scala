@@ -85,6 +85,30 @@ class StatsCatalogSpec extends SparkSpec {
     assert(skip.toSet.intersect(matching).isEmpty, "skipped a needed file")
   }
 
+  test("z-ordered layout yields a skip index effective on BOTH dimensions") {
+    // the payoff the ZOrder writer exists for: after interleaved-key
+    // clustering, per-file min/max are tight in x AND y, so a range
+    // predicate on EITHER dimension prunes files (a plain range
+    // partition by x would prune only x)
+    val dir = Files.createTempDirectory("graft-stats6").toString
+    val data = Files.createTempDirectory("graft-zskip").resolve("t").toString
+    val grid = spark.range(4096)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y")
+    graft.operators.ZOrder.writeZOrdered(grid, Seq("x", "y"), bits = 6,
+      numFiles = 8, path = data)
+    val stats = StatsCatalog.collectFileStats(spark, data, Seq("x", "y"))
+    StatsCatalog.writeFileStats(dir, "z", stats)
+    val skipX = StatsCatalog.skippableFiles(spark, dir, "z", "x", 0.0, 7.0)
+    val skipY = StatsCatalog.skippableFiles(spark, dir, "z", "y", 0.0, 7.0)
+    assert(skipX.size >= 2 && skipY.size >= 2,
+      s"z-order should prune both dims, got x=${skipX.size} y=${skipY.size}")
+    // never skip a file holding matching rows
+    val needX = spark.read.parquet(data).filter(col("x").between(0, 7))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(skipX.toSet.intersect(needX).isEmpty)
+  }
+
   test("the q76 equi-depth histogram persists and reads back as stats") {
     val dir = Files.createTempDirectory("graft-stats4").toString
     val hist = Queries.all("q76_equidepth_hist")(spark, sf())

@@ -41,6 +41,40 @@ class StreamingQuantilesSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("catalog histogram refresh from stream sketches is exact in the exact regime") {
+    val d = Files.createTempDirectory("graft-sq-cat")
+    val in = d.resolve("in"); Files.createDirectories(in)
+    val sk = d.resolve("sk").toString
+    val catalog = d.resolve("stats").toString
+    val rnd = new scala.util.Random(47)
+    val all = (1 to 800).map(_ => rnd.nextInt(100000) / 10.0)
+    all.grouped(200).zipWithIndex.foreach { case (rows, i) =>
+      Files.write(in.resolve(s"b$i.csv"),
+        (rows.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      val vals = spark.readStream.schema("v DOUBLE").csv(in.toString)
+      val q = StreamingQuantiles.run(vals, "v", compression = 1600, sk,
+        d.resolve("ckpt").toString, _.trigger(Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    StreamingQuantiles.refreshCatalogHistogram(spark, sk, catalog,
+      "events", "v", nBuckets = 4, compression = 1600)
+    val sorted = all.sorted.toIndexedSeq
+    val wantBounds = Seq(0.25, 0.5, 0.75).map(q =>
+      sorted(math.floor(q * (sorted.length - 1)).toInt))
+    // exact regime: boundaries equal the exact sorted ranks, per-bucket
+    // counts sum to the stream total, and the planner-facing reader
+    // returns ascending bounds
+    val hist = graft.operators.StatsCatalog
+      .readHistogram(spark, catalog, "events", "v")
+      .orderBy("bucket").collect()
+    assert(hist.map(_.getLong(1)).sum == all.size.toLong)
+    val bounds = graft.operators.StatsCatalog
+      .histogramBounds(spark, catalog, "events", "v")
+    assert(bounds == bounds.sorted)
+    // the first three buckets' vmax are exactly the quartile boundaries
+    assert(hist.take(3).map(_.getDouble(3)).toSeq == wantBounds)
+  }
+
   test("approximate regime: rank error within 2% across batches") {
     val rnd = new scala.util.Random(5)
     val n = 12000
