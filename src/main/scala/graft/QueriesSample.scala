@@ -857,6 +857,33 @@ object QueriesSample {
       SELECT doc_id, CAST(MAX(rep) AS BIGINT) AS max_repeat_len
       FROM l GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Incremental SCD2 maintenance (Scd2.applyChanges): the dimension
+    * is built from HALF the signup stream, then the other half is
+    * folded in incrementally — and the oracle builds the whole thing
+    * in one window pass, pinning the incremental-equals-batch
+    * contract (only changed keys are ever re-windowed). */
+  private val q90 = Q(
+    "q90_scd2_apply_changes",
+    (s, dir) => {
+      val upd = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("value"),
+          unix_millis(col("ts")).as("ms"), col("event_id"))
+      val base = Scd2.versions(upd.filter(col("event_id") % 2 === 0),
+        "user_id", "ms", "event_id", Seq("value"), keepTie = true)
+      Scd2.applyChanges(base, upd.filter(col("event_id") % 2 === 1),
+          "user_id", "ms", "event_id", Seq("value"))
+        .select(col("user_id"), col("value"), col("vfrom"), col("vto"))
+        .orderBy(col("user_id"), col("vfrom"), col("vto"))
+    },
+    Some("""WITH upd AS (
+        SELECT user_id, value, epoch_ms(ts) AS ms, event_id FROM events
+        WHERE event_type = 'signup')
+      SELECT user_id, value, ms AS vfrom,
+        LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS vto
+      FROM upd ORDER BY user_id, vfrom, vto"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89)
+    q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
+    q90)
 }

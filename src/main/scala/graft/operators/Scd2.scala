@@ -23,15 +23,47 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   /** (key, attrs…, vfrom, vto): `vto` NULL = still current. `tieCol`
-    * breaks equal-ts updates deterministically. */
+    * breaks equal-ts updates deterministically. `keepTie` stores the
+    * tiebreak column too — required for a table that will be
+    * incrementally maintained by [[applyChanges]] (rebuilding a key's
+    * intervals needs the original per-update order, and equal-ts
+    * updates are indistinguishable without it). */
   def versions(updates: DataFrame, keyCol: String, tsCol: String,
-               tieCol: String, attrs: Seq[String]): DataFrame = {
+               tieCol: String, attrs: Seq[String],
+               keepTie: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
-    updates.select(
-      (col(keyCol) +: attrs.map(col) :+
-        col(tsCol).cast("long").as("vfrom") :+
-        lead(col(tsCol).cast("long"), 1).over(w).as("vto")): _*)
+    val base = col(keyCol) +: attrs.map(col) :+
+      col(tsCol).cast("long").as("vfrom") :+
+      lead(col(tsCol).cast("long"), 1).over(w).as("vto")
+    updates.select((if (keepTie) base :+ col(tieCol) else base): _*)
+  }
+
+  /** Incremental SCD2 maintenance: fold a batch of new updates into an
+    * existing versions table (built with `keepTie = true`), touching
+    * ONLY the changed keys — the periodic dimension-maintenance job,
+    * and the natural foreachBatch body for a streaming changelog.
+    * Unchanged keys pass through as-is (anti-join slice, no window);
+    * changed keys' intervals are rebuilt from their stored versions +
+    * the new updates, so the windowed work is O(changed slice), never
+    * O(dimension). Exactness (q90's oracle, Scd2Spec): because
+    * intervals are a deterministic function of the per-key update
+    * sequence and the tiebreak is stored,
+    * `applyChanges(versions(u1), u2) == versions(u1 ∪ u2)` for ANY
+    * split of the update stream, equal-ts ties included. */
+  def applyChanges(current: DataFrame, updates: DataFrame, keyCol: String,
+                   tsCol: String, tieCol: String,
+                   attrs: Seq[String]): DataFrame = {
+    val keys = updates.select(col(keyCol)).distinct()
+    val untouched = current.join(keys, Seq(keyCol), "left_anti")
+    val reconstructed = current.join(keys, Seq(keyCol), "left_semi")
+      .select((col(keyCol) +: attrs.map(col) :+
+        col("vfrom").as(tsCol) :+ col(tieCol)): _*)
+    val fresh = updates.select((col(keyCol) +: attrs.map(col) :+
+      col(tsCol).cast("long").as(tsCol) :+ col(tieCol)): _*)
+    versions(reconstructed.unionByName(fresh), keyCol, tsCol, tieCol,
+      attrs, keepTie = true)
+      .unionByName(untouched)
   }
 
   /** Facts resolved to their point-in-time version: inner join, facts

@@ -46,4 +46,38 @@ class Scd2Spec extends SparkSpec {
       .select(col("attr")).as[String].collect().toSeq
     assert(got == Seq("new")) // [100,100) can't match; the survivor wins
   }
+
+  private def versionSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "attr", "vfrom", "vto")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+
+  test("applyChanges equals the one-shot build for any split, ties included") {
+    val rnd = new scala.util.Random(61)
+    val all = (1L to 60L).map(i =>
+      // equal-ts collisions on purpose (ts mod 7): the stored tiebreak
+      // must keep the incremental rebuild exact
+      (rnd.nextInt(6).toLong, (rnd.nextInt(7) * 100).toLong, i,
+        s"v$i")).toDF("k", "ts", "id", "attr")
+    val want = versionSet(
+      Scd2.versions(all, "k", "ts", "id", Seq("attr"), keepTie = true))
+    for (mod <- Seq(2L, 3L)) {
+      val base = Scd2.versions(all.filter(col("id") % mod === 0),
+        "k", "ts", "id", Seq("attr"), keepTie = true)
+      val got = versionSet(Scd2.applyChanges(base,
+        all.filter(col("id") % mod =!= 0), "k", "ts", "id", Seq("attr")))
+      assert(got == want, s"split mod=$mod diverged")
+    }
+  }
+
+  test("applyChanges leaves unchanged keys' rows untouched") {
+    val base = Scd2.versions(updates, "k", "ts", "id", Seq("attr"),
+      keepTie = true)
+    val changes = Seq((2L, 500L, 9L, "y")).toDF("k", "ts", "id", "attr")
+    val got = Scd2.applyChanges(base, changes, "k", "ts", "id", Seq("attr"))
+    // key 1 versions identical; key 2 now has two chained versions
+    assert(versionSet(got.filter(col("k") === 1L)) ==
+      versionSet(base.filter(col("k") === 1L)))
+    assert(versionSet(got.filter(col("k") === 2L)) == Set(
+      (2L, "x", 150L, Some(500L)), (2L, "y", 500L, None)))
+  }
 }
