@@ -180,11 +180,15 @@ object QuantileSketch {
   def sketch(value: Column, compression: Int): Column =
     udaf(new TDigestSketch(compression)).apply(value)
 
-  /** Merge already-compressed sketches into one and extract quantiles —
-    * the reduce side of a sketch-per-batch design. Exact whenever the
+  /** Merge already-compressed sketches into one compressed digest —
+    * the reduce side of a sketch-per-batch design (StreamingQuantiles
+    * reads batch sketches into this). */
+  def mergeSketches(sketches: Seq[Centroids], compression: Int): Centroids =
+    compress(sketches.foldLeft(Vector.empty: Centroids)(_ ++ _), compression)
+
+  /** [[mergeSketches]] + quantile extraction. Exact whenever the
     * exact-regime condition held for the TOTAL weight. */
   def mergeAndQuantiles(sketches: Seq[Centroids], qs: Seq[Double],
                         compression: Int): Seq[Double] =
-    quantilesOf(compress(sketches.foldLeft(Vector.empty: Centroids)(_ ++ _),
-      compression), qs)
+    quantilesOf(mergeSketches(sketches, compression), qs)
 }

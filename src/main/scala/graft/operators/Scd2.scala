@@ -31,11 +31,18 @@ object Scd2 {
   def versions(updates: DataFrame, keyCol: String, tsCol: String,
                tieCol: String, attrs: Seq[String],
                keepTie: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col(tieCol))
+    // order by the SAME cast-long value that is stored as vfrom — if
+    // the window ordered by the raw tsCol, sub-unit timestamp
+    // precision would order the build but be absent from the stored
+    // interval, and applyChanges' rebuild-from-vfrom would diverge
+    // from the one-shot build. Consequence: ts compares at long
+    // precision; pre-convert upstream (e.g. unix_millis) when
+    // sub-unit order matters.
+    val tsL = col(tsCol).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(tsL, col(tieCol))
     val base = col(keyCol) +: attrs.map(col) :+
-      col(tsCol).cast("long").as("vfrom") :+
-      lead(col(tsCol).cast("long"), 1).over(w).as("vto")
+      tsL.as("vfrom") :+
+      lead(tsL, 1).over(w).as("vto")
     updates.select((if (keepTie) base :+ col(tieCol) else base): _*)
   }
 
@@ -54,7 +61,10 @@ object Scd2 {
   def applyChanges(current: DataFrame, updates: DataFrame, keyCol: String,
                    tsCol: String, tieCol: String,
                    attrs: Seq[String]): DataFrame = {
-    val keys = updates.select(col(keyCol)).distinct()
+    // materialize the (small) changed-key set once — it drives both
+    // the anti and the semi join, and recomputing it would re-scan
+    // the updates batch and re-run the distinct shuffle twice
+    val keys = updates.select(col(keyCol)).distinct().localCheckpoint()
     val untouched = current.join(keys, Seq(keyCol), "left_anti")
     val reconstructed = current.join(keys, Seq(keyCol), "left_semi")
       .select((col(keyCol) +: attrs.map(col) :+

@@ -43,10 +43,19 @@ object StatsCatalog {
     write(profile, s"$dir/profile", table)
 
   /** Persist an equi-depth histogram (q76 shape: bucket, n, vmin, vmax)
-    * for one column of `table`. */
+    * for one column of `table`. Types are normalized on write (bucket/n
+    * → long, vmin/vmax → double): the catalog root holds every writer's
+    * files side by side, and parquet readers refuse mixed INT32/INT64
+    * for one column. */
   def writeHistogram(dir: String, table: String, column: String,
                      hist: DataFrame): Unit =
-    write(hist.withColumn("col_name", lit(column)), s"$dir/histogram", table)
+    write(hist
+        .withColumn("bucket", col("bucket").cast("long"))
+        .withColumn("n", col("n").cast("long"))
+        .withColumn("vmin", col("vmin").cast("double"))
+        .withColumn("vmax", col("vmax").cast("double"))
+        .withColumn("col_name", lit(column)),
+      s"$dir/histogram", table)
 
   /** All stored profile rows for `table` (partition-pruned read). */
   def readProfile(spark: SparkSession, dir: String, table: String): DataFrame =

@@ -59,9 +59,7 @@ object StreamingQuantiles {
       .toSeq.sortBy(_._1)
       .map(_._2.map(r =>
         (r.getAs[Double]("mean"), r.getAs[Long]("weight"))).toVector)
-    QuantileSketch.compress(
-      sketches.foldLeft(Vector.empty: QuantileSketch.Centroids)(_ ++ _),
-      compression)
+    QuantileSketch.mergeSketches(sketches, compression)
   }
 
   /** Global quantiles: merge every committed batch sketch. */

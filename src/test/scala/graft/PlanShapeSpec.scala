@@ -186,6 +186,28 @@ class PlanShapeSpec extends SparkSpec {
       s"document text in more than the confirm-rejoin exchange:\n$p")
   }
 
+  test("incremental SCD2 windows only the changed slice") {
+    // applyChanges' contract: unchanged keys pass through an anti
+    // join; exactly ONE Window node exists (the changed-keys rebuild)
+    // — a second would mean the stored dimension is being re-windowed.
+    // The stored table is checkpointed first so its own build window
+    // (q90 constructs it inline) doesn't appear in the maintained plan.
+    import org.apache.spark.sql.functions.unix_millis
+    val upd = Tables.events(spark, sf())
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("value"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+    val base = graft.operators.Scd2
+      .versions(upd.filter(col("event_id") % 2 === 0),
+        "user_id", "ms", "event_id", Seq("value"), keepTie = true)
+      .localCheckpoint()
+    val p = planOf(graft.operators.Scd2.applyChanges(base,
+      upd.filter(col("event_id") % 2 === 1),
+      "user_id", "ms", "event_id", Seq("value")))
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly one Window (rebuild only):\n$p")
+  }
+
   test("curation gram stage hashes n-grams before the first exchange") {
     // every Exchange in the boilerplate pipeline must carry gh (16-byte
     // md5) or doc ids — never the gram text g or the document text

@@ -69,6 +69,21 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("ts compares at stored long precision; sub-unit order defers to the tie") {
+    // the window must order by the SAME cast-long value stored as
+    // vfrom — otherwise applyChanges' rebuild-from-vfrom diverges
+    // from the one-shot build for fractional timestamps
+    val u = Seq((1L, 1.1, 7L, "A"), (1L, 1.9, 5L, "B"))
+      .toDF("k", "ts", "id", "attr")
+    val want = versionSet(
+      Scd2.versions(u, "k", "ts", "id", Seq("attr"), keepTie = true))
+    assert(want == Set((1L, "B", 1L, Some(1L)), (1L, "A", 1L, None)))
+    val base = Scd2.versions(u.filter(col("id") === 5L),
+      "k", "ts", "id", Seq("attr"), keepTie = true)
+    assert(versionSet(Scd2.applyChanges(base, u.filter(col("id") === 7L),
+      "k", "ts", "id", Seq("attr"))) == want)
+  }
+
   test("applyChanges leaves unchanged keys' rows untouched") {
     val base = Scd2.versions(updates, "k", "ts", "id", Seq("attr"),
       keepTie = true)

@@ -102,11 +102,13 @@ class StatsCatalogSpec extends SparkSpec {
     val skipY = StatsCatalog.skippableFiles(spark, dir, "z", "y", 0.0, 7.0)
     assert(skipX.size >= 2 && skipY.size >= 2,
       s"z-order should prune both dims, got x=${skipX.size} y=${skipY.size}")
-    // never skip a file holding matching rows
-    val needX = spark.read.parquet(data).filter(col("x").between(0, 7))
+    // never skip a file holding matching rows — on either dimension
+    def needed(c: String) = spark.read.parquet(data)
+      .filter(col(c).between(0, 7))
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
-    assert(skipX.toSet.intersect(needX).isEmpty)
+    assert(skipX.toSet.intersect(needed("x")).isEmpty)
+    assert(skipY.toSet.intersect(needed("y")).isEmpty)
   }
 
   test("the q76 equi-depth histogram persists and reads back as stats") {
