@@ -883,7 +883,78 @@ object QueriesSample {
         LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS vto
       FROM upd ORDER BY user_id, vfrom, vto"""))
 
+  /** END-TO-END semantic dedup: embedding near-dup pairs (q34's
+    * bucketed double-prefilter/decimal-confirm operator) → connected
+    * components (q40's contraction operator) → retention summary —
+    * the embedding-space twin of q44's MinHash retention pipeline,
+    * proving the two operators compose. Keep-one-per-cluster:
+    * dropped = clustered − clusters. Oracle rebuilds the same pairs
+    * in SQL and walks them with a recursive CTE. */
+  private val q91 = Q(
+    "q91_semantic_dedup",
+    (s, dir) => {
+      val pairs = Similarity
+        .cosineNearDupPairs(Tables.embeddings(s, dir), bits = 8,
+          threshold = 0.3)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val totals = Tables.embeddings(s, dir)
+        .agg(count(lit(1)).as("n_vectors"))
+      comps.agg(
+          count(lit(1)).as("n_clustered"),
+          count_distinct(col("component")).as("n_clusters"))
+        .withColumn("n_dropped", col("n_clustered") - col("n_clusters"))
+        .crossJoin(broadcast(totals))
+        .select(col("n_vectors"), col("n_clustered"), col("n_clusters"),
+          col("n_dropped"))
+    },
+    Some("""WITH RECURSIVE ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      meta AS (
+        SELECT vec_id,
+          (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+          (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+          (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
+          (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
+          (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
+          (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) +
+          (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS b
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, SQRT(CAST(SUM(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      cand AS (
+        SELECT ma.vec_id AS va, mb.vec_id AS vb
+        FROM meta ma JOIN meta mb ON ma.b = mb.b AND ma.vec_id < mb.vec_id),
+      dots AS (
+        SELECT c.va, c.vb,
+          CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN ev ea ON ea.vec_id = c.va
+        JOIN ev eb ON eb.vec_id = c.vb AND eb.i = ea.i
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT va, vb FROM dots
+        JOIN norms na ON na.vec_id = va
+        JOIN norms nb ON nb.vec_id = vb
+        WHERE dot / (na.nrm * nb.nrm) >= 0.3),
+      edges AS (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION SELECT vb, va FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+        COUNT(*) AS n_clustered,
+        COUNT(DISTINCT component) AS n_clusters,
+        COUNT(*) - COUNT(DISTINCT component) AS n_dropped
+      FROM comp"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
-    q90)
+    q90, q91)
 }
