@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.operators.Similarity
-import graft.operators.{Bfs, ColumnProfile, DupSpans, Funnel, NdvSketch, PageRank, QuantileSketch, RecordLinkage, Scd2, WeightedSample, ZOrder}
+import graft.operators.{Bfs, ColumnProfile, DupSpans, Funnel, MixtureSample, NdvSketch, PageRank, ProductQuant, QuantileSketch, RecordLinkage, Scd2, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -953,7 +953,213 @@ object QueriesSample {
         COUNT(*) - COUNT(DISTINCT component) AS n_dropped
       FROM comp"""))
 
+  /** Product-quantization encode census (operators/ProductQuant):
+    * stride-picked per-subspace codebook (m=4 subspaces of 16 dims),
+    * exact-decimal argmin code per (vector, subspace), then the code
+    * histogram per subspace — the compression-side oracle of the PQ
+    * pair (q93 is the search side). The census is what an index build
+    * reports: dead codes and skewed cells mean a bad codebook. */
+  private val q92 = Q(
+    "q92_pq_encode",
+    (s, dir) =>
+      // encoding shared with q93/q95 via SharedPq (one materialization
+      // per session+input — the persisted-code-table shape)
+      SharedPq.encoded(s, dir)
+        .groupBy(col("j").cast("long").as("j"), col("code"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_vec"))
+        .orderBy(col("j"), col("code")),
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      sub AS (
+        SELECT vec_id, CAST((i-1)//16 AS BIGINT) AS j, (i-1)%16 AS si, x
+        FROM ev),
+      cents AS (
+        SELECT CAST(vec_id // 29 AS BIGINT) AS code, vec_id AS cvid
+        FROM embeddings WHERE vec_id % 29 = 0),
+      cs AS (SELECT c.code, s.j, s.si, s.x
+             FROM cents c JOIN sub s ON s.vec_id = c.cvid),
+      d AS (SELECT s.vec_id, s.j, c.code,
+              SUM(CAST((s.x-c.x)*(s.x-c.x) AS DECIMAL(18,16))) AS d2
+            FROM sub s JOIN cs c ON c.j = s.j AND c.si = s.si
+            GROUP BY 1, 2, 3),
+      best AS (SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                               ORDER BY d2 ASC, code ASC) AS rk
+          FROM d) t
+        WHERE rk = 1)
+      SELECT j, code, COUNT(*) AS n, MIN(vec_id) AS min_vec
+      FROM best GROUP BY 1, 2 ORDER BY j, code"""))
+
+  /** PQ asymmetric-distance (ADC) search: 4 query vectors against the
+    * CODES, never the floats — per query a tiny m×ksub decimal
+    * distance table, per candidate an exact decimal sum of m table
+    * entries, top-3 with id tiebreak. Ranks only in the output (the
+    * double cast of the decimal ADC rounds differently across engines
+    * — same contract as q48). Completes the PQ oracle pair; composing
+    * with q48's probed cells gives IVF-PQ, the standard
+    * memory-resident 100 TB ANN index. */
+  private val q93 = Q(
+    "q93_pq_adc_search",
+    (s, dir) => {
+      val e = SharedIvf.vectors(s, dir)
+      ProductQuant.adcSearchDecimal(SharedPq.encoded(s, dir),
+          SharedPq.codebook(s, dir), e.filter(col("id") < 4),
+          k = 3, m = 4, dsub = 16)
+        .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      sub AS (
+        SELECT vec_id, CAST((i-1)//16 AS BIGINT) AS j, (i-1)%16 AS si, x
+        FROM ev),
+      cents AS (
+        SELECT CAST(vec_id // 29 AS BIGINT) AS code, vec_id AS cvid
+        FROM embeddings WHERE vec_id % 29 = 0),
+      cs AS (SELECT c.code, s.j, s.si, s.x
+             FROM cents c JOIN sub s ON s.vec_id = c.cvid),
+      d AS (SELECT s.vec_id, s.j, c.code,
+              SUM(CAST((s.x-c.x)*(s.x-c.x) AS DECIMAL(18,16))) AS d2
+            FROM sub s JOIN cs c ON c.j = s.j AND c.si = s.si
+            GROUP BY 1, 2, 3),
+      best AS (SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                               ORDER BY d2 ASC, code ASC) AS rk
+          FROM d) t
+        WHERE rk = 1),
+      dt AS (SELECT vec_id AS q_id, j, code, d2 FROM d WHERE vec_id < 4),
+      adc AS (SELECT dt.q_id, b.vec_id, SUM(dt.d2) AS adcd
+              FROM best b JOIN dt ON dt.j = b.j AND dt.code = b.code
+              WHERE b.vec_id <> dt.q_id
+              GROUP BY 1, 2),
+      ranked AS (SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY adcd ASC, vec_id ASC) AS rnk
+        FROM adc)
+      SELECT q_id, vec_id, rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
+  /** IVF-PQ search — the COMPOSITION of the q47/q48 inverted file and
+    * the q92/q93 code table, and the shape of the standard
+    * memory-resident billion-vector index: probed cells pick the
+    * candidates (equi-join on cid), ADC ranks them from codes alone.
+    * Shares all three artifacts (assignment, codebook, encoding) with
+    * their owning queries via SharedIvf/SharedPq. */
+  private val q95 = Q(
+    "q95_ivfpq_search",
+    (s, dir) => {
+      val e = SharedIvf.vectors(s, dir)
+      ProductQuant.ivfPqSearchDecimal(
+          SharedPq.encoded(s, dir), SharedIvf.assignment(s, dir),
+          SharedIvf.centroids(s, dir), e.filter(col("id") < 4),
+          SharedPq.codebook(s, dir), nprobe = 2, k = 3, m = 4, dsub = 16)
+        .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      icents AS (
+        SELECT CAST(vec_id // 97 AS BIGINT) AS cid, vec_id AS cvid
+        FROM embeddings WHERE vec_id % 97 = 0),
+      ice AS (SELECT c.cid, e.i, e.x
+              FROM icents c JOIN ev e ON e.vec_id = c.cvid),
+      xx AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(18,16))) AS xx
+             FROM ev GROUP BY 1),
+      icc AS (SELECT cid, SUM(CAST(x*x AS DECIMAL(18,16))) AS cc
+              FROM ice GROUP BY 1),
+      ixc AS (SELECT e.vec_id, c.cid, SUM(CAST(e.x*c.x AS DECIMAL(18,16))) AS xc
+              FROM ev e JOIN ice c ON e.i = c.i GROUP BY 1, 2),
+      id2 AS (SELECT ixc.vec_id, ixc.cid, xx.xx + icc.cc - 2*ixc.xc AS d2
+              FROM ixc JOIN xx ON xx.vec_id = ixc.vec_id
+                      JOIN icc ON icc.cid = ixc.cid),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, cid ASC) AS rk
+          FROM id2) t
+        WHERE rk = 1),
+      probed AS (SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, cid ASC) AS rk
+          FROM id2 WHERE vec_id < 4) t
+        WHERE rk <= 2),
+      cand AS (SELECT p.q_id, a.vec_id FROM probed p
+               JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      sub AS (
+        SELECT vec_id, CAST((i-1)//16 AS BIGINT) AS j, (i-1)%16 AS si, x
+        FROM ev),
+      pcents AS (
+        SELECT CAST(vec_id // 29 AS BIGINT) AS code, vec_id AS cvid
+        FROM embeddings WHERE vec_id % 29 = 0),
+      pcs AS (SELECT c.code, s.j, s.si, s.x
+              FROM pcents c JOIN sub s ON s.vec_id = c.cvid),
+      pd AS (SELECT s.vec_id, s.j, c.code,
+               SUM(CAST((s.x-c.x)*(s.x-c.x) AS DECIMAL(18,16))) AS d2
+             FROM sub s JOIN pcs c ON c.j = s.j AND c.si = s.si
+             GROUP BY 1, 2, 3),
+      best AS (SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                               ORDER BY d2 ASC, code ASC) AS rk
+          FROM pd) t
+        WHERE rk = 1),
+      dt AS (SELECT vec_id AS q_id, j, code, d2 FROM pd WHERE vec_id < 4),
+      adc AS (SELECT c.q_id, c.vec_id, SUM(dt.d2) AS adcd
+              FROM cand c
+              JOIN best b ON b.vec_id = c.vec_id
+              JOIN dt ON dt.q_id = c.q_id AND dt.j = b.j
+                     AND dt.code = b.code
+              GROUP BY 1, 2),
+      ranked AS (SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY adcd ASC, vec_id ASC) AS rnk
+        FROM adc)
+      SELECT q_id, vec_id, rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
+  /** Temperature-weighted domain mixture (operators/MixtureSample):
+    * rebalance the corpus by language with α = 0.5 — the multilingual
+    * upsampling move — targeting half the corpus. All-integer rational
+    * comparison (u·n·W < T·w·2³² — DECIMAL(38,0) here, HUGEINT in
+    * DuckDB), so the kept SET is engine-exact, not just its size. */
+  private val q94 = Q(
+    "q94_domain_mixture",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.count() / 2
+      val kept = MixtureSample.temperatureSample(
+        docs, "lang", "doc_id", target, alpha = 0.5, seed = "mix94")
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+          Seq("lang"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH stats AS (
+        SELECT lang, COUNT(*) AS n,
+          CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                     CAST(SUM(n) AS BIGINT) AS tn FROM stats),
+      kept AS (
+        SELECT d.lang
+        FROM documents d JOIN stats s ON s.lang = d.lang CROSS JOIN tot t
+        WHERE CAST(CAST(('0x' || substr(md5('mix94:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT)
+                * s.n * t.tw
+              < CAST(t.tn // 2 AS HUGEINT) * s.w * 4294967296)
+      SELECT s.lang, s.n AS n_docs, COALESCE(k.n_kept, 0) AS n_kept
+      FROM stats s
+      LEFT JOIN (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY 1) k
+        ON k.lang = s.lang
+      ORDER BY s.lang"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91)
+    q90, q91, q92, q93, q94, q95)
 }

@@ -174,3 +174,38 @@ object SharedIvf {
     cache.clear()
   }
 }
+
+/** Product-quantization artifacts shared by q92/q93/q95: the
+  * exact-decimal code assignment is the expensive stage (a window over
+  * N·m·ksub candidate rows), and all three queries are views over it —
+  * same persist-between-stages move as [[SharedIvf]]. Deterministic
+  * function of the input (stride codebook + decimal argmin), so a
+  * cached read equals a recompute bit-for-bit. */
+object SharedPq {
+
+  val M = 4
+  val Dsub = 16
+  val Stride = 29
+
+  private final case class Key(session: SparkSession, dir: String)
+  private val cache =
+    TrieMap.empty[Key, org.apache.spark.sql.DataFrame]
+
+  import graft.operators.ProductQuant
+
+  def codebook(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ProductQuant.codebookByStride(SharedIvf.vectors(s, dir), M, Dsub, Stride)
+
+  /** Materialized (id, j, code) exact-decimal PQ encoding. */
+  def encoded(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cache.getOrElseUpdate(Key(s, dir),
+      ProductQuant.encodeDecimal(SharedIvf.vectors(s, dir),
+        codebook(s, dir), M, Dsub).localCheckpoint())
+
+  def clear(): Unit = synchronized {
+    cache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+}
