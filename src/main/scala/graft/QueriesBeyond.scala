@@ -351,6 +351,32 @@ object QueriesBeyond {
         <= GREATEST(len(ta.text), len(tb.text))
       ORDER BY doc_a, doc_b"""))
 
+  /** Incremental LSH dedup (Dedup.incrementalCandidatePairs): docs
+    * with doc_id % 10 == 0 arrive as a NEW crawl batch against the
+    * index of the other 90% — candidate pairs touching the batch come
+    * from ONE probe of the stored band table plus the batch self-join,
+    * never a corpus recompute (both sides here are filtered views of
+    * the SharedLsh band table, which IS the persisted index artifact).
+    * Oracle = the full-corpus LSH pair set restricted to pairs with a
+    * new member: exactly the incremental contract, as a set equality
+    * the hash comparison certifies. */
+  private val q96 = Q(
+    "q96_incremental_lsh",
+    (s, dir) => {
+      val banded = SharedLsh.bandKeys(s, dir)
+      Dedup.incrementalCandidatePairs(
+          banded.filter(col("doc_id") % 10 =!= 0),
+          banded.filter(col("doc_id") % 10 === 0), "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $ShinglesSql,
+      $MinhashBandsSql
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+      ORDER BY doc_a, doc_b"""))
+
   val list: Seq[Q] = Seq(
-    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q82)
+    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q82,
+    q96)
 }

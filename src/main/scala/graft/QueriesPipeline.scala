@@ -561,6 +561,46 @@ object QueriesPipeline {
       SELECT lang, rank, tok, tf, df FROM ranked
       WHERE rank <= 5 ORDER BY lang, rank"""))
 
+  /** Vocabulary-coverage (OOV-rate) quality scoring
+    * (Curation.coverageScore): reference vocabulary = the corpus's own
+    * top-50 Zipf head (q57's definition, deterministic ties), score =
+    * fraction of a document's tokens outside it. The perplexity-filter
+    * stand-in whose numbers are engine-exact (integer hits, one IEEE
+    * int/int division) — a real deployment swaps in a held-out
+    * reference vocabulary, same plan. */
+  private val q98 = Q(
+    "q98_vocab_coverage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = docs.select(
+          explode(filter(TextAnalysis.tokens(col("text")),
+            t => length(t) > 0)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc)
+        .limit(50).select(col("tok"))
+      Curation.coverageScore(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1
+          ORDER BY tf DESC, tok ASC LIMIT 50)),
+      hits AS (
+        SELECT t.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tok,
+          CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY 1)
+      SELECT doc_id, n_tok, n_oov,
+        CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_rate
+      FROM hits ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66)
+    q65, q66, q98)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.operators.Similarity
-import graft.operators.{Bfs, ColumnProfile, DupSpans, Funnel, MixtureSample, NdvSketch, PageRank, ProductQuant, QuantileSketch, RecordLinkage, Scd2, WeightedSample, ZOrder}
+import graft.operators.{Bfs, BpeTrain, ColumnProfile, DupSpans, Funnel, MixtureSample, NdvSketch, PageRank, ProductQuant, QuantileSketch, RecordLinkage, Scd2, WeightedSample, ZOrder}
 
 /** Sampling / sketching / layout / graph queries (q67+): the
   * data-mixing, file-layout, and graph-centrality operators a
@@ -1159,7 +1159,125 @@ object QueriesSample {
         ON k.lang = s.lang
       ORDER BY s.lang"""))
 
+  /** DuckDB mirror of `rounds` BPE training rounds: per round, pair
+    * counts via a lateral UNNEST over the split symbol sequence, the
+    * best pair by (cnt DESC, l, r), and the greedy left-to-right merge
+    * as the SAME string fold [[graft.operators.BpeTrain.mergeOnce]]
+    * computes, expressed with list_reduce (a '' sentinel seeds the
+    * accumulator; ends_with(acc, ' ' || l) is exactly "last symbol ==
+    * l" because symbols never contain spaces). */
+  /** The greedy-merge fold as a DuckDB list_reduce lambda (see
+    * [[bpeTrainCtes]]); `lExpr`/`rExpr` name the merge-pair columns in
+    * scope at the interpolation site. */
+  private def bpeFoldSql(listExpr: String, lExpr: String, rExpr: String) =
+    s"""list_reduce(list_prepend('', $listExpr),
+          (acc, x) -> CASE WHEN acc = '' THEN x
+            WHEN (acc = $lExpr OR ends_with(acc, ' ' || $lExpr)) AND x = $rExpr
+            THEN acc || x
+            ELSE acc || ' ' || x END)"""
+
+  /** CTE chain mirroring `rounds` BPE training rounds: word-frequency
+    * table w, char-split s0, then per round k the pair counts p_k (a
+    * lateral UNNEST over the split symbol sequence), the best pair b_k
+    * by (cnt DESC, l, r), and the merged sequences s_k via the SAME
+    * string fold [[graft.operators.BpeTrain.mergeOnce]] computes,
+    * expressed with list_reduce (a '' sentinel seeds the accumulator;
+    * ends_with(acc, ' ' || l) is exactly "last symbol == l" because
+    * symbols never contain spaces). */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT)+1] AS r,
+          CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, string_split(seq, ' ') AS ss FROM s${k - 1}) u,
+          UNNEST(range(1, len(ss))) AS t(i)
+        GROUP BY 1, 2),
+      b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+      s$k AS (SELECT freq, ${bpeFoldSql("string_split(seq, ' ')", "b.l", "b.r")} AS seq
+        FROM s${k - 1} CROSS JOIN b$k b)"""
+    }.mkString(",\n      ")
+    s"""w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+        WHERE len(tok) > 0 GROUP BY 1),
+      s0 AS (SELECT freq, array_to_string(
+          list_transform(range(1, len(word)+1),
+            i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq FROM w),
+      $roundCtes"""
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val readout = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rnd, l, r, cnt FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(rounds)}
+      SELECT rnd, l, r, cnt FROM ($readout) ORDER BY rnd"""
+  }
+
+  /** Distributed BPE vocabulary training (operators/BpeTrain): 4
+    * greedy merge rounds over the corpus word-frequency table — the
+    * real subword learner behind token counting. Engine-exact: integer
+    * pair counts, total tiebreak, and a string fold both engines
+    * express identically, so the LEARNED MERGES themselves hash-match
+    * (not just their count). */
+  private val q97 = Q(
+    "q97_bpe_train",
+    (s, dir) => {
+      // merge table shared with q99 via SharedBpe (one training run
+      // per session+input — the persisted-vocabulary shape)
+      val ms = SharedBpe.merges(s, dir, rounds = 4)
+      import s.implicits._
+      ms.toDF("rnd", "l", "r", "cnt")
+        .select(col("rnd").cast("long").as("rnd"), col("l"), col("r"),
+          col("cnt"))
+        .orderBy(col("rnd"))
+    },
+    Some(bpeOracleSql(4)))
+
+  /** Corpus encode under the q97-learned merges — real subword token
+    * counts per document (the production replacement for the BPE-ish
+    * regex count). Dictionary-encode scale shape: each DISTINCT word
+    * is folded ONCE (vocab-sized work), and code lengths join back to
+    * the occurrence stream — at 100 TB the fold cost is the
+    * vocabulary's, not the corpus's. Oracle chains the same training
+    * CTEs and applies the four learned folds to the word table. */
+  private val q99 = Q(
+    "q99_bpe_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = BpeTrain.wordFreqs(docs, "text")
+      val ms = SharedBpe.merges(s, dir, rounds = 4)
+      val wl = words.select(col("word"),
+        size(BpeTrain.applyMerges(col("word"), ms)).cast("long").as("n_sub"))
+      docs.select(col("doc_id"),
+          explode(filter(split(col("text"), " "),
+            t => length(t) > 0)).as("word"))
+        .join(wl, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val encodeCtes = (1 to 4).map { k =>
+        s"""u$k AS (SELECT word, ${bpeFoldSql("string_split(seq, ' ')", "b.l", "b.r")} AS seq
+          FROM u${k - 1} CROSS JOIN b$k b)"""
+      }.mkString(",\n      ")
+      s"""WITH ${bpeTrainCtes(4)},
+      dwords AS (SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      u0 AS (SELECT word, array_to_string(
+          list_transform(range(1, len(word)+1),
+            i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq FROM w),
+      $encodeCtes,
+      wl AS (SELECT word,
+          CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub FROM u4)
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(wl.n_sub) AS BIGINT) AS n_subwords
+      FROM dwords d JOIN wl ON wl.word = d.tok
+      GROUP BY 1 ORDER BY doc_id"""
+    })
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95)
+    q90, q91, q92, q93, q94, q95, q97, q99)
 }

@@ -90,6 +90,14 @@ object ScaleBench {
         Dedup.connectedComponents(Dedup.lshStarEdgesFrom(banded, "doc_id"))
           .select(col("component")).distinct().count()
       }
+      // incremental crawl: 10% arrives as a new batch against the
+      // stored index (filtered views of the one band table — the
+      // probe cost, not the signature cost, is what's measured)
+      val incPairs = timed("incremental_lsh", acc) {
+        Dedup.incrementalCandidatePairs(
+          banded.filter(col("doc_id") % 10 =!= 0),
+          banded.filter(col("doc_id") % 10 === 0), "doc_id").count()
+      }
       banded.unpersist()
       val chunkKept = timed("chunk_dedup", acc) {
         val chunks = docs.select(col("doc_id"),
@@ -140,11 +148,28 @@ object ScaleBench {
         graft.operators.Similarity
           .cosineNearDupPairs(emb, bits, threshold = 0.8).count()
       }
+      // PQ compression of the same embeddings: production double
+      // kernel, 4 subspaces of 4 dims, 64-centroid stride codebook
+      val pqCodes = timed("pq_encode", acc) {
+        val vecs = emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        val cb = graft.operators.ProductQuant.codebookByStride(
+          vecs, m = 4, dsub = 4, stride = math.max(1L, nEmb / 64).toInt)
+        graft.operators.ProductQuant.encode(vecs, cb, m = 4, dsub = 4)
+          .count()
+      }
+      // BPE on the synthetic corpus's word-frequency table (vocab is
+      // md5-word-sized; the corpus collapse is the dominant cost)
+      val bpeRounds = timed("bpe_train_3", acc) {
+        graft.operators.BpeTrain.merges(
+          graft.operators.BpeTrain.wordFreqs(docs, "text"), rounds = 3).size
+      }
       acc.append(f""""n_docs":$n,"dup_groups":$dupGroups,"star_edges":$edges,""" +
         f""""components":$comps,"chunk_groups":$chunkKept,""" +
         f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler,""" +
         f""""dup_span_docs":$spans,"sa_positions":$saRows,""" +
-        f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs}""")
+        f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs,""" +
+        f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,"bpe_rounds":$bpeRounds}""")
       println(acc.toString)
     } finally spark.stop()
   }

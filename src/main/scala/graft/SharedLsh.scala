@@ -209,3 +209,25 @@ object SharedPq {
     cache.clear()
   }
 }
+
+/** BPE merge tables shared by q97 (training readout) and q99 (corpus
+  * encode): training is `rounds` driver-coordinated passes over the
+  * vocabulary, and both queries need the identical merge list — the
+  * learned table is driver-sized metadata (like a centroid set), so
+  * the cache holds the Seq itself, not a frame. Deterministic (integer
+  * counts, total tiebreak), so a cached read equals a retrain. */
+object SharedBpe {
+
+  private final case class Key(session: SparkSession, dir: String, rounds: Int)
+  private val cache =
+    TrieMap.empty[Key, Seq[(Int, String, String, Long)]]
+
+  def merges(s: SparkSession, dir: String,
+             rounds: Int): Seq[(Int, String, String, Long)] =
+    cache.getOrElseUpdate(Key(s, dir, rounds),
+      graft.operators.BpeTrain.merges(
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        rounds))
+
+  def clear(): Unit = cache.clear()
+}

@@ -57,6 +57,31 @@ object Curation {
       .select(col(idCol)).distinct()
   }
 
+  /** Vocabulary-coverage quality score — the OOV-rate filter of
+    * CCNet-class pipelines, minus the LM: instead of n-gram-LM
+    * perplexity (whose libm logs are not cross-engine reproducible),
+    * score each document by the fraction of its tokens NOT covered by
+    * a reference vocabulary. High OOV rate flags boilerplate, noise,
+    * and off-language text the same way high perplexity does, and the
+    * score is engine-exact: integer hit counts and one IEEE int/int
+    * division. `vocab` is one `tok` column (the Zipf head — KBs,
+    * broadcast). Returns (id, n_tok, n_oov, oov_rate); documents with
+    * zero non-empty tokens are absent. Scale: the explode is narrow,
+    * the vocab probe is a broadcast left join, and the only shuffle is
+    * the per-document count — a WHERE-clause cost class. */
+  def coverageScore(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame): DataFrame =
+    docs.select(col(idCol),
+        explode(filter(TextAnalysis.tokens(col(textCol)),
+          t => length(t) > 0)).as("tok"))
+      .join(broadcast(vocab.select(col("tok"), lit(1).as("_hit"))),
+        Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("_hit").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tok").cast("double"))
+
   /** Concatenate-and-chop sequence packing: assigns each document the
     * training-sequence index `seq` = (exclusive prefix sum of `tokCol`
     * within its `streamCol` stream, ordered by `orderCol`) div

@@ -184,6 +184,39 @@ object Dedup {
                         n: Int, k: Int, bands: Int): DataFrame =
     lshCandidatePairsFrom(lshBandKeys(docs, idCol, textCol, n, k, bands), idCol)
 
+  /** Incremental LSH candidate pairs — the continuous-crawl contract:
+    * a NEW batch is deduped against an EXISTING corpus index without
+    * re-reading any corpus text. `index` is the stored (id, bk) band
+    * table of the already-ingested corpus (the artifact a 100 TB
+    * pipeline persists between crawls; stored bucketed by bk, the
+    * probe below is a co-located join touching only matching buckets);
+    * `newBanded` is the batch's band keys (computed via
+    * [[lshBandKeysNarrow]] over the batch alone — batch-sized work).
+    * Returns every candidate pair (doc_a < doc_b) with at least one
+    * NEW member: batch-vs-corpus from one equi-join probe of the
+    * index, batch-vs-batch from a self-join of the (small) batch
+    * table. Contract (spec-asserted):
+    *
+    *   incrementalCandidatePairs(bands(C), bands(B)) ∪ pairs(C)
+    *     == pairs(C ∪ B)                 for disjoint ids of C and B
+    *
+    * so repeated batches maintain exactly the from-scratch pair set,
+    * and the updated index is the plain union of the two band tables —
+    * no signature is ever recomputed. */
+  def incrementalCandidatePairs(index: DataFrame, newBanded: DataFrame,
+                                idCol: String): DataFrame = {
+    val nw = newBanded.select(col(idCol).as("_n"), col("bk"))
+    val newVsOld = nw
+      .join(index.select(col(idCol).as("_o"), col("bk")), "bk")
+      .select(least(col("_n"), col("_o")).as("doc_a"),
+        greatest(col("_n"), col("_o")).as("doc_b"))
+    val newVsNew = nw
+      .join(nw.select(col("_n").as("_n2"), col("bk")), "bk")
+      .filter(col("_n") < col("_n2"))
+      .select(col("_n").as("doc_a"), col("_n2").as("doc_b"))
+    newVsOld.union(newVsNew).distinct()
+  }
+
   /** Star-reduced LSH edges for CLUSTERING: one edge (bucket-min, member)
     * per band-bucket member instead of the full within-bucket clique.
     * Connected components are identical to the clique pair graph (every

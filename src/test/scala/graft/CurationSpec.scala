@@ -29,6 +29,24 @@ class CurationSpec extends SparkSpec {
     assert(got(2) === Seq("x"))
   }
 
+  test("coverageScore: exact OOV counts, empty docs absent, broadcast probe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zzz qqq the"),
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "on", "mat").toDF("tok")
+    val scored = Curation.coverageScore(docs, "doc_id", "text", vocab)
+    val got = scored.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 1: 6 tokens, 'sat' is OOV; doc 2: 2 of 3 OOV; doc 3 absent
+    assert(got == Map(1L -> ((6L, 1L, 1.0 / 6.0)), 2L -> ((3L, 2L, 2.0 / 3.0))))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("boilerplateDocs: flags only docs sharing an n-gram in >=minDocs docs") {
     import spark.implicits._
     val docs = Seq(

@@ -25,6 +25,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental LSH: index probe + batch self-join == from-scratch delta") {
+    val corpusDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap at all zzz"))
+      .toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (2L, "the quick brown fox jumps over the lazy cat"), // near dup of 0/1
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0/1
+      (5L, "another disjoint document qqq www eee rrr"))
+      .toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshCandidatePairs(df, "doc_id", "text", 5, 8, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Dedup.lshBandKeys(corpusDocs, "doc_id", "text", 5, 8, 2)
+    val batchBanded =
+      Dedup.lshBandKeysNarrow(batchDocs, "doc_id", "text", 5, 8, 2)
+    val delta = Dedup.incrementalCandidatePairs(index, batchBanded, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = Set(2L, 4L, 5L)
+    // only pairs touching the batch, and the contract:
+    // delta ∪ pairs(C) == pairs(C ∪ B)
+    assert(delta.forall(p => batchIds.contains(p._1) || batchIds.contains(p._2)))
+    assert(delta ++ pairsOf(corpusDocs) == pairsOf(corpusDocs.union(batchDocs)))
+    assert(delta.contains((0L, 4L)) && delta.contains((1L, 4L)))
+    assert(!delta.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("jaccard: exact dup = 1.0; near dup high; disjoint absent") {
     val j = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.05)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
