@@ -127,10 +127,13 @@ object ProductQuant {
     * j·ksub+code) are built against the broadcast codebook and then
     * broadcast themselves; the corpus-side cost is a narrow O(m)
     * array-lookup fold per row. Returns (q_id, vec_id, adc, rnk). */
-  def adcSearch(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
-                k: Int, m: Int, dsub: Int, ksub: Int): DataFrame = {
+  /** Per-query flat ADC distance table (q_id, tq): entry j·ksub+code
+    * holds the double d² of the query's j-th subvector against
+    * codebook centroid (j, code) — queries × codebook only, both tiny. */
+  private def distanceTables(codebook: DataFrame, queries: DataFrame,
+                             m: Int, dsub: Int, ksub: Int): DataFrame = {
     val cb = broadcast(codebook.withColumn("_cc", dot(col("cv"), col("cv"))))
-    val qtables = subvectors(queries, m, dsub)
+    subvectors(queries, m, dsub)
       .withColumn("_xx", dot(col("sv"), col("sv")))
       .join(cb, Seq("j"))
       .withColumn("_d2",
@@ -141,16 +144,23 @@ object ProductQuant {
           struct((col("j") * ksub + col("code")).as("pos"), col("_d2")))),
         s => s.getField("_d2")).as("tq"))
       .select(col("id").as("q_id"), col("tq"))
-    val adc = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (c, j) => element_at(col("tq"), j * ksub + c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** ADC total of a `codes` array against a `tq` flat table: m array
+    * lookups, one fold — the per-candidate search kernel. */
+  private def adcFromTable(m: Int, ksub: Int): Column = aggregate(
+    zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+      (c, j) => element_at(col("tq"), j * ksub + c + 1)),
+    lit(0.0), (acc, x) => acc + x)
+
+  def adcSearch(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+                k: Int, m: Int, dsub: Int, ksub: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     codes.select(col("id").as("vec_id"), col("codes"))
-      .crossJoin(broadcast(qtables))
+      .crossJoin(broadcast(distanceTables(codebook, queries, m, dsub, ksub)))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", adcFromTable(m, ksub))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("adc"), col("rnk"))
@@ -231,5 +241,70 @@ object ProductQuant {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("rnk"))
+  }
+
+  /** Production IVF-PQ search — [[ivfPqSearchDecimal]]'s structure on
+    * the codegen'd double kernel: L2-probed cells (broadcast
+    * centroids) pick candidates via the inverted-file equi-join, then
+    * production ADC (broadcast per-query distance tables, m lookups
+    * per candidate) ranks them from codes alone. The one
+    * corpus-proportional join (candidates → codes on vec_id)
+    * disappears at scale when codes are stored WITH the assignment,
+    * partitioned by cid (see [[ivfPqSearchDecimal]]'s layout note).
+    * Returns (q_id, vec_id, adc, rnk). */
+  def ivfPqSearch(codes: DataFrame, assignment: DataFrame,
+                  centroids: DataFrame, queries: DataFrame,
+                  codebook: DataFrame, nprobe: Int, k: Int,
+                  m: Int, dsub: Int, ksub: Int): DataFrame = {
+    val c = broadcast(centroids.select(col("cid"), col("cv"),
+      dot(col("cv"), col("cv")).as("_cc")))
+    val probed = queries
+      .select(col("id").as("q_id"), col("v").as("qv"),
+        dot(col("v"), col("v")).as("_qq"))
+      .crossJoin(c)
+      .withColumn("_d2", col("_qq") + col("_cc") -
+        lit(2.0) * dot(col("qv"), col("cv")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("_d2").asc, col("cid"))))
+      .filter(col("_rk") <= nprobe)
+      .select(col("q_id"), col("cid"))
+    val cand = assignment.join(broadcast(probed), Seq("cid"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    cand
+      .join(codes.select(col("id").as("vec_id"), col("codes")),
+        Seq("vec_id"))
+      .join(broadcast(distanceTables(codebook, queries, m, dsub, ksub)),
+        Seq("q_id"))
+      .withColumn("adc", adcFromTable(m, ksub))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("adc"), col("rnk"))
+  }
+
+  /** Exact re-rank of an ADC shortlist — the standard IVF-PQ refine
+    * step: join the shortlist (q_id, vec_id) back to the FLOAT
+    * vectors and rank by exact cosine. Only shortlist·queries vectors
+    * are ever touched, never the corpus; with shortlist size k' a few
+    * multiples of k, this recovers most of the recall ADC loses to
+    * quantization at negligible cost. Returns (q_id, vec_id, cosim,
+    * rnk ≤ k). */
+  def refine(shortlist: DataFrame, vectors: DataFrame,
+             queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosim").desc, col("vec_id"))
+    shortlist.select(col("q_id"), col("vec_id"))
+      .join(vectors.select(col("id").as("vec_id"), col("v").as("dv")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col("id").as("q_id"),
+        col("v").as("qv"))), Seq("q_id"))
+      .withColumn("cosim", dot(col("dv"), col("qv")) /
+        (sqrt(dot(col("dv"), col("dv"))) * sqrt(dot(col("qv"), col("qv")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosim"), col("rnk"))
   }
 }

@@ -146,6 +146,38 @@ class ProductQuantSpec extends SparkSpec {
     d.collect().map(_.getLong(0)).toSeq
   }
 
+  test("production IVF-PQ ranks match the decimal twin") {
+    import graft.operators.Similarity
+    val cents = vectors.filter(col("id") % 16 === 0)
+      .select((col("id") / 16).cast("long").as("cid"), col("v").as("cv"))
+    val assignment = Similarity.assignL2Decimal(vectors, cents)
+    val queries = vectors.filter(col("id") < 2)
+    val wide = ProductQuant.codesWide(
+      ProductQuant.encodeDecimal(vectors, codebook, M, Dsub))
+    val fast = ProductQuant.ivfPqSearch(wide, assignment, cents, queries,
+        codebook, nprobe = 2, k = 3, m = M, dsub = Dsub, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = ProductQuant.ivfPqSearchDecimal(
+        ProductQuant.encodeDecimal(vectors, codebook, M, Dsub),
+        assignment, cents, queries, codebook,
+        nprobe = 2, k = 3, m = M, dsub = Dsub)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == exact)
+  }
+
+  test("refine on the full candidate set reproduces brute-force cosine top-k") {
+    import graft.operators.Similarity
+    val queries = vectors.filter(col("id") < 2)
+    val all = vectors.select(col("id").as("vec_id"))
+      .crossJoin(queries.select(col("id").as("q_id")))
+      .filter(col("vec_id") =!= col("q_id"))
+    val refined = ProductQuant.refine(all, vectors, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = Similarity.cosineTopK(vectors, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(refined == brute)
+  }
+
   test("neither encode nor ADC search shuffles via a sort-merge join") {
     val encPlan = ProductQuant.encode(vectors, codebook, M, Dsub)
       .queryExecution.executedPlan.toString
