@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{NgramLm, Similarity}
+import Queries.Q
+
+/** Corpus-scoring queries: benchmark-contamination screening in embedding
+  * space and language-model quality scoring — the two filters a training
+  * -data pipeline runs right before mixing (after dedup, before packing).
+  */
+object QueriesScore {
+
+  /** The oracle's 8-bit sign-bucket expression (q91's formulation —
+    * bit i set iff embedding[i+1] >= 0). */
+  private def signBucketSql(col: String): String =
+    (0 until 8).map { i =>
+      s"(CASE WHEN $col[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** EMBEDDING-SPACE CONTAMINATION SCREEN: which corpus vectors are
+    * near-duplicates (cosine ≥ 0.3) of ANY benchmark vector? The
+    * semantic twin of q50's n-gram decontamination — n-grams catch
+    * verbatim leaks, embeddings catch paraphrased ones.
+    *
+    * Spark side is [[Similarity.crossSetNearPairs]]: multi-probe
+    * sign-LSH candidates (benchmark probes its own bucket + every
+    * Hamming-1 neighbor — the probe explosion stays on the SMALL side),
+    * codegen'd double prefilter, exact decimal confirm. The corpus is
+    * never cross-joined and never re-bucketed per probe; at 100 TB the
+    * corpus side is one narrow bucket computation + an equi-join.
+    * Oracle spells the identical probe set with xor() and confirms with
+    * the same decimal kernel. Benchmark = vec_id % 25 (a held-out
+    * eval-set stand-in). */
+  private val q100 = Q(
+    "q100_embedding_contamination",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val bench = emb.filter(col("id") % 25 === 0)
+      val corpus = emb.filter(col("id") % 25 =!= 0)
+      Similarity.crossSetNearPairs(corpus, bench, bits = 8, threshold = 0.3)
+        .orderBy(col("vec_id"), col("bench_id"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      meta AS (SELECT vec_id, ${signBucketSql("embedding")} AS b
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id,
+          SQRT(CAST(SUM(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      probes AS (
+        SELECT m.vec_id AS bench_id, xor(m.b, f.flip) AS pb
+        FROM meta m,
+          (SELECT UNNEST([0,1,2,4,8,16,32,64,128]) AS flip) f
+        WHERE m.vec_id % 25 = 0),
+      cand AS (
+        SELECT c.vec_id, p.bench_id
+        FROM meta c JOIN probes p ON c.b = p.pb
+        WHERE c.vec_id % 25 <> 0),
+      dots AS (
+        SELECT c.vec_id, c.bench_id,
+          CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN ev ea ON ea.vec_id = c.vec_id
+        JOIN ev eb ON eb.vec_id = c.bench_id AND eb.i = ea.i
+        GROUP BY 1, 2)
+      SELECT d.vec_id, d.bench_id
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.vec_id
+      JOIN norms nb ON nb.vec_id = d.bench_id
+      WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
+      ORDER BY d.vec_id, d.bench_id"""))
+
+  /** BIGRAM-LM QUALITY SCORE (stupid backoff, CCNet-style perplexity
+    * proxy): train unigram/bigram counts on the WHOLE corpus, score a
+    * document slice by the integer mean of its per-transition scores
+    * — all-integer arithmetic ([[NgramLm]]), so the result is
+    * hash-exact across engines with no decimal gymnastics. Training is
+    * two token-keyed hash aggs (partial agg absorbs hot words before
+    * the shuffle); scoring is token-keyed equi-joins + one bounded
+    * per-doc window. */
+  private val q101 = Q(
+    "q101_lm_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      NgramLm.score(docs.filter(col("doc_id") % 20 === 0), docs)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          UNNEST(range(1, len(string_split(text,' '))+1)) AS pos,
+          UNNEST(string_split(text,' ')) AS w
+        FROM documents),
+      tr0 AS (
+        SELECT doc_id, LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+        FROM toks),
+      tr AS (SELECT * FROM tr0 WHERE prev IS NOT NULL),
+      ug AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1),
+      bg AS (SELECT prev, w, COUNT(*) AS c2 FROM tr GROUP BY 1, 2),
+      tot AS (SELECT COUNT(*) AS t_total FROM toks),
+      s AS (
+        SELECT t.doc_id,
+          CASE WHEN b.c2 IS NOT NULL THEN (1000000 * b.c2) // up.c1
+               ELSE (400000 * COALESCE(uw.c1, 0)) // tt.t_total END AS s
+        FROM tr t
+        LEFT JOIN bg b ON b.prev = t.prev AND b.w = t.w
+        LEFT JOIN ug up ON up.w = t.prev
+        LEFT JOIN ug uw ON uw.w = t.w
+        CROSS JOIN tot tt
+        WHERE t.doc_id % 20 = 0)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        CAST(SUM(s) // COUNT(*) AS BIGINT) AS lm_score
+      FROM s GROUP BY 1 ORDER BY doc_id"""))
+
+  /** ANN RECALL@K EVAL ([[Similarity.annRecall]]): score the
+    * multi-probe sign-LSH candidate set against the exact decimal
+    * top-10 — the gauge that decides when an approximate index may
+    * replace brute force. Exact side is the (small) query set × corpus
+    * broadcast top-k; candidate side is the bucket equi-join; the
+    * readout joins on the (q_id, vec_id) pair key and aggregates per
+    * query — every leg scales the way its source operator does, the
+    * eval itself adds one pair-keyed join. Integer permille recall
+    * keeps it hash-exact. */
+  private val q102 = Q(
+    "q102_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val queries = emb.filter(col("id") % 50 === 0)
+      val corpus = emb.filter(col("id") % 50 =!= 0)
+      val exact = Similarity.cosineTopK(corpus, queries, k = 10)
+      val cand = Similarity.multiProbeCandidates(corpus, queries, bits = 8)
+      Similarity.annRecall(exact, cand, k = 10)
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      meta AS (SELECT vec_id, ${signBucketSql("embedding")} AS b
+        FROM embeddings),
+      norms AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      dots AS (
+        SELECT qq.vec_id AS q_id, cc.vec_id,
+          CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0) cc
+        CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) qq
+        JOIN ev ea ON ea.vec_id = cc.vec_id
+        JOIN ev eb ON eb.vec_id = qq.vec_id AND eb.i = ea.i
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT d.q_id, d.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY d.q_id
+            ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.vec_id) AS rnk
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nb ON nb.vec_id = d.q_id),
+      topk AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= 10),
+      probes AS (
+        SELECT m.vec_id AS q_id, xor(m.b, f.flip) AS pb
+        FROM meta m,
+          (SELECT UNNEST([0,1,2,4,8,16,32,64,128]) AS flip) f
+        WHERE m.vec_id % 50 = 0),
+      cand AS (
+        SELECT DISTINCT c.vec_id, p.q_id
+        FROM meta c JOIN probes p ON c.b = p.pb
+        WHERE c.vec_id % 50 <> 0),
+      h AS (
+        SELECT t.q_id, CAST(COUNT(c.vec_id) AS BIGINT) AS hits
+        FROM topk t
+        LEFT JOIN cand c ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+        GROUP BY 1)
+      SELECT q_id, hits, (1000 * hits) // 10 AS recall_permille
+      FROM h ORDER BY q_id"""))
+
+  val list: Seq[Q] = Seq(q100, q101, q102)
+}

@@ -156,6 +156,39 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
   }
 
+  /** Cross-set near-duplicate pairs — the contamination-screen shape:
+    * find corpus vectors whose cosine against ANY benchmark vector
+    * clears `threshold`. Same two-kernel economics as
+    * [[cosineNearDupPairs]] (cheap codegen'd double prefilter with a
+    * slack band, exact decimal confirm on survivors) but ASYMMETRIC:
+    * candidates come from [[multiProbeCandidates]], so the benchmark —
+    * the small side — probes its own sign bucket plus every Hamming-1
+    * neighbor, recovering the recall a single-bucket equi-join loses
+    * at set boundaries. Candidate generation stays an equi-join on the
+    * bucket id; the corpus side never explodes and never cross-joins.
+    *
+    * `corpus`/`bench` need (id, v: array<double>). Emits one row per
+    * surviving (vec_id, bench_id) pair. Production: pass
+    * bits = [[bucketBitsFor]](corpusSize, dims); oracle queries pin a
+    * fixed bits so the SQL twin can spell the same probe set. */
+  def crossSetNearPairs(corpus: DataFrame, bench: DataFrame, bits: Int,
+                        threshold: Double): DataFrame = {
+    val slack = 1e-6
+    val cand = multiProbeCandidates(corpus, bench, bits)
+    val cv = corpus.select(col("id").as("vec_id"), col("v").as("xc"),
+      sqrt(dotDouble(col("v"), col("v"))).as("ndc"))
+    val qv = bench.select(col("id").as("bench_id"), col("v").as("xq"),
+      sqrt(dotDouble(col("v"), col("v"))).as("ndq"))
+    cand.select(col("vec_id"), col("q_id").as("bench_id"))
+      .join(cv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("bench_id"))
+      .filter(dotDouble(col("xc"), col("xq")) /
+        (col("ndc") * col("ndq")) >= threshold - slack)
+      .filter(dotDecimal(col("xc"), col("xq")).cast("double") /
+        (normDecimal(col("xc")) * normDecimal(col("xq"))) >= threshold)
+      .select(col("vec_id"), col("bench_id"))
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN: coarse quantizer + probed cell search
   // ------------------------------------------------------------------
@@ -201,6 +234,24 @@ object Similarity {
       .orderBy(col("cosim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Recall@k of an ANN candidate set against the exact answer — the
+    * index-quality gauge every approximate variant (sign-LSH,
+    * multi-probe, IVF, IVF-PQ) gets judged by before it replaces brute
+    * force in a pipeline. `exact` carries the ground-truth top-k
+    * (q_id, vec_id) [rows per query ≤ k]; `cand` the candidates the
+    * index would score. Both are (q_id, vec_id) — the join is on the
+    * pair key, the aggregation per query; output counts are integers
+    * and recall is integer permille, so the readout is hash-exact.
+    * Queries with NO candidates still appear (left join), recall 0. */
+  def annRecall(exact: DataFrame, cand: DataFrame, k: Int): DataFrame =
+    exact.select(col("q_id"), col("vec_id"))
+      .join(cand.select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+          .dropDuplicates("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_permille", expr(s"(1000 * hits) div $k"))
 
   /** Deterministic centroid pick for tests/bootstrap: every stride-th
     * vector by id (distributed filter, no global window). */
