@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{NgramLm, Similarity}
@@ -179,5 +180,62 @@ object QueriesScore {
       SELECT q_id, hits, (1000 * hits) // 10 AS recall_permille
       FROM h ORDER BY q_id"""))
 
-  val list: Seq[Q] = Seq(q100, q101, q102)
+  /** CCNET HEAD/MIDDLE/TAIL BUCKETS: score every document under the
+    * corpus-trained LM (q101's operator, unfiltered), then tercile the
+    * corpus by score — CCNet's signature move (head = most
+    * in-distribution, tail = candidate garbage), with per-bucket
+    * census stats. The exact NTILE needs a total order (score desc,
+    * doc_id) — a single-partition window, fine for the correctness
+    * twin; the production path at 100 TB replaces it with two
+    * t-digest thresholds (q67's sketch) + a narrow filter, same
+    * buckets up to sketch error. Integer min/max/avg keep the readout
+    * hash-exact. */
+  private val q103 = Q(
+    "q103_ccnet_buckets",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = NgramLm.score(docs, docs)
+      val w = Window.orderBy(col("lm_score").desc, col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_score")).as("min_score"),
+          max(col("lm_score")).as("max_score"),
+          expr("sum(lm_score) div count(1)").as("avg_score"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          UNNEST(range(1, len(string_split(text,' '))+1)) AS pos,
+          UNNEST(string_split(text,' ')) AS w
+        FROM documents),
+      tr0 AS (
+        SELECT doc_id, LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+        FROM toks),
+      tr AS (SELECT * FROM tr0 WHERE prev IS NOT NULL),
+      ug AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1),
+      bg AS (SELECT prev, w, COUNT(*) AS c2 FROM tr GROUP BY 1, 2),
+      tot AS (SELECT COUNT(*) AS t_total FROM toks),
+      s AS (
+        SELECT t.doc_id,
+          CASE WHEN b.c2 IS NOT NULL THEN (1000000 * b.c2) // up.c1
+               ELSE (400000 * COALESCE(uw.c1, 0)) // tt.t_total END AS s
+        FROM tr t
+        LEFT JOIN bg b ON b.prev = t.prev AND b.w = t.w
+        LEFT JOIN ug up ON up.w = t.prev
+        LEFT JOIN ug uw ON uw.w = t.w
+        CROSS JOIN tot tt),
+      scored AS (
+        SELECT doc_id, CAST(SUM(s) // COUNT(*) AS BIGINT) AS lm_score
+        FROM s GROUP BY 1),
+      bucketed AS (
+        SELECT doc_id, lm_score,
+          NTILE(3) OVER (ORDER BY lm_score DESC, doc_id) AS bucket
+        FROM scored)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN(lm_score) AS min_score, MAX(lm_score) AS max_score,
+        CAST(SUM(lm_score) // COUNT(*) AS BIGINT) AS avg_score
+      FROM bucketed GROUP BY 1 ORDER BY bucket"""))
+
+  val list: Seq[Q] = Seq(q100, q101, q102, q103)
 }

@@ -93,4 +93,29 @@ object TextAnalysis {
         size(array_distinct(bg)).cast("double") /
           size(bg).cast("double"))
   }
+
+  /** Deflate compression ratio (compressed bytes / raw UTF-8 bytes) —
+    * the Gopher/RefinedWeb quality signal: machine-generated or
+    * heavily templated text compresses far below prose, random bytes
+    * compress above 1.0. Deterministic for a fixed level+strategy on
+    * the JVM, but NOT oracle-portable (the SQL oracle has no zlib),
+    * so this carries a spec, not a query. A UDF is the honest tier
+    * here ([[graft.operators.Enrich]] precedent): the kernel is
+    * byte-level zlib, inexpressible as Catalyst expressions. Narrow
+    * per-row map — no shuffle, no state; at 100 TB it rides the same
+    * scan as the other quality signals. */
+  val deflateRatio = udf { (s: String) =>
+    if (s == null || s.isEmpty) None
+    else {
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, false)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        Some(total.toDouble / raw.length)
+      } finally d.end()
+    }
+  }
 }

@@ -50,6 +50,16 @@ class IvfSpec extends SparkSpec {
     assert(rAll == 1.0, s"full probe must be exact, got $rAll")
     assert(r2 > 0.0)
     assert(rAll >= r2)
+
+    // the annRecall eval operator reads the same numbers off the frames
+    val exactDf = Similarity.cosineTopK(vectors, queries, 5)
+      .select(col("q_id"), col("vec_id"))
+    val candDf = Similarity.ivfSearch(idx, cents, queries, 2, 5)
+      .select(col("q_id"), col("vec_id"))
+    val evalMean = Similarity.annRecall(exactDf, candDf, 5)
+      .agg(avg(col("recall_permille"))).head.getDouble(0)
+    assert(math.abs(evalMean / 1000.0 - r2) < 0.11,
+      s"annRecall mean $evalMean vs manual $r2 (permille granularity)")
     idx.unpersist()
   }
 }
