@@ -237,5 +237,69 @@ object QueriesScore {
         CAST(SUM(lm_score) // COUNT(*) AS BIGINT) AS avg_score
       FROM bucketed GROUP BY 1 ORDER BY bucket"""))
 
-  val list: Seq[Q] = Seq(q100, q101, q102, q103)
+  /** QUALITY-AWARE DEDUP RETENTION: q44 keeps each LSH cluster's
+    * min-id doc; real curation pipelines keep the BEST member — here
+    * the longest (RefinedWeb's policy), ties to the smaller id. The
+    * argmax must be deterministic AND hash-exact, and Spark's
+    * max_by breaks ties arbitrarily — so the (n_chars desc, doc_id
+    * asc) preference is packed into ONE integer max:
+    * key = n_chars·2⁴⁰ + (2⁴⁰−1−doc_id), decoded after the agg. One
+    * shuffle on the component key; the packed max is
+    * partial-aggregated map-side like any max. Component map shared
+    * via `SharedLsh` (the q17/q40/q44 artifact). */
+  private val q104 = Q(
+    "q104_longest_retention",
+    (s, dir) => {
+      val B = 1L << 40
+      val docs = Tables.documents(s, dir)
+      val comps = SharedLsh.components(s, dir)
+      docs.join(comps, Seq("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("members"),
+          max(col("n_chars") * lit(B) + (lit(B - 1) - col("doc_id")))
+            .as("key"))
+        .select(col("component"), col("members"),
+          (lit(B - 1) - (col("key") % lit(B))).as("keeper"),
+          expr(s"key div ${B}L").as("keeper_chars"))
+        .orderBy(col("component"))
+    },
+    Some {
+      // same signature/band/component CTEs as q44's oracle (SharedLsh's
+      // parameters: 5-char shingles, 8 minhash slices, 2 bands of 4)
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      val b = 1L << 40
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS (SELECT node AS doc_id, MIN(label) AS component
+                FROM walk GROUP BY 1),
+      packed AS (
+        SELECT c.component, COUNT(*) AS members,
+          MAX(d.n_chars * $b + ($b - 1 - d.doc_id)) AS key
+        FROM comps c JOIN documents d ON d.doc_id = c.doc_id
+        GROUP BY 1)
+      SELECT component, CAST(members AS BIGINT) AS members,
+        CAST($b - 1 - (key % $b) AS BIGINT) AS keeper,
+        CAST(key // $b AS BIGINT) AS keeper_chars
+      FROM packed ORDER BY component"""
+    })
+
+  val list: Seq[Q] = Seq(q100, q101, q102, q103, q104)
 }
