@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -183,4 +183,53 @@ object Multimodal {
   def metadata(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("kind"), col("width"), col("height"),
       col("sample_rate"), col("n_frames"))
+
+  /** Aspect-preserving resize PLAN for image rows: target dims for a
+    * `maxSide` bound, computed with integer column math only (floor
+    * scaling, never upscale) — the real, testable half of a resize.
+    * out_w/out_h = dims · maxSide / longest-side, ties handled by the
+    * floor; payload untouched. The pixel half goes through the codec
+    * seam below. */
+  private def outDims(maxSide: Int): (Column, Column) = {
+    val longSide = greatest(col("width"), col("height"))
+    val need = longSide > maxSide
+    (when(need, floor(col("width") * maxSide / longSide).cast("int"))
+       .otherwise(col("width")),
+     when(need, floor(col("height") * maxSide / longSide).cast("int"))
+       .otherwise(col("height")))
+  }
+
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val (w, h) = outDims(maxSide)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("width"), col("height"),
+        w.as("out_w"), h.as("out_h"))
+  }
+
+  /** Pixel-resize seam (STUB pixel kernel — no imaging libs in this
+    * container): per-partition batched pass that carries each image
+    * payload plus its [[resizePlan]] target through `resample`. The
+    * default resample is a deterministic truncation fake; swapping in
+    * a real scaler touches ONLY that function — the Spark plumbing
+    * (payload+plan join, narrow batch pass, binary-out schema) is the
+    * real deliverable and is spec-tested. */
+  def resizePayloads(media: DataFrame, maxSide: Int,
+                     resample: (Array[Byte], Int, Int) => Array[Byte] =
+                       (b, w, h) => java.util.Arrays.copyOf(
+                         b, math.min(b.length, math.max(1, w * h))))
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val (w, h) = outDims(maxSide)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"), w.as("out_w"), h.as("out_h"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, w, h) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          (id, w, h, resample(bytes, w, h))
+        }
+      }
+      .toDF("media_id", "out_w", "out_h", "resized")
+  }
 }

@@ -87,4 +87,29 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length == 1)
     assert(feats.head.feature.toSeq == Seq(100f, 50f, 1f))
   }
+
+  test("resizePlan: aspect-preserving floor scale, never upscales") {
+    val media = Seq(
+      (1L, "image", 2048, 1024), // downscale, landscape
+      (2L, "image", 300, 900),   // downscale, portrait
+      (3L, "image", 512, 200),   // within bound: untouched
+      (4L, "video", 4096, 4096)  // wrong kind: excluded
+    ).toDF("media_id", "kind", "width", "height")
+    val got = Multimodal.resizePlan(media, maxSide = 512)
+      .orderBy(col("media_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq((1L, 512, 256), (2L, 170, 512), (3L, 512, 200)))
+  }
+
+  test("resizePayloads: stub kernel rides the narrow batch pass") {
+    val media = Seq(
+      (1L, "image", pngHeader(2048, 1024), 2048, 1024),
+      (2L, "audio", pngHeader(8, 8), 9999, 9999))
+      .toDF("media_id", "kind", "payload", "width", "height")
+    val got = Multimodal.resizePayloads(media, maxSide = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).length))
+    // default resample truncates to min(payload, w*h) bytes
+    assert(got.toSeq == Seq((1L, 16, 8, math.min(pngHeader(2048, 1024).length, 128))))
+  }
 }
