@@ -128,7 +128,7 @@ object QueriesBeyond {
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select(
         col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("v"))
-      Similarity.cosineTopK(e, e.filter(col("id") < 8), 5)
+      Similarity.cosineTopKFast(e, e.filter(col("id") < 8), 5)
         .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },

@@ -424,7 +424,7 @@ object QueriesSample {
         .filter(col("vec_id") < 120)
         .select(col("vec_id").as("id"),
           Similarity.asDouble(col("embedding")).as("v"))
-      val t = Similarity.cosineTopK(sub, sub, 5)
+      val t = Similarity.cosineTopKFast(sub, sub, 5)
         .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
       val ta = t.select(col("q_id").as("id_a"), col("vec_id").as("id_b"),
         col("rnk").as("rnk_ab"))

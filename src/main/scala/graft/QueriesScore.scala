@@ -134,7 +134,7 @@ object QueriesScore {
           Similarity.asDouble(col("embedding")).as("v"))
       val queries = emb.filter(col("id") % 50 === 0)
       val corpus = emb.filter(col("id") % 50 =!= 0)
-      val exact = Similarity.cosineTopK(corpus, queries, k = 10)
+      val exact = Similarity.cosineTopKFast(corpus, queries, k = 10)
       val cand = Similarity.multiProbeCandidates(corpus, queries, bits = 8)
       Similarity.annRecall(exact, cand, k = 10)
         .orderBy(col("q_id"))

@@ -53,8 +53,19 @@ object MixtureSample {
     * seed input). Adds nothing, drops nothing but rows. */
   def temperatureSample(df: DataFrame, domain: String, id: String,
                         target: Long, alpha: Double,
-                        seed: String): DataFrame = {
-    val stats = domainStats(df, domain, alpha)
+                        seed: String): DataFrame =
+    temperatureSampleWith(df, domainStats(df, domain, alpha),
+      domain, id, target, seed)
+
+  /** The keep rule against a PRECOMPUTED stats table — the streaming
+    * ingest shape: freeze the mixture policy on the historic corpus
+    * (one [[domainStats]] batch pass), then apply it to arriving rows
+    * as a stream-static broadcast join + stateless filter (append-mode
+    * legal; per-row decision depends only on the row's id hash and the
+    * frozen stats, so stream == batch for any slicing). */
+  def temperatureSampleWith(df: DataFrame, stats: DataFrame,
+                            domain: String, id: String,
+                            target: Long, seed: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(19,0)")
     df.join(broadcast(stats), Seq(domain))
       .filter(

@@ -74,6 +74,53 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** [[cosineTopK]] with the two-kernel split (the q34 economics applied
+    * to exact top-k): score every candidate with the cheap codegen'd
+    * DOUBLE kernel, find each query's k-th double score, and run the
+    * expensive order-invariant decimal kernel only on candidates within
+    * a slack band of that boundary. Exactness: per-row |double − exact|
+    * ≤ ~dims·2⁻⁵² ≈ 1e-14, so every true top-k member sits within
+    * 2·1e-14 ≪ slack (1e-6) of the k-th double score and survives the
+    * prefilter; the decimal re-ranking of survivors is then the exact
+    * global ranking. Same output contract as [[cosineTopK]] — results
+    * are bit-identical (spec-asserted). The boundary window runs over
+    * skinny (q_id, vec_id, dcos) rows only; vectors rejoin for the
+    * handful of survivors. */
+  def cosineTopKFast(corpus: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slack = 1e-6
+    val c = corpus.select(col("id").as("vec_id"), col("v"),
+      sqrt(dotDouble(col("v"), col("v"))).as("ndc"))
+    val q = queries.select(col("id").as("q_id"), col("v").as("qv"),
+      sqrt(dotDouble(col("v"), col("v"))).as("ndq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotDouble(col("v"), col("qv")) /
+          (col("ndc") * col("ndq"))).as("dcos"))
+    val wd = Window.partitionBy(col("q_id")).orderBy(col("dcos").desc)
+    // the k-th double score: with ties its VALUE is stable no matter
+    // which tied row row_number picks, so no tiebreak is needed
+    val kth = scored.withColumn("rd", row_number().over(wd))
+      .filter(col("rd") <= k)
+      .groupBy(col("q_id")).agg(min(col("dcos")).as("kth_d"))
+    val surv = scored.join(broadcast(kth), Seq("q_id"))
+      .filter(col("dcos") >= col("kth_d") - slack)
+      .select(col("q_id"), col("vec_id"))
+    val exact = surv
+      .join(corpus.select(col("id").as("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("id").as("q_id"),
+        col("v").as("qv"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotDecimal(col("v"), col("qv")).cast("double") /
+          (normDecimal(col("v")) * normDecimal(col("qv")))).as("cosim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosim").desc, col("vec_id").asc)
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sign-LSH bucket id from the first `bits` dimensions (1-based array
     * access): bit i set iff v[i] >= 0. The scale path: equi-join on the
     * bucket replaces the cross join; recall is traded via multiple

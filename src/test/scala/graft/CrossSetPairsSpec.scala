@@ -64,6 +64,21 @@ class CrossSetPairsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 500L), (2L, 0L, 0L)))
   }
 
+  test("cosineTopKFast is bit-identical to the decimal-only top-k") {
+    val vecs = vectors(seed = 23, n = 120, dims = 16)
+      .map { case (i, v) => (i, v) }
+    val df = vecs.toDF("id", "v")
+    val queries = df.filter(col("id") < 12)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("q_id"), col("vec_id"), col("cosim"), col("rnk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val slow = rows(Similarity.cosineTopK(df, queries, 7))
+    val fast = rows(Similarity.cosineTopKFast(df, queries, 7))
+    assert(slow.nonEmpty && fast == slow)
+  }
+
   test("a planted benchmark duplicate is always recalled") {
     val noise = vectors(seed = 3, n = 50, dims = 6).map {
       case (i, v) => (i + 1000L, v)

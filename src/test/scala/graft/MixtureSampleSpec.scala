@@ -64,4 +64,44 @@ class MixtureSampleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("frozen-policy streaming ingest agrees with batch for any slicing") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+
+    val d = Files.createTempDirectory("graft-smix")
+    val in = d.resolve("in"); Files.createDirectories(in)
+    val out = d.resolve("out").toString
+    val rows = (0L until 120L).map(i =>
+      (i, if (i % 4 == 0) "rare" else "big"))
+    rows.grouped(50).zipWithIndex.foreach { case (g, i) =>
+      Files.write(in.resolve(s"r$i.csv"),
+        g.map { case (id, dm) => s"$id;$dm" }.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = "id LONG, dom STRING"
+    val batch = spark.read.schema(schema)
+      .option("delimiter", ";").csv(in.toString)
+    val stats = MixtureSample.domainStats(batch, "dom", 0.5)
+      .localCheckpoint() // freeze the policy
+
+    val stream = spark.readStream.schema(schema)
+      .option("delimiter", ";").option("maxFilesPerTrigger", "1")
+      .csv(in.toString)
+    val q = MixtureSample
+      .temperatureSampleWith(stream, stats, "dom", "id", 60L, "s")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", d.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val want = MixtureSample
+      .temperatureSampleWith(batch, stats, "dom", "id", 60L, "s")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < 120)
+  }
 }
