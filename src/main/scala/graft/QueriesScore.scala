@@ -301,5 +301,51 @@ object QueriesScore {
       FROM packed ORDER BY component"""
     })
 
-  val list: Seq[Q] = Seq(q100, q101, q102, q103, q104)
+  /** COUNT-MIN SKETCH, relationally ([[graft.operators.CountMin]]):
+    * build the (j, pos, cnt) table over the token stream, probe the
+    * top-20 vocabulary, read est = min over hash rows next to the true
+    * frequency. w deliberately tiny (16) so the sketch's defining
+    * behavior — overestimation under collision, never underestimation
+    * — is VISIBLE in the oracled output, not just asserted in a spec.
+    * All cells are plain md5 column arithmetic (q84's trick), so
+    * DuckDB derives the identical sketch and the estimates hash-match. */
+  private val q105 = Q(
+    "q105_cms_estimate",
+    (s, dir) => {
+      import graft.operators.{CountMin, TextAnalysis}
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sk = CountMin.build(toks, col("tok"), d = 3, log2w = 4)
+      val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc).limit(20)
+      CountMin.estimate(sk, probes, col("tok"), d = 3, log2w = 4)
+        .join(probes, col("item") === col("tok"))
+        .select(col("tok"), col("tf"), col("est"),
+          (col("est") - col("tf")).as("inflation"))
+        .orderBy(col("tf").desc, col("tok").asc)
+    },
+    Some("""WITH toks AS (
+        SELECT UNNEST(string_split(text,' ')) AS tok FROM documents),
+      cells AS (
+        SELECT js.j,
+          CAST(('0x' || substr(md5('cm' || js.j || ':' || tok), 1, 8))
+            AS BIGINT) & 15 AS pos
+        FROM toks, (SELECT UNNEST([0,1,2]) AS j) js),
+      sk AS (SELECT j, pos, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+      probes AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1
+        ORDER BY tf DESC, tok ASC LIMIT 20),
+      pc AS (
+        SELECT p.tok, p.tf, js.j,
+          CAST(('0x' || substr(md5('cm' || js.j || ':' || p.tok), 1, 8))
+            AS BIGINT) & 15 AS pos
+        FROM probes p, (SELECT UNNEST([0,1,2]) AS j) js),
+      est AS (
+        SELECT pc.tok, CAST(pc.tf AS BIGINT) AS tf,
+          CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+        FROM pc LEFT JOIN sk ON sk.j = pc.j AND sk.pos = pc.pos
+        GROUP BY 1, 2)
+      SELECT tok, tf, est, est - tf AS inflation
+      FROM est ORDER BY tf DESC, tok ASC"""))
+
+  val list: Seq[Q] = Seq(q100, q101, q102, q103, q104, q105)
 }
