@@ -20,6 +20,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
@@ -36,11 +37,17 @@ object Bench {
             .linesIterator.take(1).mkString.take(200)
           false
       }
+    // dev-only: comma-separated query-name filter for targeted profiling
+    // (driver never sets it — full suite by default)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // warmup pass
-    SparkEntry.queries.foreach { case (name, fn) => runOne(name, fn) }
+    queries.foreach { case (name, fn) => runOne(name, fn) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = runOne(name, fn)
         val dt = (System.nanoTime() - t0) / 1e9

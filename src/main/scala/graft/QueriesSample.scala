@@ -424,8 +424,11 @@ object QueriesSample {
         .filter(col("vec_id") < 120)
         .select(col("vec_id").as("id"),
           Similarity.asDouble(col("embedding")).as("v"))
+      // t feeds both sides of the reciprocity join — checkpoint the
+      // 120×5-row list so the top-k pipeline runs once, not twice
       val t = Similarity.cosineTopKFast(sub, sub, 5)
         .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+        .localCheckpoint()
       val ta = t.select(col("q_id").as("id_a"), col("vec_id").as("id_b"),
         col("rnk").as("rnk_ab"))
       val tb = t.select(col("q_id").as("bq"), col("vec_id").as("bv"),
@@ -755,8 +758,12 @@ object QueriesSample {
     "q87_suffix_ranks",
     (s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      // startLen == maxLen collapses the doubling ladder to ONE ranking
+      // round (a string range sort of the 32-bounded prefix — exactly
+      // the oracle's DENSE_RANK contract). The ladder pays off only when
+      // maxLen outgrows what you'd ship as a sort key.
       graft.operators.SuffixArray
-        .suffixRanks(docs, "doc_id", "text", maxLen = 32, startLen = 8)
+        .suffixRanks(docs, "doc_id", "text", maxLen = 32, startLen = 32)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_suffixes"),
           sum(col("rank")).as("rank_sum"),
@@ -825,15 +832,16 @@ object QueriesSample {
     * leans on the SA property the operator itself uses — a suffix's
     * best match is one of its SA-order NEIGHBORS — so DuckDB sorts the
     * bounded suffixes and char-compares each with LAG/LEAD only, never
-    * all pairs. Full level ladder required (startLen = 1), so the
-    * query runs on a 2% doc slice (the slice still scales with sf). */
+    * all pairs. Uses the DIRECT variant (one ranking round, char-level
+    * neighbor LCP) — at maxLen=16 the bounded prefix is a fine sort
+    * key; the doubling ladder stays the path for unbounded maxLen.
+    * Runs on a 2% doc slice (the slice still scales with sf). */
   private val q89 = Q(
     "q89_longest_repeat",
     (s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
-      val idx = graft.operators.SuffixArray
-        .build(docs, "doc_id", "text", maxLen = 16)
-      graft.operators.SuffixArray.longestRepeatPerDoc(idx)
+      graft.operators.SuffixArray
+        .longestRepeatPerDocDirect(docs, "doc_id", "text", maxLen = 16)
         .orderBy(col("doc_id"))
     },
     Some("""WITH p AS (

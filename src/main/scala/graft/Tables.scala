@@ -24,17 +24,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as a raw nanos Long and truncate to
-    * microseconds with *integer* division — bit-identical to DuckDB's own
-    * ns→µs floor, and safe where double division would lose precision on
-    * 1e18-scale nanos. The conf is a runtime SQLConf, so this works under
-    * any caller-provided session (driver's entry() smoke check included).
+  /** events.ts has shipped as two different parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 only reads via
+    * `nanosAsLong` ⇒ BIGINT) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (⇒ TIMESTAMP_NTZ). Branch on the *loaded* dataType so a testdata
+    * regeneration can never break every events consumer again:
+    *   - LongType            ⇒ nanos era: floor-truncate to µs with integer
+    *                           division (bit-identical to DuckDB's ns→µs).
+    *   - TimestampNTZType    ⇒ naive-UTC wall clock: cast to TIMESTAMP.
+    *   - TimestampType       ⇒ pass through.
+    * The NTZ→TIMESTAMP cast interprets the wall clock in the session time
+    * zone, so we pin the session to UTC here — the whole query surface
+    * (oracles included) was defined under UTC, and this makes any
+    * caller-provided session (driver's entry() smoke check, bench)
+    * deterministic. `nanosAsLong` is set unconditionally: it only affects
+    * nanos-annotated columns, so it is a no-op for the µs generation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts drifted to unsupported type $other — update Tables.events")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

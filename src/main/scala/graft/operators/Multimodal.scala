@@ -206,28 +206,54 @@ object Multimodal {
         w.as("out_w"), h.as("out_h"))
   }
 
-  /** Pixel-resize seam (STUB pixel kernel — no imaging libs in this
-    * container): per-partition batched pass that carries each image
-    * payload plus its [[resizePlan]] target through `resample`. The
-    * default resample is a deterministic truncation fake; swapping in
-    * a real scaler touches ONLY that function — the Spark plumbing
-    * (payload+plan join, narrow batch pass, binary-out schema) is the
-    * real deliverable and is spec-tested. */
+  /** Pure-JVM nearest-neighbor down-sampler over the GRAY8 synthetic
+    * raster format (row-major, 1 byte per pixel, width·height bytes):
+    * out(y,x) = src(⌊y·srcH/outH⌋, ⌊x·srcW/outW⌋) — all integer index
+    * math, no imaging libs. Payloads shorter than srcW·srcH (real
+    * container bytes rather than rasters) read as 0 past their end, so
+    * the kernel is total and deterministic on ANY input. This is the
+    * default pixel kernel behind [[resizePayloads]]'s seam; a real
+    * imaging codec (JPEG decode → scale → encode) swaps in through the
+    * same function signature without touching the Spark plumbing. */
+  def nearestNeighborGray8(bytes: Array[Byte], srcW: Int, srcH: Int,
+                           outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(0, outW) * math.max(0, outH))
+    var y = 0
+    while (y < outH) {
+      val sy = y.toLong * srcH / outH
+      var x = 0
+      while (x < outW) {
+        val si = sy * srcW + x.toLong * srcW / outW
+        out(y * outW + x) =
+          if (si >= 0 && si < bytes.length) bytes(si.toInt) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Pixel-resize pass: per-partition batched map that carries each
+    * image payload plus its [[resizePlan]] target through `resample`
+    * (payload, srcW, srcH, outW, outH) ⇒ resized bytes. The default
+    * kernel is [[nearestNeighborGray8]] — real pixel subsampling over
+    * the GRAY8 raster format, not a truncation fake; production codecs
+    * swap in through the same seam. Narrow (payloads never shuffle). */
   def resizePayloads(media: DataFrame, maxSide: Int,
-                     resample: (Array[Byte], Int, Int) => Array[Byte] =
-                       (b, w, h) => java.util.Arrays.copyOf(
-                         b, math.min(b.length, math.max(1, w * h))))
+                     resample: (Array[Byte], Int, Int, Int, Int) => Array[Byte] =
+                       nearestNeighborGray8)
       : DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val (w, h) = outDims(maxSide)
     media.filter(col("kind") === "image")
-      .select(col("media_id"), col("payload"), w.as("out_w"), h.as("out_h"))
-      .as[(Long, Array[Byte], Int, Int)]
+      .select(col("media_id"), col("payload"),
+        col("width"), col("height"), w.as("out_w"), h.as("out_h"))
+      .as[(Long, Array[Byte], Int, Int, Int, Int)]
       .mapPartitions { it =>
-        it.map { case (id, payload, w, h) =>
+        it.map { case (id, payload, sw, sh, w, h) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          (id, w, h, resample(bytes, w, h))
+          (id, w, h, resample(bytes, sw, sh, w, h))
         }
       }
       .toDF("media_id", "out_w", "out_h", "resized")

@@ -94,11 +94,17 @@ object Similarity {
       sqrt(dotDouble(col("v"), col("v"))).as("ndc"))
     val q = queries.select(col("id").as("q_id"), col("v").as("qv"),
       sqrt(dotDouble(col("v"), col("v"))).as("ndq"))
+    // The skinny (q_id, vec_id, dcos) frame feeds BOTH the k-th-score
+    // aggregate and the survivor filter; without a cut it would evaluate
+    // the corpus×queries double kernel twice. localCheckpoint materializes
+    // it once — it is the narrow projection (3 scalar columns, queries
+    // small), so the stored blocks are tiny even when the corpus is not.
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotDouble(col("v"), col("qv")) /
           (col("ndc") * col("ndq"))).as("dcos"))
+      .localCheckpoint()
     val wd = Window.partitionBy(col("q_id")).orderBy(col("dcos").desc)
     // the k-th double score: with ties its VALUE is stable no matter
     // which tied row row_number picks, so no tiebreak is needed
@@ -108,13 +114,16 @@ object Similarity {
     val surv = scored.join(broadcast(kth), Seq("q_id"))
       .filter(col("dcos") >= col("kth_d") - slack)
       .select(col("q_id"), col("vec_id"))
+    // decimal norms: the query side's is computed ONCE per query inside
+    // the broadcast build (not per surviving row); the corpus side's runs
+    // per survivor — survivors number ~queries×(k+band), not corpus-sized.
     val exact = surv
       .join(corpus.select(col("id").as("vec_id"), col("v")), Seq("vec_id"))
       .join(broadcast(queries.select(col("id").as("q_id"),
-        col("v").as("qv"))), Seq("q_id"))
+        col("v").as("qv"), normDecimal(col("v")).as("qnrm"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotDecimal(col("v"), col("qv")).cast("double") /
-          (normDecimal(col("v")) * normDecimal(col("qv")))).as("cosim"))
+          (normDecimal(col("v")) * col("qnrm"))).as("cosim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosim").desc, col("vec_id").asc)
     exact.withColumn("rnk", row_number().over(w))

@@ -166,7 +166,69 @@ object SuffixArray {
     cur.select(col("rank"), col("lcp"))
   }
 
-  /** Per-document longest repeated substring length (capped at maxLen):
+  /** Character common-prefix length of two non-null strings — a pure
+    * codegen'd expression (first differing position, else the shorter
+    * length). O(maxLen²) char probes per pair; fine for the bounded
+    * prefixes it's used on (≤ 32 chars ⇒ ≤ 1k probes). */
+  private def commonPrefixLen(a: Column, b: Column): Column = {
+    val m = least(length(a), length(b)).cast("int")
+    val firstDiff = filter(
+      sequence(lit(1), m),
+      i => a.substr(i, lit(1)) =!= b.substr(i, lit(1)))
+    // no differing position ⇒ empty array ⇒ null (ANSI-safe) ⇒ LCP = m
+    coalesce(try_element_at(firstDiff, lit(1)).cast("long") - 1L,
+      m.cast("long"))
+  }
+
+  /** Per-document longest repeated substring, DIRECT variant: ranks the
+    * full maxLen-bounded prefix in ONE ranking round (string range sort
+    * — exactly the q87/q89 oracle contract) and computes SA-neighbor
+    * LCPs by char comparison on the two bounded prefixes instead of the
+    * level-ladder descent. For bounded maxLen ≤ ~64 this strictly
+    * dominates the ladder: one range shuffle of ≤maxLen-char keys
+    * replaces log₂(maxLen)+1 shuffles, and the LCP probe is a codegen'd
+    * expression over one representative pair per adjacent rank. The
+    * ladder ([[build]] + [[longestRepeatPerDoc]]) remains the scale path
+    * when maxLen grows past what you'd ship as a sort key. */
+  def longestRepeatPerDocDirect(docs: DataFrame, idCol: String,
+                                textCol: String, maxLen: Int,
+                                buckets: Int = 32): DataFrame = {
+    val base = docs
+      .where(length(col(textCol)) >= 1)
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, length($textCol)), " +
+            s"i -> substring($textCol, i, $maxLen))")).as(Seq("pos0", "c")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("c"))
+    val ranked = denseRankBy(base, col("c"), buckets).localCheckpoint()
+    // bounded-suffix length IS length(c): substring truncates at doc end
+    val tied = ranked
+      .withColumn("_slen", length(col("c")).cast("long"))
+      .withColumn("_nt", count(lit(1)).over(Window.partitionBy(col("rank"))))
+    val reps = ranked
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("rank")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("_rn") === 1)
+      .select(col("rank"), col("c"))
+    val lcp = reps.join(
+        reps.select((col("rank") - 1).as("rank"), col("c").as("c2")),
+        "rank")
+      .select(col("rank"), commonPrefixLen(col("c"), col("c2")).as("lcp"))
+    val lcpSucc = lcp.select(col("rank"), col("lcp").as("_lcpS"))
+    val lcpPred = lcp.select((col("rank") + 1).as("rank"),
+      col("lcp").as("_lcpP"))
+    tied
+      .join(lcpSucc, Seq("rank"), "left")
+      .join(lcpPred, Seq("rank"), "left")
+      .withColumn("_rep",
+        when(col("_nt") >= 2, col("_slen"))
+          .otherwise(greatest(coalesce(col("_lcpS"), lit(0L)),
+            coalesce(col("_lcpP"), lit(0L)))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("_rep")).as("max_repeat_len"))
+  }
+
+  /** Per-doc longest repeated substring length (capped at maxLen):
     * for every position, the best match with any OTHER suffix is the
     * max of (a) full bounded-suffix length if another position shares
     * its rank, (b) LCP with the rank's SA neighbors (the SA property:

@@ -101,15 +101,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 512, 256), (2L, 170, 512), (3L, 512, 200)))
   }
 
-  test("resizePayloads: stub kernel rides the narrow batch pass") {
+  test("resizePayloads: nearest-neighbor kernel actually subsamples pixels") {
+    // GRAY8 raster 8×4 (row-major, 1 byte/pixel): pixel value encodes its
+    // coordinates as 16*y + x, so subsampled output pixels are predictable
+    val srcW = 8; val srcH = 4
+    val raster = Array.tabulate(srcW * srcH) { i =>
+      (16 * (i / srcW) + (i % srcW)).toByte
+    }
     val media = Seq(
-      (1L, "image", pngHeader(2048, 1024), 2048, 1024),
-      (2L, "audio", pngHeader(8, 8), 9999, 9999))
+      (1L, "image", raster, srcW, srcH),
+      (2L, "audio", raster, 9999, 9999)) // wrong kind: excluded
+      .toDF("media_id", "kind", "payload", "width", "height")
+    val got = Multimodal.resizePayloads(media, maxSide = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq))
+    // out 4×2: out(y,x) = src(y*4/2? ...) — src(⌊y·srcH/outH⌋, ⌊x·srcW/outW⌋)
+    // = src(2y, 2x) ⇒ values 16·(2y) + 2x
+    val want = for (y <- 0 until 2; x <- 0 until 4)
+      yield (16 * (2 * y) + 2 * x).toByte
+    assert(got.toSeq == Seq((1L, 4, 2, want)))
+  }
+
+  test("resizePayloads: kernel is total on short (non-raster) payloads") {
+    val media = Seq((1L, "image", Array[Byte](7, 7, 7), 2048, 1024))
       .toDF("media_id", "kind", "payload", "width", "height")
     val got = Multimodal.resizePayloads(media, maxSide = 16)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+      .collect().map(r => (r.getInt(1), r.getInt(2),
         r.getAs[Array[Byte]](3).length))
-    // default resample truncates to min(payload, w*h) bytes
-    assert(got.toSeq == Seq((1L, 16, 8, math.min(pngHeader(2048, 1024).length, 128))))
+    // dims come from the plan; bytes past payload end read as 0
+    assert(got.toSeq == Seq((16, 8, 128)))
   }
 }

@@ -93,6 +93,23 @@ class SuffixArraySpec extends SparkSpec {
     assert(ranks(1) == want && ranks(8) == want && ranks(32) == want)
   }
 
+  test("direct longest-repeat variant equals ladder and brute force") {
+    val rnd = new scala.util.Random(67)
+    val docs = (1L to 10L).map(d =>
+      d -> Seq.fill(3 + rnd.nextInt(40))(
+        ('a' + rnd.nextInt(3)).toChar).mkString) ++
+      Seq(11L -> "zqxvwk", 12L -> "") // unique-only and empty docs
+    val df = docs.toDF("doc_id", "text")
+    def toMapOf(got: org.apache.spark.sql.DataFrame) =
+      got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = toMapOf(
+      SuffixArray.longestRepeatPerDocDirect(df, "doc_id", "text", 8))
+    val ladder = toMapOf(SuffixArray.longestRepeatPerDoc(
+      SuffixArray.build(df, "doc_id", "text", 8)))
+    assert(direct == ladder)
+    assert(direct == bruteLongest(docs.filter(_._2.nonEmpty), 8))
+  }
+
   test("empty corpus builds an empty index instead of throwing") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(SuffixArray.suffixRanks(empty, "doc_id", "text", 8).count() == 0)

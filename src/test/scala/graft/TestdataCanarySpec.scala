@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Schema-drift canary for the driver-generated testdata.
+  *
+  * The driver regenerates /root/testdata between rounds, and parquet
+  * physical types have drifted before (events.ts went TIMESTAMP(NANOS) →
+  * TIMESTAMP(MICROS) between r3 and r4, erroring 30 queries at analysis
+  * time with an opaque DATATYPE_MISMATCH). This spec asserts only the
+  * *invariants the query surface actually needs* — not exact physical
+  * types — so the next regeneration produces ONE readable failure naming
+  * the drifted column instead of 30 opaque ones.
+  */
+class TestdataCanarySpec extends SparkSpec {
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+  private def isStringy(dt: DataType): Boolean = dt.isInstanceOf[StringType]
+  private def isDateLike(dt: DataType): Boolean = dt match {
+    case _: DateType | _: TimestampType | _: TimestampNTZType => true
+    case _ => false
+  }
+  /** ts must be timestamp-like, or a raw integral we know how to convert
+    * (the nanos-as-long era). Anything else needs a Tables.events update. */
+  private def isTsConvertible(dt: DataType): Boolean =
+    isDateLike(dt) || dt.isInstanceOf[LongType]
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(_: FloatType | _: DoubleType, _) => true
+    case _ => false
+  }
+
+  private def check(table: String, col: String, pred: DataType => Boolean,
+                    want: String): Unit = {
+    val df = Tables.load(spark, sf(), table)
+    val field = df.schema.fields.find(_.name == col)
+    assert(field.isDefined,
+      s"TESTDATA DRIFT: $table.$col is GONE — columns now: " +
+        df.schema.fieldNames.mkString(", "))
+    assert(pred(field.get.dataType),
+      s"TESTDATA DRIFT: $table.$col is now ${field.get.dataType.simpleString}, " +
+        s"queries need $want — update Tables.scala / the affected queries")
+  }
+
+  test("all ten tables load and are non-empty at sf0.001") {
+    Tables.names.foreach { t =>
+      val df = Tables.load(spark, sf(), t)
+      assert(df.limit(1).count() == 1L, s"TESTDATA DRIFT: $t is empty or unreadable")
+    }
+  }
+
+  test("events invariants (ts convertible, ids integral)") {
+    check("events", "ts", isTsConvertible, "timestamp-like or raw nanos long")
+    check("events", "user_id", isIntegral, "integral")
+    check("events", "event_type", isStringy, "string")
+    check("events", "value", isNumeric, "numeric")
+    // and the adaptive loader must land on a plain TIMESTAMP whatever the
+    // physical flavor — every downstream unix_millis/date_format needs it
+    assert(Tables.events(spark, sf()).schema("ts").dataType == TimestampType,
+      "Tables.events must normalize ts to TIMESTAMP")
+  }
+
+  test("tpch-ish invariants (join keys integral, dates date-like, amounts numeric)") {
+    check("region", "r_regionkey", isIntegral, "integral")
+    check("nation", "n_nationkey", isIntegral, "integral")
+    check("nation", "n_regionkey", isIntegral, "integral")
+    check("customer", "c_custkey", isIntegral, "integral")
+    check("customer", "c_nationkey", isIntegral, "integral")
+    check("supplier", "s_suppkey", isIntegral, "integral")
+    check("part", "p_partkey", isIntegral, "integral")
+    check("orders", "o_orderkey", isIntegral, "integral")
+    check("orders", "o_custkey", isIntegral, "integral")
+    check("orders", "o_orderdate", isDateLike, "date-like")
+    check("orders", "o_totalprice", isNumeric, "numeric")
+    check("lineitem", "l_orderkey", isIntegral, "integral")
+    check("lineitem", "l_partkey", isIntegral, "integral")
+    check("lineitem", "l_suppkey", isIntegral, "integral")
+    check("lineitem", "l_quantity", isNumeric, "numeric")
+    check("lineitem", "l_extendedprice", isNumeric, "numeric")
+    check("lineitem", "l_shipdate", isDateLike, "date-like")
+    check("lineitem", "l_returnflag", isStringy, "string")
+  }
+
+  test("documents/embeddings invariants (text string, embedding float array)") {
+    check("documents", "doc_id", isIntegral, "integral")
+    check("documents", "text", isStringy, "string")
+    check("embeddings", "vec_id", isIntegral, "integral")
+    check("embeddings", "embedding", isFloatArray, "array<float|double>")
+  }
+}
