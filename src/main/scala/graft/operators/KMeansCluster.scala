@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the centroid
+  * trainer the IVF/IVF-PQ machinery (Similarity, ProductQuant) consumes
+  * as an input. Shape per iteration:
+  *   1. ASSIGN — broadcast the k×dims centroid table as literal arrays
+  *      into a codegen'd expression; each row computes k squared
+  *      distances and takes the argmin. Narrow, no shuffle.
+  *   2. UPDATE — per-dimension sums via posexplode + hash aggregation
+  *      (ONE shuffle of k·dims partial sums), then a k·dims-row collect
+  *      to the driver (bounded model state, like NgramLm's vocab —
+  *      never data-sized).
+  * At 100 TB that is the canonical k-means plan: iterations scans are
+  * embarrassingly parallel, the only shuffle carries k·dims rows.
+  *
+  * Determinism (the oracle contract): the distance METRIC is fixed
+  * -point — Σ ⌊(vᵢ−mᵢ)²·10¹⁰⌋ as a BIGINT. Each term is two IEEE
+  * multiplies and a floor on bit-identical double inputs (float widens
+  * exactly; m is a shared double), so every engine computes the same
+  * integer — unlike a double→decimal cast, whose rounding at midpoints
+  * differs between engines (Spark rounds the shortest string repr
+  * HALF_UP, DuckDB rounds the exact binary value). Integer sums are
+  * order-invariant; argmin ties break to the LOWEST centroid id.
+  * Centroid means divide an order-invariant decimal sum (cast to
+  * double) by the member count in double — one IEEE division, identical
+  * on any engine. So assignments, means, and inertia all hash-match a
+  * SQL twin.
+  */
+object KMeansCluster {
+
+  /** Fixed-point squared L2 distance between a vector column and a
+    * literal centroid: Σ ⌊(vᵢ − mᵢ)²·10¹⁰⌋, a BIGINT. */
+  def sqDistFixed(v: Column, centroid: Seq[Double]): Column = {
+    val m = array(centroid.map(lit): _*)
+    aggregate(
+      zip_with(v, m,
+        (x, c) => floor(((x - c) * (x - c)) * lit(1e10)).cast("long")),
+      lit(0L),
+      (acc, d) => acc + d)
+  }
+
+  /** Assignment frame: (id, v, cluster, dist) — argmin of
+    * [[sqDistFixed]] over `centroids`, ties to the lowest cluster id.
+    * `emb` needs (id, v: array<double>). */
+  def assign(emb: DataFrame,
+             centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val dists = centroids.map { case (cid, c) =>
+      struct(sqDistFixed(col("v"), c).as("d"), lit(cid).as("cid"))
+    }
+    // array_min over (dist, cid) structs: struct ordering compares dist
+    // first, then cid — exactly "argmin with lowest-id tiebreak"
+    val best = array_min(array(dists: _*))
+    emb.select(col("id"), col("v"),
+      best.getField("cid").as("cluster"),
+      best.getField("d").as("dist"))
+  }
+
+  /** One UPDATE step: per-cluster per-dimension decimal mean sums,
+    * collected as the next centroid table. Clusters that lost every
+    * member disappear (their id never re-enters the argmin). */
+  def updateCentroids(assigned: DataFrame): Seq[(Int, Seq[Double])] = {
+    val dims = assigned.select(col("cluster"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("x").cast("decimal(18,16)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    dims.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+      cid -> rows.sortBy(_.getInt(1)).map { r =>
+        r.getDecimal(2).doubleValue() / r.getLong(3)
+      }.toSeq
+    }
+  }
+
+  /** `iters` Lloyd rounds from seed centroids = the vectors with
+    * id ∈ [0, k); returns the final assignment frame. */
+  def lloyd(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids: Seq[(Int, Seq[Double])] = emb
+      .filter(col("id") < k)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+    require(centroids.nonEmpty, s"need seed vectors with id < $k")
+    var assigned = assign(emb, centroids)
+    var round = 1
+    while (round < iters) {
+      centroids = updateCentroids(assigned)
+      assigned = assign(emb, centroids)
+      round += 1
+    }
+    assigned
+  }
+}

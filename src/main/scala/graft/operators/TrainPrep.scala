@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Last-mile training-set preparation operators: leakage-guarded splits,
+  * deterministic corpus shuffling into token-balanced shards, sliding
+  * -window chunking, and inverted-index construction. All pure
+  * DataFrame shapes — narrow where possible, one keyed shuffle where
+  * not — and all deterministic (md5-keyed pseudo-randomness, integer
+  * arithmetic), so each has an exact SQL oracle twin.
+  */
+object TrainPrep {
+
+  /** The q41 split contract: first hex nibble of md5("split:"+key) —
+    * 'd' ⇒ val (1/16), 'e'/'f' ⇒ test (2/16), else train (13/16). */
+  def splitOf(key: Column): Column = {
+    val h = substring(md5(concat(lit("split:"), key.cast("string"))), 1, 1)
+    when(h.isin("d"), "val").when(h.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+
+  /** Leakage-guarded split assignment: documents sharing EXACT content
+    * (same md5(text)) are one unit — the split is decided by the hash
+    * of the unit's canonical id (min doc_id in the duplicate group),
+    * never the member's own id, so a duplicate can never straddle
+    * train/test. One hash-shuffle on the content hash; the same shape
+    * extends to near-dup clusters by swapping the md5 group for a
+    * connected-component id (Dedup.connectedComponents). Returns
+    * (doc_id, cluster_id, split). */
+  def clusterAwareSplit(docs: DataFrame): DataFrame = {
+    val units = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("cluster_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    units.select(col("doc_id"), col("cluster_id"),
+      splitOf(col("cluster_id")).as("split"))
+  }
+
+  /** Deterministic corpus shuffle + token-balanced contiguous sharding:
+    * order documents by md5 of their id (a fixed, data-independent
+    * permutation), prefix-sum their token counts with the two-phase
+    * range scan (WeightedSample.withCumWeight — NO global window), and
+    * cut the cumulative token line into `nShards` equal spans:
+    * shard = ⌊(cum − w) · n / total⌋ (start-offset rule; all integer).
+    * Shards land within one max-doc-tokens of perfect balance — the
+    * property training-data writers need so every worker reads the
+    * same byte volume. Returns (doc_id, tokens, shard). */
+  def tokenBalancedShards(docs: DataFrame, nShards: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("k"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+    val cum = WeightedSample.withCumWeight(keyed, "k", "tokens")
+    val total = keyed.agg(sum(col("tokens"))).collect()(0).getLong(0)
+    cum.select(col("doc_id"), col("tokens"),
+      floor((col("cum") - col("tokens")) * nShards / total)
+        .cast("long").as("shard"))
+  }
+
+  /** Sliding-window character chunking with overlap — the RAG/context
+    * -window fan-out: a window of `width` chars opens every `step`
+    * chars (1-based starts 1, 1+step, … ≤ n); tail windows truncate at
+    * the document end. Pure narrow explode (sequence + substring);
+    * provenance (doc_id, chunk_idx, start) rides along, chunk content
+    * is ready for cross-corpus chunk dedup (q60's shape). Empty docs
+    * produce no chunks. */
+  def chunks(docs: DataFrame, width: Int, step: Int): DataFrame = {
+    require(step >= 1 && width >= step,
+      "need step >= 1 and width >= step (overlap = width - step)")
+    val n = length(col("text"))
+    docs
+      .where(n >= 1) // sequence(1, 0) would descend
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), n, lit(step)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        substring(col("text"), col("start").cast("int"), lit(width))
+          .as("chunk"))
+  }
+
+  /** Inverted index over whitespace tokens: per term, document
+    * frequency, total term frequency, and an md5 digest of the sorted
+    * posting list (doc ids joined with ','): the digest pins the FULL
+    * posting content in a scalar, so an oracle can verify the index
+    * without shipping arrays. Posting lists stay distributed — one
+    * hash shuffle on the term. */
+  def postings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf_doc")).as("tf"),
+        // sort numerically FIRST, then stringify for the digest
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")))).as("postings_md5"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeansCluster
+
+class KMeansClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: Seq[(Long, Seq[Double])]) =
+    rows.toDF("id", "v")
+
+  test("assign: argmin with lowest-id tiebreak on duplicate centroids") {
+    val df = emb(Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(1.0, 1.0),
+      2L -> Seq(0.1, -0.1)))
+    // centroids 1 and 2 are identical: ties must go to cid 1
+    val cents = Seq(0 -> Seq(1.0, 1.0), 1 -> Seq(0.0, 0.0),
+      2 -> Seq(0.0, 0.0))
+    val got = KMeansCluster.assign(df, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(0L -> 1, 1L -> 0, 2L -> 1))
+  }
+
+  test("assign: dist is the fixed-point metric") {
+    val df = emb(Seq(5L -> Seq(0.5, 0.0)))
+    val got = KMeansCluster.assign(df, Seq(3 -> Seq(0.0, 0.0)))
+      .collect().head
+    assert(got.getInt(2) == 3)
+    assert(got.getLong(3) == math.floor(0.25 * 1e10).toLong)
+  }
+
+  test("updateCentroids: per-cluster per-dim means") {
+    val df = emb(Seq(0L -> Seq(0.0, 2.0), 1L -> Seq(1.0, 4.0),
+      2L -> Seq(10.0, 10.0)))
+    val assigned = KMeansCluster.assign(df,
+      Seq(0 -> Seq(0.0, 3.0), 1 -> Seq(10.0, 10.0)))
+    val got = KMeansCluster.updateCentroids(assigned).toMap
+    assert(got(0) == Seq(0.5, 3.0))
+    assert(got(1) == Seq(10.0, 10.0))
+  }
+
+  test("lloyd separates two obvious blobs and reaches zero movement") {
+    val blobA = (0L to 9L).map(i => i -> Seq(0.01 * i, 0.0))
+    val blobB = (10L to 19L).map(i => i -> Seq(5.0 + 0.01 * i, 4.0))
+    // seeds are ids 0 and 1; place one in each blob (Lloyd's cannot
+    // split a blob two same-blob seeds both converge into)
+    val rows = (blobA.filterNot(_._1 == 1L) :+
+      (1L -> Seq(5.05, 4.0))) ++ blobB
+    val got = KMeansCluster.lloyd(emb(rows), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val aIds = blobA.map(_._1).filterNot(_ == 1L)
+    val bIds = blobB.map(_._1) :+ 1L
+    assert(aIds.forall(got(_) == 0))
+    assert(bIds.forall(got(_) == 1))
+  }
+}

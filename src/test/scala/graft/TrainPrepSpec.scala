@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrainPrep
+
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusterAwareSplit: exact duplicates always share a split") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "gamma"), (5L, "delta"), (6L, "gamma"))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.clusterAwareSplit(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = got.groupBy(_._2)
+    // one split per duplicate group, cluster id = min member
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(byCluster(4L).map(_._1).toSet == Set(4L, 6L))
+    assert(byCluster.forall { case (_, ms) => ms.map(_._3).distinct.size == 1 })
+  }
+
+  test("tokenBalancedShards: partition is exact and balanced") {
+    val docs = (1L to 200L)
+      .map(d => (d, Seq.fill(1 + (d % 7).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val n = 5
+    val got = TrainPrep.tokenBalancedShards(docs, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == (1L to 200L).toSet) // every doc, once
+    assert(got.forall(t => t._3 >= 0 && t._3 < n))
+    val total = got.map(_._2).sum
+    val maxDoc = got.map(_._2).max
+    val perShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    // contiguous token spans: each shard within one max-doc of the ideal
+    assert(perShard.values.forall(s =>
+      math.abs(s - total / n) <= maxDoc + total % n))
+  }
+
+  test("chunks: windows, overlap, tail truncation, empty docs") {
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.chunks(docs, width = 6, step = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0, 1, "abcdef"), (1L, 1, 5, "efghij"), (1L, 2, 9, "ij"),
+      (3L, 0, 1, "xy")))
+  }
+
+  test("postings: df/tf and the sorted-postings digest") {
+    val docs = Seq(
+      (10L, "a b a"), (2L, "b c"), (7L, "a"))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.postings(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def digest(ids: Seq[Long]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(ids.sorted.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(got("a") == ((2L, 3L, digest(Seq(7L, 10L)))))
+    assert(got("b") == ((2L, 2L, digest(Seq(2L, 10L)))))
+    assert(got("c") == ((1L, 1L, digest(Seq(2L)))))
+  }
+}
