@@ -68,6 +68,18 @@ class ReportFormatSpec extends SparkSpec {
     assert(txt.contains("Breakdown by error type:"))
   }
 
+  test("extractionFrequency reads OnCalendar, defaults to hourly") {
+    val dir = java.nio.file.Files.createTempDirectory("timer")
+    val unit = dir.resolve("maillogsentinel-extract.timer")
+    java.nio.file.Files.writeString(unit,
+      "[Unit]\nDescription=x\n\n[Timer]\n  OnCalendar=*-*-* 03:00:00\n")
+    assert(ReportFormat.extractionFrequency(unit) == "*-*-* 03:00:00")
+    java.nio.file.Files.writeString(unit, "[Timer]\nPersistent=true\n")
+    assert(ReportFormat.extractionFrequency(unit) == "hourly")
+    assert(ReportFormat.extractionFrequency(
+      dir.resolve("missing.timer")) == "hourly")
+  }
+
   test("empty day renders the reference's else-branch messages") {
     val ev = Pipeline.extract(Seq.empty[String].toDF("value"), 2025)
     val txt = ReportFormat.render(
