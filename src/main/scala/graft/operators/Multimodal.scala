@@ -258,4 +258,68 @@ object Multimodal {
       }
       .toDF("media_id", "out_w", "out_h", "resized")
   }
+
+  /** 64-bit average hash (aHash) of a GRAY8 raster — the standard
+    * perceptual image near-dup signature: downsample to 8×8 with
+    * [[nearestNeighborGray8]], take the integer mean of the 64 gray
+    * values, set bit (8y+x) iff pixel(y,x) ≥ mean. Scale-invariant by
+    * construction (any k× integer upscale of a raster hashes
+    * identically — the downsample lands on the same pixels) and robust
+    * to small local edits (few bits flip ⇒ small Hamming distance).
+    * Pure integer math on bytes; no imaging libs. */
+  def aHash64(bytes: Array[Byte], srcW: Int, srcH: Int): Long = {
+    val px = nearestNeighborGray8(bytes, srcW, srcH, 8, 8)
+      .map(_ & 0xff)
+    val mean = px.sum / 64
+    px.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      if (p >= mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Adds a `phash` column (aHash of the payload) to image rows —
+    * narrow per-partition pass, payloads never shuffle. */
+  def withAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"), col("width"), col("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, w, h) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          (id, aHash64(bytes, w, h))
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-duplicate pairs: band the 64-bit hash into four
+    * 16-bit keys and equi-join on (band index, band value) — pairs
+    * within Hamming distance ≤ 3 MUST share at least one intact band
+    * (pigeonhole over 4 bands), so recall at the verify threshold is
+    * exact, and candidate generation is never a cross join. The verify
+    * leg is the codegen'd `bit_count(a ^ b) <= maxHamming` (maxHamming
+    * ≤ 3 for the guarantee; higher trades recall). Same banding
+    * economics as the MinHash/SimHash paths — at 100 TB the band join
+    * shuffles (hash, id) pairs only. */
+  def nearDupPairsByAHash(media: DataFrame, maxHamming: Int): DataFrame = {
+    val hashed = withAHash(media)
+    val banded = hashed.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val a = banded.select(col("media_id").as("id_a"),
+      col("phash").as("ph_a"), col("band"), col("bv"))
+    val b = banded.select(col("media_id").as("id_b"),
+      col("phash").as("ph_b"), col("band").as("band2"), col("bv").as("bv2"))
+    a.join(b, col("band") === col("band2") && col("bv") === col("bv2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -122,6 +122,47 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 4, 2, want)))
   }
 
+  test("aHash64 is invariant under integer upscale of the raster") {
+    // 8x8 pattern: left half dark, right half bright
+    val base = Array.tabulate(64)(i => if (i % 8 < 4) 0 else 200)
+      .map(_.toByte)
+    // 16x16 2x nearest-neighbor upscale of the same pattern
+    val up = Array.tabulate(256) { i =>
+      val (y, x) = (i / 16, i % 16)
+      base((y / 2) * 8 + (x / 2))
+    }
+    val h8 = Multimodal.aHash64(base, 8, 8)
+    val h16 = Multimodal.aHash64(up, 16, 16)
+    assert(h8 == h16)
+    // right half >= mean: bits 8y+x for x in 4..7
+    val want = (0 until 64).filter(_ % 8 >= 4)
+      .foldLeft(0L)((a, i) => a | (1L << i))
+    assert(h8 == want)
+  }
+
+  test("nearDupPairsByAHash: small edits pair up, different images don't") {
+    def raster(edits: Set[Int]): Array[Byte] =
+      Array.tabulate(256) { i =>
+        val (y, x) = (i / 16, i % 16)
+        val sampled = (y / 2) * 8 + (x / 2) // pixel the 8x8 downsample reads
+        val bright = (x >= 8) ^ edits.contains(sampled)
+        if (bright) 200.toByte else 0.toByte
+      }
+    val different = Array.tabulate(256) { i =>
+      if ((i / 16) % 2 == 0) 200.toByte else 0.toByte // horizontal stripes
+    }
+    val media = Seq(
+      (1L, "image", raster(Set.empty), 16, 16),
+      // three flipped downsample pixels spread across three 16-bit bands
+      (2L, "image", raster(Set(0, 17, 34)), 16, 16),
+      (3L, "image", different, 16, 16),
+      (4L, "audio", raster(Set.empty), 16, 16)) // wrong kind: excluded
+      .toDF("media_id", "kind", "payload", "width", "height")
+    val got = Multimodal.nearDupPairsByAHash(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3)))
+  }
+
   test("resizePayloads: kernel is total on short (non-raster) payloads") {
     val media = Seq((1L, "image", Array[Byte](7, 7, 7), 2048, 1024))
       .toDF("media_id", "kind", "payload", "width", "height")
