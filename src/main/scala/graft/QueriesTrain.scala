@@ -164,5 +164,31 @@ object QueriesTrain {
       FROM p GROUP BY 1
       ORDER BY df DESC, term ASC LIMIT 25"""))
 
-  val list: Seq[Q] = Seq(q106, q107, q108, q109, q110)
+  /** CONJUNCTIVE INDEX LOOKUP (TrainPrep.indexLookupAnd): documents
+    * containing every query term, with per-term frequencies — the
+    * read path of q110's index. The per-term filters sit on the
+    * posting aggregation's grouping key, so they push below the agg
+    * into the scan; intersection is an equi-join on doc_id, and with
+    * a term-bucketed posting table only the queried terms' postings
+    * are ever touched. */
+  private val q111 = Q(
+    "q111_index_lookup",
+    (s, dir) =>
+      TrainPrep.indexLookupAnd(Tables.documents(s, dir),
+          Seq("query", "window", "scan"))
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      t0 AS (SELECT doc_id, COUNT(*) AS tf_0 FROM toks
+        WHERE term = 'query' GROUP BY 1),
+      t1 AS (SELECT doc_id, COUNT(*) AS tf_1 FROM toks
+        WHERE term = 'window' GROUP BY 1),
+      t2 AS (SELECT doc_id, COUNT(*) AS tf_2 FROM toks
+        WHERE term = 'scan' GROUP BY 1)
+      SELECT doc_id, tf_0, tf_1, tf_2
+      FROM t0 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id)
+      ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111)
 }

@@ -62,18 +62,19 @@ object Dedup {
     require(maxDistDen >= 1)
     val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("t_a"))
     val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("t_b"))
-    // max() over an empty frame is NULL — default 0 rather than NPE on
-    // an empty docs input (the result is empty either way)
-    val maxLenRow = docs.agg(max(length(col(textCol)))).collect()(0)
-    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     pairs.join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("la", length(col("t_a")))
       .withColumn("lb", length(col("t_b")))
       .filter(abs(col("la") - col("lb")) * maxDistDen
         <= greatest(col("la"), col("lb")))
+      // PER-PAIR band: threshold = max_len/den + 1 bounds this pair's
+      // acceptable distance, so the DP costs O(len·len/den) per pair
+      // instead of O(len·corpusMaxLen/den). Distances of kept pairs
+      // (dist·den ≤ max_len < threshold·den) are exact; pairs the band
+      // abandons return -1, excluded by the verdict filter.
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("t_a"), col("t_b"), maxLen / maxDistDen + 1)
-          .as("dist"),
+        expr(s"levenshtein(t_a, t_b, " +
+          s"greatest(la, lb) div $maxDistDen + 1)").as("dist"),
         greatest(col("la"), col("lb")).as("max_len"))
       .filter(col("dist") >= 0 && col("dist") * maxDistDen <= col("max_len"))
   }

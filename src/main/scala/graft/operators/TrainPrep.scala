@@ -79,6 +79,32 @@ object TrainPrep {
           .as("chunk"))
   }
 
+  /** Doc-level posting rows (term, doc_id, tf_doc) — the inverted
+    * index's storage form; [[postings]] summarizes it, StreamingIndex
+    * writes it as per-batch deltas, [[indexLookupAnd]] reads it. */
+  def termDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+
+  /** Conjunctive index lookup — docs containing EVERY query term, with
+    * per-term frequencies: filter the posting rows per term (the
+    * filter sits on the aggregation's grouping key, so Catalyst pushes
+    * it below the per-term aggregation and into the scan) and
+    * intersect by equi-join on doc_id. With a term-bucketed posting
+    * table this is the classic index read: touch only the queried
+    * terms' postings, never the corpus. */
+  def indexLookupAnd(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val p = termDocs(docs)
+    terms.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"), col("tf_doc").as(s"tf_$i"))
+    }.reduce(_.join(_, "doc_id"))
+  }
+
   /** Inverted index over whitespace tokens: per term, document
     * frequency, total term frequency, and an md5 digest of the sorted
     * posting list (doc ids joined with ','): the digest pins the FULL
@@ -86,11 +112,7 @@ object TrainPrep {
     * without shipping arrays. Posting lists stay distributed — one
     * hash shuffle on the term. */
   def postings(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf_doc"))
+    termDocs(docs)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf_doc")).as("tf"),

@@ -29,13 +29,7 @@ import graft.operators.TrainPrep
 object StreamingIndex {
 
   /** Per-batch posting delta: (term, doc_id, tf_doc). */
-  def batchPostings(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        explode(graft.operators.TextAnalysis.tokens(col("text")))
-          .as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf_doc"))
+  def batchPostings(docs: DataFrame): DataFrame = TrainPrep.termDocs(docs)
 
   /** Start the index-maintaining query; docs needs (doc_id, text). */
   def run(docs: DataFrame, dir: String, checkpoint: String,

@@ -48,6 +48,30 @@ class TrainPrepSpec extends SparkSpec {
       (3L, 0, 1, "xy")))
   }
 
+  test("indexLookupAnd: conjunctive intersection with per-term tf") {
+    val docs = Seq(
+      (1L, "a b a c"), (2L, "a b"), (3L, "b c"), (4L, "a c c"))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.indexLookupAnd(docs, Seq("a", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (4L, 1L, 2L)))
+  }
+
+  test("indexLookupAnd: term filters push below the posting aggregation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LogicalPlan}
+    val plan = TrainPrep.indexLookupAnd(
+        Tables.documents(spark, sf()), Seq("query", "scan"))
+      .queryExecution.optimizedPlan
+    // a term filter left ABOVE an aggregate means pushdown regressed
+    def filterAboveAgg(p: LogicalPlan): Boolean = p match {
+      case LFilter(cond, child)
+          if cond.references.exists(_.name == "term") =>
+        child.collectFirst { case a: Aggregate => a }.isDefined
+      case _ => p.children.exists(filterAboveAgg)
+    }
+    assert(!filterAboveAgg(plan), s"term filter above aggregate:\n$plan")
+  }
+
   test("postings: df/tf and the sorted-postings digest") {
     val docs = Seq(
       (10L, "a b a"), (2L, "b c"), (7L, "a"))
