@@ -190,5 +190,27 @@ object QueriesTrain {
       FROM t0 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id)
       ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111)
+  /** PHRASE SEARCH (TrainPrep.phraseSearch): exact token-sequence
+    * match via the positional index — per-term posting filters plus
+    * (doc_id, pos−offset) equi-joins, the classic positional
+    * intersection. The corpus text is never re-scanned per phrase;
+    * at scale the posting table is the bucketed artifact this reads. */
+  private val q112 = Q(
+    "q112_phrase_search",
+    (s, dir) =>
+      TrainPrep.phraseSearch(Tables.documents(s, dir),
+          Seq("window", "join"))
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          string_split(text, ' ')[CAST(i AS INT)] AS term
+        FROM documents,
+          UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)),
+      a AS (SELECT doc_id, pos FROM toks WHERE term = 'window'),
+      b AS (SELECT doc_id, pos FROM toks WHERE term = 'join')
+      SELECT a.doc_id AS doc_id, COUNT(*) AS n_occurrences
+      FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1 ORDER BY a.doc_id"""))
+
+  val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112)
 }

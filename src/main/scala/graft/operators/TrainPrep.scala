@@ -51,11 +51,47 @@ object TrainPrep {
     val keyed = docs.select(col("doc_id"),
       md5(col("doc_id").cast("string")).as("k"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+    // sum() over an empty frame is NULL — an empty corpus shards to
+    // nothing rather than dividing by zero below
+    val totalRow = keyed.agg(sum(col("tokens"))).collect()(0)
+    if (totalRow.isNullAt(0))
+      return keyed.select(col("doc_id"), col("tokens"),
+        lit(0L).as("shard"))
+    val total = totalRow.getLong(0)
     val cum = WeightedSample.withCumWeight(keyed, "k", "tokens")
-    val total = keyed.agg(sum(col("tokens"))).collect()(0).getLong(0)
     cum.select(col("doc_id"), col("tokens"),
       floor((col("cum") - col("tokens")) * nShards / total)
         .cast("long").as("shard"))
+  }
+
+  /** Positional posting rows (term, doc_id, pos) — 1-based token
+    * positions; the storage form phrase search reads. */
+  def termPositions(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos0", "term")))
+      .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"))
+
+  /** Phrase search over the positional index: documents containing the
+    * exact token sequence `phrase`, with occurrence counts. Each term
+    * filters its posting rows (pushed into the scan side of the join);
+    * adjacency is an equi-join on (doc_id, pos offset) — the classic
+    * positional-index intersection, never a string re-scan of the
+    * corpus. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need at least one phrase term")
+    val p = termPositions(docs)
+    val first = p.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (t, i)) =>
+        acc.join(
+          p.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
   }
 
   /** Sliding-window character chunking with overlap — the RAG/context

@@ -72,6 +72,29 @@ class TrainPrepSpec extends SparkSpec {
     assert(!filterAboveAgg(plan), s"term filter above aggregate:\n$plan")
   }
 
+  test("phraseSearch: adjacency, overlaps, and single-term phrases") {
+    val docs = Seq(
+      (1L, "x a b a b y"), // two occurrences
+      (2L, "a x b"),       // both terms, not adjacent
+      (3L, "b a"),         // wrong order
+      (4L, "a b"),         // exact
+      (5L, "a a a"))       // self-overlap phrase below
+      .toDF("doc_id", "text")
+    def got(phrase: String*) =
+      TrainPrep.phraseSearch(docs, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got("a", "b") == Map(1L -> 2L, 4L -> 1L))
+    assert(got("a", "a") == Map(5L -> 2L))
+    assert(got("a", "b", "y") == Map(1L -> 1L))
+    assert(got("a") == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 3L))
+  }
+
+  test("tokenBalancedShards: empty corpus yields no shards, no error") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TrainPrep.tokenBalancedShards(empty, 4).count() == 0L)
+  }
+
   test("postings: df/tf and the sorted-postings digest") {
     val docs = Seq(
       (10L, "a b a"), (2L, "b c"), (7L, "a"))
