@@ -212,5 +212,62 @@ object QueriesTrain {
       FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       GROUP BY 1 ORDER BY a.doc_id"""))
 
-  val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112)
+  /** NEAR-DUP LEAKAGE-GUARDED SPLIT (TrainPrep.clusterAwareSplitBy ∘
+    * SharedLsh.components): q106's guard upgraded from exact-content
+    * groups to MinHash-LSH connected components — paraphrased members
+    * of one near-dup cluster can never straddle train/test. Docs
+    * outside every cluster are their own singleton unit. The oracle
+    * replays the full LSH + recursive-CTE component walk (q40's
+    * formulation) and the same split hash. */
+  private val q113 = Q(
+    "q113_neardup_split",
+    (s, dir) =>
+      graft.operators.TrainPrep.clusterAwareSplitBy(
+          Tables.documents(s, dir), SharedLsh.components(s, dir))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("doc_id")).as("docid_sum"))
+        .orderBy(col("split")),
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      prs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comp AS (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1),
+      u AS (
+        SELECT d.doc_id,
+          COALESCE(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      t AS (
+        SELECT doc_id, cluster_id,
+          CASE substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 1)
+            WHEN 'd' THEN 'val' WHEN 'e' THEN 'test' WHEN 'f' THEN 'test'
+            ELSE 'train' END AS split
+        FROM u)
+      SELECT split, COUNT(*) AS n_docs,
+        COUNT(DISTINCT cluster_id) AS n_clusters,
+        CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+      FROM t GROUP BY 1 ORDER BY split"""
+    })
+
+  val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113)
 }

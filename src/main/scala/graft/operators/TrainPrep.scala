@@ -38,6 +38,20 @@ object TrainPrep {
       splitOf(col("cluster_id")).as("split"))
   }
 
+  /** [[clusterAwareSplit]] generalized to an arbitrary cluster map —
+    * the NEAR-dup upgrade: pass a (doc_id, component) frame (e.g.
+    * LSH connected components) and the split hashes the component;
+    * docs absent from the map are their own singleton unit. Same
+    * guarantee, stronger equivalence relation: paraphrased members of
+    * one near-dup cluster can never straddle train/test. */
+  def clusterAwareSplitBy(docs: DataFrame,
+                          components: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(components, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", splitOf(col("cluster_id")))
+
   /** Deterministic corpus shuffle + token-balanced contiguous sharding:
     * order documents by md5 of their id (a fixed, data-independent
     * permutation), prefix-sum their token counts with the two-phase
@@ -135,6 +149,42 @@ object TrainPrep {
   def indexLookupAnd(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val p = termDocs(docs)
+    terms.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"), col("tf_doc").as(s"tf_$i"))
+    }.reduce(_.join(_, "doc_id"))
+  }
+
+  /** Persist the posting table bucketed + sorted by term — the storage
+    * form the index read path wants: a term-equality lookup prunes to
+    * ONE bucket (SelectedBucketsCount in the scan), and the per-term
+    * aggregation needs no Exchange because rows are already grouped.
+    * At 100 TB this is the difference between scanning the corpus per
+    * query and touching one bucket of one table. Catalog required
+    * (bucketing needs saveAsTable). */
+  def writePostingsBucketed(docs: DataFrame, tableName: String,
+                            buckets: Int): Unit =
+    termDocs(docs).write
+      .bucketBy(buckets, "term")
+      .sortBy("term", "doc_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** [[indexLookupAnd]] against a persisted posting table written by
+    * [[writePostingsBucketed]] — reads postings, never documents. */
+  def indexLookupAndFromTable(spark: org.apache.spark.sql.SparkSession,
+                              tableName: String,
+                              terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    // autoBucketedScan drops the bucketed read (and with it BUCKET
+    // PRUNING) when the downstream join key isn't the bucket column —
+    // but pruning is exactly why the lookup reads this table: keep the
+    // scan bucketed so a term-equality filter touches 1/buckets of the
+    // data (SelectedBucketsCount, asserted in TrainPrepSpec).
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val p = spark.table(tableName)
     terms.zipWithIndex.map { case (t, i) =>
       p.filter(col("term") === t)
         .select(col("doc_id"), col("tf_doc").as(s"tf_$i"))

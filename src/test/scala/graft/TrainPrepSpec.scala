@@ -20,6 +20,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(byCluster.forall { case (_, ms) => ms.map(_._3).distinct.size == 1 })
   }
 
+  test("clusterAwareSplitBy: component members share a split, rest are singletons") {
+    val docs = (1L to 8L).map(d => (d, s"text $d")).toDF("doc_id", "text")
+    val comp = Seq((2L, 2L), (5L, 2L), (7L, 2L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "component")
+    val got = TrainPrep.clusterAwareSplitBy(docs, comp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 8) // every doc exactly once
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster(2L).map(_._1).toSet == Set(2L, 5L, 7L))
+    assert(byCluster(3L).map(_._1).toSet == Set(3L, 4L))
+    Seq(1L, 6L, 8L).foreach(d =>
+      assert(byCluster(d).map(_._1).toSeq == Seq(d)))
+    assert(byCluster.forall { case (_, ms) => ms.map(_._3).distinct.size == 1 })
+  }
+
   test("tokenBalancedShards: partition is exact and balanced") {
     val docs = (1L to 200L)
       .map(d => (d, Seq.fill(1 + (d % 7).toInt)("w").mkString(" ")))
@@ -93,6 +108,22 @@ class TrainPrepSpec extends SparkSpec {
   test("tokenBalancedShards: empty corpus yields no shards, no error") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TrainPrep.tokenBalancedShards(empty, 4).count() == 0L)
+  }
+
+  test("bucketed posting table: term lookup prunes to one bucket, same rows") {
+    val docs = Tables.documents(spark, sf())
+    TrainPrep.writePostingsBucketed(docs, "graft_test_postings", 8)
+    try {
+      val fromTable = TrainPrep.indexLookupAndFromTable(
+        spark, "graft_test_postings", Seq("query", "scan"))
+      val direct = TrainPrep.indexLookupAnd(docs, Seq("query", "scan"))
+      assert(fromTable.collect().map(_.toSeq).toSet ==
+        direct.collect().map(_.toSeq).toSet)
+      // the term filter must prune buckets at the scan
+      val plan = fromTable.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_postings")
   }
 
   test("postings: df/tf and the sorted-postings digest") {
