@@ -66,16 +66,20 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
+    // a filtered profiling run is NOT a full-suite result: mark the
+    // JSON line and never let it clobber the round-evidence file
+    val filteredTag = if (only.isDefined) ""","filtered":true""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs$filteredTag,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so the JSON line is the last stdout line
     // ahead of sbt's [success] banner — keeps it inside the driver's tail
     // window; also persist to a file as a truncation-proof fallback.
     spark.stop()
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     println(line)
   }
 }

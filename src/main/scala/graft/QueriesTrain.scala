@@ -105,7 +105,8 @@ object QueriesTrain {
           FROM d1) r WHERE rn = 1),
       c1 AS (
         SELECT a1.cid, e.i,
-          CAST(SUM(CAST(e.a AS DECIMAL(18,16))) AS DOUBLE) / COUNT(*) AS m
+          CAST(SUM(CAST(FLOOR(e.a * 1e12) AS BIGINT)) AS DOUBLE)
+            / 1e12 / COUNT(*) AS m
         FROM ev e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY 1, 2),
       d2 AS (
         SELECT e.vec_id, c.cid,

@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
   * differs between engines (Spark rounds the shortest string repr
   * HALF_UP, DuckDB rounds the exact binary value). Integer sums are
   * order-invariant; argmin ties break to the LOWEST centroid id.
-  * Centroid means divide an order-invariant decimal sum (cast to
-  * double) by the member count in double — one IEEE division, identical
-  * on any engine. So assignments, means, and inertia all hash-match a
-  * SQL twin.
+  * Centroid means use the same quantization (Σ⌊xᵢ·10¹²⌋ BIGINT, then
+  * mean = (sum/10¹²)/n in two IEEE divisions) — so assignments, means,
+  * and inertia all hash-match a SQL twin with no double→decimal cast
+  * anywhere in the operator.
   */
 object KMeansCluster {
 
@@ -58,37 +58,45 @@ object KMeansCluster {
       best.getField("d").as("dist"))
   }
 
-  /** One UPDATE step: per-cluster per-dimension decimal mean sums,
-    * collected as the next centroid table. Clusters that lost every
+  /** One UPDATE step: per-cluster per-dimension mean sums, collected
+    * as the next centroid table. The per-element quantization is the
+    * same fixed-point trick as the distance metric — Σ⌊xᵢ·10¹²⌋ as
+    * BIGINT, then mean = (sum/10¹²)/n in two IEEE divisions — because
+    * a double→decimal cast here would reintroduce the engine-dependent
+    * midpoint rounding the header describes. Clusters that lost every
     * member disappear (their id never re-enters the argmin). */
   def updateCentroids(assigned: DataFrame): Seq[(Int, Seq[Double])] = {
     val dims = assigned.select(col("cluster"),
         posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cluster"), col("pos"))
-      .agg(sum(col("x").cast("decimal(18,16)")).as("s"),
+      .agg(sum(floor(col("x") * lit(1e12)).cast("long")).as("s"),
         count(lit(1)).as("n"))
       .collect()
     dims.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
       cid -> rows.sortBy(_.getInt(1)).map { r =>
-        r.getDecimal(2).doubleValue() / r.getLong(3)
+        r.getLong(2).toDouble / 1e12 / r.getLong(3)
       }.toSeq
     }
   }
 
   /** `iters` Lloyd rounds from seed centroids = the vectors with
-    * id ∈ [0, k); returns the final assignment frame. */
+    * id ∈ [0, k); returns the final assignment frame. Input types are
+    * normalized (id → long, v → array<double>) so schema drift in the
+    * id width or element type can't break the driver-side seed read. */
   def lloyd(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids: Seq[(Int, Seq[Double])] = emb
+    val e = emb.select(col("id").cast("long").as("id"),
+      col("v").cast("array<double>").as("v"))
+    var centroids: Seq[(Int, Seq[Double])] = e
       .filter(col("id") < k)
       .select(col("id"), col("v")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1)
     require(centroids.nonEmpty, s"need seed vectors with id < $k")
-    var assigned = assign(emb, centroids)
+    var assigned = assign(e, centroids)
     var round = 1
     while (round < iters) {
       centroids = updateCentroids(assigned)
-      assigned = assign(emb, centroids)
+      assigned = assign(e, centroids)
       round += 1
     }
     assigned

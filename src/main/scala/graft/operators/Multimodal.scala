@@ -303,7 +303,10 @@ object Multimodal {
     * economics as the MinHash/SimHash paths — at 100 TB the band join
     * shuffles (hash, id) pairs only. */
   def nearDupPairsByAHash(media: DataFrame, maxHamming: Int): DataFrame = {
-    val hashed = withAHash(media)
+    // both self-join sides read this frame: checkpoint the (media_id,
+    // phash) rows — 16 bytes each — so the payload-scanning hash pass
+    // runs once, not once per side (the q78 reciprocity-join lesson)
+    val hashed = withAHash(media).localCheckpoint()
     val banded = hashed.select(col("media_id"), col("phash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),

@@ -94,23 +94,24 @@ object Similarity {
       sqrt(dotDouble(col("v"), col("v"))).as("ndc"))
     val q = queries.select(col("id").as("q_id"), col("v").as("qv"),
       sqrt(dotDouble(col("v"), col("v"))).as("ndq"))
-    // The skinny (q_id, vec_id, dcos) frame feeds BOTH the k-th-score
-    // aggregate and the survivor filter; without a cut it would evaluate
-    // the corpus×queries double kernel twice. localCheckpoint materializes
-    // it once — it is the narrow projection (3 scalar columns, queries
-    // small), so the stored blocks are tiny even when the corpus is not.
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotDouble(col("v"), col("qv")) /
           (col("ndc") * col("ndq"))).as("dcos"))
-      .localCheckpoint()
     val wd = Window.partitionBy(col("q_id")).orderBy(col("dcos").desc)
     // the k-th double score: with ties its VALUE is stable no matter
-    // which tied row row_number picks, so no tiebreak is needed
+    // which tied row row_number picks, so no tiebreak is needed.
+    // kth (one row per QUERY — always tiny) is localCheckpoint'd so the
+    // boundary aggregate runs once and the plan below it isn't repeated
+    // per consumer. `scored` itself is NOT materialized: it has
+    // corpus×queries rows, and re-running the narrow codegen'd kernel
+    // for the survivor pass is strictly cheaper at scale than writing
+    // that frame to executor disk.
     val kth = scored.withColumn("rd", row_number().over(wd))
       .filter(col("rd") <= k)
       .groupBy(col("q_id")).agg(min(col("dcos")).as("kth_d"))
+      .localCheckpoint()
     val surv = scored.join(broadcast(kth), Seq("q_id"))
       .filter(col("dcos") >= col("kth_d") - slack)
       .select(col("q_id"), col("vec_id"))

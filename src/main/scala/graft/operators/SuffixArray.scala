@@ -201,10 +201,6 @@ object SuffixArray {
             s"i -> substring($textCol, i, $maxLen))")).as(Seq("pos0", "c")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("c"))
     val ranked = denseRankBy(base, col("c"), buckets).localCheckpoint()
-    // bounded-suffix length IS length(c): substring truncates at doc end
-    val tied = ranked
-      .withColumn("_slen", length(col("c")).cast("long"))
-      .withColumn("_nt", count(lit(1)).over(Window.partitionBy(col("rank"))))
     val reps = ranked
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("rank")).orderBy(col("doc_id"), col("pos"))))
@@ -214,6 +210,20 @@ object SuffixArray {
         reps.select((col("rank") - 1).as("rank"), col("c").as("c2")),
         "rank")
       .select(col("rank"), commonPrefixLen(col("c"), col("c2")).as("lcp"))
+    // bounded-suffix length IS length(c): substring truncates at doc end
+    repeatReadout(
+      ranked.withColumn("_slen", length(col("c")).cast("long")), lcp)
+  }
+
+  /** Shared readout: given ranks carrying `_slen` (bounded-suffix
+    * length) and the adjacent-rank LCP table, produce per-doc longest
+    * repeats — rank ties take the full bounded length, singletons take
+    * the best SA-neighbor LCP. One rule, used by BOTH the ladder and
+    * direct variants (their equivalence is spec-asserted). */
+  private def repeatReadout(ranksWithSlen: DataFrame,
+                            lcp: DataFrame): DataFrame = {
+    val tied = ranksWithSlen.withColumn("_nt",
+      count(lit(1)).over(Window.partitionBy(col("rank"))))
     val lcpSucc = lcp.select(col("rank"), col("lcp").as("_lcpS"))
     val lcpPred = lcp.select((col("rank") + 1).as("rank"),
       col("lcp").as("_lcpP"))
@@ -240,20 +250,6 @@ object SuffixArray {
     val withLen = ranks.join(lens, "doc_id")
       .withColumn("_slen",
         least(col("_len") - col("pos") + 1, lit(index.maxLen)).cast("long"))
-    val tied = withLen.withColumn("_nt",
-      count(lit(1)).over(Window.partitionBy(col("rank"))))
-    val lcp = adjacentLcp(index)
-    val lcpSucc = lcp.select(col("rank"), col("lcp").as("_lcpS"))
-    val lcpPred = lcp.select((col("rank") + 1).as("rank"),
-      col("lcp").as("_lcpP"))
-    tied
-      .join(lcpSucc, Seq("rank"), "left")
-      .join(lcpPred, Seq("rank"), "left")
-      .withColumn("_rep",
-        when(col("_nt") >= 2, col("_slen"))
-          .otherwise(greatest(coalesce(col("_lcpS"), lit(0L)),
-            coalesce(col("_lcpP"), lit(0L)))))
-      .groupBy(col("doc_id"))
-      .agg(max(col("_rep")).as("max_repeat_len"))
+    repeatReadout(withLen, adjacentLcp(index))
   }
 }

@@ -146,9 +146,14 @@ object TrainPrep {
     * intersect by equi-join on doc_id. With a term-bucketed posting
     * table this is the classic index read: touch only the queried
     * terms' postings, never the corpus. */
-  def indexLookupAnd(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  def indexLookupAnd(docs: DataFrame, terms: Seq[String]): DataFrame =
+    lookupAnd(termDocs(docs), terms)
+
+  /** The conjunctive intersection over any (term, doc_id, tf_doc)
+    * posting frame — shared by the from-text and from-table lookups so
+    * the tf naming / join semantics can't drift between them. */
+  private def lookupAnd(p: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val p = termDocs(docs)
     terms.zipWithIndex.map { case (t, i) =>
       p.filter(col("term") === t)
         .select(col("doc_id"), col("tf_doc").as(s"tf_$i"))
@@ -181,14 +186,13 @@ object TrainPrep {
     // PRUNING) when the downstream join key isn't the bucket column —
     // but pruning is exactly why the lookup reads this table: keep the
     // scan bucketed so a term-equality filter touches 1/buckets of the
-    // data (SelectedBucketsCount, asserted in TrainPrepSpec).
-    spark.conf.set(
+    // data (SelectedBucketsCount, asserted in TrainPrepSpec). The conf
+    // is pinned on a CHILD session (shared catalog, isolated conf) so
+    // the caller's other bucketed workloads keep their planner default.
+    val reader = spark.newSession()
+    reader.conf.set(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val p = spark.table(tableName)
-    terms.zipWithIndex.map { case (t, i) =>
-      p.filter(col("term") === t)
-        .select(col("doc_id"), col("tf_doc").as(s"tf_$i"))
-    }.reduce(_.join(_, "doc_id"))
+    lookupAnd(reader.table(tableName), terms)
   }
 
   /** Inverted index over whitespace tokens: per term, document
@@ -197,8 +201,13 @@ object TrainPrep {
     * posting content in a scalar, so an oracle can verify the index
     * without shipping arrays. Posting lists stay distributed — one
     * hash shuffle on the term. */
-  def postings(docs: DataFrame): DataFrame =
-    termDocs(docs)
+  def postings(docs: DataFrame): DataFrame = postingsFrom(termDocs(docs))
+
+  /** The index summary over any (term, doc_id, tf_doc) posting frame —
+    * shared with StreamingIndex's merge-on-read so the digest format
+    * lives in exactly one place. */
+  def postingsFrom(termDocFrame: DataFrame): DataFrame =
+    termDocFrame
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf_doc")).as("tf"),

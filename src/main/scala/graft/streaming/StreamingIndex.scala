@@ -48,15 +48,25 @@ object StreamingIndex {
 
   /** The merged index: same schema and content as
     * [[TrainPrep.postings]] over every document the stream has
-    * committed (re-crawled docs' tf_doc deltas sum). */
-  def index(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
-      .groupBy(col("term"), col("doc_id"))
-      .agg(sum(col("tf_doc")).as("tf_doc"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        sum(col("tf_doc")).as("tf"),
-        md5(concat_ws(",",
-          transform(sort_array(collect_list(col("doc_id"))),
-            _.cast("string")))).as("postings_md5"))
+    * committed (re-crawled docs' tf_doc deltas sum; the summary
+    * aggregation is TrainPrep.postingsFrom — one digest format).
+    * Before any batch commits, the index is EMPTY, not an error. */
+  def index(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val deltaSchema = StructType(Seq(
+      StructField("term", StringType), StructField("doc_id", LongType),
+      StructField("tf_doc", LongType)))
+    val hasData = {
+      val d = new java.io.File(dir)
+      d.isDirectory && d.listFiles().exists(_.getName.startsWith("batch="))
+    }
+    val deltas =
+      if (hasData) spark.read.schema(deltaSchema).parquet(dir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaSchema)
+    TrainPrep.postingsFrom(
+      deltas
+        .groupBy(col("term"), col("doc_id"))
+        .agg(sum(col("tf_doc")).as("tf_doc")))
+  }
 }

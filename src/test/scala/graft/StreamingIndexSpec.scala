@@ -45,6 +45,12 @@ class StreamingIndexSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("index is empty (not an error) before any batch commits") {
+    val d = Files.createTempDirectory("graft-sidx0")
+    assert(StreamingIndex.index(spark,
+      d.resolve("never-written").toString).count() == 0L)
+  }
+
   test("restart with the same checkpoint does not duplicate postings") {
     val d = Files.createTempDirectory("graft-sidx2")
     val in = d.resolve("in"); Files.createDirectories(in)
