@@ -270,5 +270,150 @@ object QueriesTrain {
       FROM t GROUP BY 1 ORDER BY split"""
     })
 
-  val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113)
+  /** BM25 RANKED RETRIEVAL (TrainPrep.bm25Rank): q110's index turned
+    * into a search engine — disjunctive term match ranked by a fixed
+    * -point BM25 (k1=1.2, b=0.75; rational RSJ idf replaces ln, so
+    * every kernel input is an exact BIGINT and the two IEEE divisions
+    * are engine-portable — see the operator scaladoc). Plan: term
+    * -filtered postings + broadcast df/corpus stats + ONE doc_id join
+    * for lengths; with the bucketed posting table this touches
+    * |terms| buckets, never the corpus. */
+  private val q114 = Q(
+    "q114_bm25_rank",
+    (s, dir) =>
+      TrainPrep.bm25Rank(Tables.documents(s, dir),
+        Seq("query", "window", "scan"), topK = 20),
+    Some("""WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+      toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      p AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term IN ('query', 'window', 'scan') GROUP BY 1, 2),
+      d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      sc AS (
+        SELECT p.doc_id,
+          CAST(FLOOR(
+            (CAST(2*(st.nd - d.df) + 1 AS DOUBLE)
+               / CAST(2*d.df + 1 AS DOUBLE))
+            * (CAST(22*p.tf*st.tt AS DOUBLE)
+               / CAST(10*p.tf*st.tt + 3*st.tt + 9*l.dl*st.nd AS DOUBLE))
+            * 1e6) AS BIGINT) AS s
+        FROM p JOIN d USING (term)
+          JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN st)
+      SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(s) AS BIGINT) AS score_fp
+      FROM sc GROUP BY 1
+      ORDER BY score_fp DESC, doc_id ASC LIMIT 20"""))
+
+  /** K-MEANS++ SEEDING (KMeansCluster.farthestFirstInit, k=4): the
+    * derandomized maxmin traversal — c₀ = lowest id, each next seed
+    * maximizes its min fixed-point distance to the chosen set (ties to
+    * the lowest id) — followed by one assignment pass. Each selection
+    * round is a narrow broadcast-literal distance map + TakeOrdered(1);
+    * the oracle replays the whole selection chain with unrolled CTEs
+    * (LEAST-folded running min, argmax per round). */
+  private val q115 = Q(
+    "q115_kmeanspp_init",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val init = KMeansCluster.farthestFirstInit(emb, 4)
+      KMeansCluster.lloydFrom(emb, init, iters = 1)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).as("id_sum"),
+          sum(col("dist")).as("inertia"))
+        .orderBy(col("cluster"))
+    },
+    Some {
+      def dist(cte: String) =
+        s"""SELECT e.vec_id, CAST(SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10)
+           AS BIGINT)) AS BIGINT) AS d
+           FROM ev e JOIN $cte c ON e.i = c.i GROUP BY 1"""
+      s"""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      s0 AS (SELECT MIN(vec_id) AS vid FROM embeddings),
+      c0 AS (SELECT 0 AS cid, e.i, e.a AS m FROM ev e JOIN s0 ON e.vec_id = s0.vid),
+      m1 AS (${dist("c0")}),
+      s1 AS (SELECT vec_id FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+      c1 AS (SELECT 1 AS cid, e.i, e.a AS m FROM ev e JOIN s1 ON e.vec_id = s1.vec_id),
+      m2r AS (${dist("c1")}),
+      m2 AS (SELECT m1.vec_id, LEAST(m1.d, m2r.d) AS d
+        FROM m1 JOIN m2r ON m1.vec_id = m2r.vec_id),
+      s2 AS (SELECT vec_id FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+      c2 AS (SELECT 2 AS cid, e.i, e.a AS m FROM ev e JOIN s2 ON e.vec_id = s2.vec_id),
+      m3r AS (${dist("c2")}),
+      m3 AS (SELECT m2.vec_id, LEAST(m2.d, m3r.d) AS d
+        FROM m2 JOIN m3r ON m2.vec_id = m3r.vec_id),
+      s3 AS (SELECT vec_id FROM m3 ORDER BY d DESC, vec_id LIMIT 1),
+      c3 AS (SELECT 3 AS cid, e.i, e.a AS m FROM ev e JOIN s3 ON e.vec_id = s3.vec_id),
+      cc AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+        UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3),
+      dd AS (
+        SELECT e.vec_id, c.cid, CAST(SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10)
+          AS BIGINT)) AS BIGINT) AS d
+        FROM ev e JOIN cc c ON e.i = c.i GROUP BY 1, 2),
+      aa AS (
+        SELECT vec_id, cid, d FROM (
+          SELECT vec_id, cid, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dd) r WHERE rn = 1)
+      SELECT CAST(cid AS BIGINT) AS cluster, COUNT(*) AS n,
+        CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+        CAST(SUM(d) AS BIGINT) AS inertia
+      FROM aa GROUP BY 1 ORDER BY cluster"""
+    })
+
+  /** TF-IDF KEYWORD EXTRACTION: top-3 terms per document by fixed
+    * -point tf·idf (rational RSJ idf again — no ln), via the
+    * GroupedTopK aggregator, NOT a window: the shuffle carries ≤ 3
+    * rows per (partition, doc) and no per-doc sort materializes — the
+    * pattern that survives documents with corpus-sized vocabularies. */
+  private val q116 = Q(
+    "q116_tfidf_keywords",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val p = TrainPrep.termDocs(docs)
+      val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("nd"))
+      val score = floor(
+        (col("tf_doc") * (lit(2L) * (col("nd") - col("df")) + 1L))
+          .cast("double")
+          / (lit(2L) * col("df") + 1L).cast("double") * lit(1e6))
+      p.join(dfs, "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), score.as("s"))
+        .groupBy(col("doc_id"))
+        .agg(graft.operators.GroupedTopK.topK(3)(
+          col("s").cast("double"), col("term"), col("s"), lit(0L)).as("top"))
+        .select(col("doc_id"),
+          posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("doc_id"), (col("r0") + 1).cast("long").as("rank"),
+          col("t.key").as("term"), col("t.a").as("score_fp"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      p AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      st AS (SELECT COUNT(*) AS nd FROM documents),
+      sc AS (
+        SELECT p.doc_id, p.term,
+          CAST(FLOOR(CAST(p.tf * (2*(st.nd - d.df) + 1) AS DOUBLE)
+            / CAST(2*d.df + 1 AS DOUBLE) * 1e6) AS BIGINT) AS s
+        FROM p JOIN d USING (term) CROSS JOIN st),
+      rk AS (
+        SELECT doc_id, term, s,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC)
+            AS rank
+        FROM sc)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, s AS score_fp
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
+    q114, q115, q116)
 }

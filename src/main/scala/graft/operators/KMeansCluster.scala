@@ -84,14 +84,23 @@ object KMeansCluster {
     * normalized (id → long, v → array<double>) so schema drift in the
     * id width or element type can't break the driver-side seed read. */
   def lloyd(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val e = emb.select(col("id").cast("long").as("id"),
-      col("v").cast("array<double>").as("v"))
-    var centroids: Seq[(Int, Seq[Double])] = e
+    val e = normalized(emb)
+    val centroids: Seq[(Int, Seq[Double])] = e
       .filter(col("id") < k)
       .select(col("id"), col("v")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1)
     require(centroids.nonEmpty, s"need seed vectors with id < $k")
+    lloydFrom(e, centroids, iters)
+  }
+
+  /** `iters` Lloyd rounds from explicit seed centroids (e.g.
+    * [[farthestFirstInit]]); `iters` = 1 is a pure assignment pass. */
+  def lloydFrom(emb: DataFrame, init: Seq[(Int, Seq[Double])],
+                iters: Int): DataFrame = {
+    require(init.nonEmpty, "need at least one seed centroid")
+    val e = normalized(emb)
+    var centroids = init
     var assigned = assign(e, centroids)
     var round = 1
     while (round < iters) {
@@ -101,4 +110,37 @@ object KMeansCluster {
     }
     assigned
   }
+
+  /** Deterministic k-means++-style seeding by farthest-first (maxmin)
+    * traversal: c₀ = the vector with the LOWEST id; each next centroid
+    * is the point MAXIMIZING its min [[sqDistFixed]] distance to the
+    * centroids chosen so far (ties to the lowest id). This is the
+    * derandomized k-means++ — same O(log k)-competitive spread
+    * guarantee family, none of the sampling nondeterminism, so the
+    * whole selection chain has an exact SQL twin.
+    *
+    * Cost: k scans of the data, each a narrow broadcast-literal min
+    * -distance map + a TakeOrdered(1) — no shuffle carries data rows.
+    * Returns centroids keyed 0..k−1 in selection order (so the argmin
+    * tiebreak prefers earlier-chosen centroids, matching the oracle). */
+  def farthestFirstInit(emb: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+    require(k >= 1, "need k >= 1")
+    val e = normalized(emb)
+    val first = e.orderBy(col("id")).limit(1).collect()
+    require(first.nonEmpty, "need a non-empty embedding frame")
+    var chosen = Vector(first(0).getSeq[Double](1).toSeq)
+    while (chosen.size < k) {
+      // least() needs ≥2 children — a 1-element chosen set IS its min
+      val ds = chosen.map(c => sqDistFixed(col("v"), c))
+      val minD = if (ds.size == 1) ds.head else least(ds: _*)
+      val next = e.select(col("id"), col("v"), minD.as("d"))
+        .orderBy(col("d").desc, col("id").asc).limit(1).collect()(0)
+      chosen = chosen :+ next.getSeq[Double](1).toSeq
+    }
+    chosen.zipWithIndex.map { case (v, i) => i -> v }
+  }
+
+  private def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("id").cast("long").as("id"),
+      col("v").cast("array<double>").as("v"))
 }

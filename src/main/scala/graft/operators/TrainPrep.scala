@@ -92,9 +92,14 @@ object TrainPrep {
     * adjacency is an equi-join on (doc_id, pos offset) — the classic
     * positional-index intersection, never a string re-scan of the
     * corpus. */
-  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseFrom(termPositions(docs), phrase)
+
+  /** The positional intersection over any (term, doc_id, pos) posting
+    * frame — shared by the from-text and from-table phrase searches so
+    * the adjacency semantics live in exactly one place. */
+  private def phraseFrom(p: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "need at least one phrase term")
-    val p = termPositions(docs)
     val first = p.filter(col("term") === phrase.head)
       .select(col("doc_id"), col("pos"))
     phrase.zipWithIndex.drop(1)
@@ -106,6 +111,40 @@ object TrainPrep {
       }
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Persist the POSITIONAL posting table bucketed + sorted by term —
+    * the storage form [[phraseSearchFromTable]] reads: each phrase
+    * term's equality filter prunes to ONE bucket, so a phrase query
+    * touches |phrase| buckets of the index and never the corpus text.
+    * Catalog required (bucketing needs saveAsTable). */
+  def writePositionsBucketed(docs: DataFrame, tableName: String,
+                             buckets: Int): Unit =
+    termPositions(docs).write
+      .bucketBy(buckets, "term")
+      .sortBy("term", "doc_id", "pos")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** [[phraseSearch]] against a persisted positional table written by
+    * [[writePositionsBucketed]] — reads postings, never documents. Same
+    * child-session bucketed-scan pinning as [[indexLookupAndFromTable]]. */
+  def phraseSearchFromTable(spark: org.apache.spark.sql.SparkSession,
+                            tableName: String,
+                            phrase: Seq[String]): DataFrame =
+    phraseFrom(bucketedReader(spark).table(tableName), phrase)
+
+  /** A child session (shared catalog, isolated conf) with
+    * autoBucketedScan pinned off, so index lookups keep BUCKET PRUNING
+    * even when the downstream join key isn't the bucket column, without
+    * leaking the conf into the caller's other bucketed workloads. */
+  private def bucketedReader(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val reader = spark.newSession()
+    reader.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    reader
   }
 
   /** Sliding-window character chunking with overlap — the RAG/context
@@ -182,17 +221,56 @@ object TrainPrep {
                               tableName: String,
                               terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    // autoBucketedScan drops the bucketed read (and with it BUCKET
-    // PRUNING) when the downstream join key isn't the bucket column —
-    // but pruning is exactly why the lookup reads this table: keep the
-    // scan bucketed so a term-equality filter touches 1/buckets of the
-    // data (SelectedBucketsCount, asserted in TrainPrepSpec). The conf
-    // is pinned on a CHILD session (shared catalog, isolated conf) so
-    // the caller's other bucketed workloads keep their planner default.
-    val reader = spark.newSession()
-    reader.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    lookupAnd(reader.table(tableName), terms)
+    lookupAnd(bucketedReader(spark).table(tableName), terms)
+  }
+
+  /** BM25 ranked retrieval (disjunctive) over the inverted index —
+    * the read path that turns q110's index into a search engine: docs
+    * containing ANY query term, ranked by a fixed-point BM25 score.
+    *
+    * Plan shape: the posting frame filtered to the query terms (with a
+    * bucketed posting table, |terms| pruned buckets — never the
+    * corpus), a broadcast of the per-term document frequencies and the
+    * two corpus scalars (N docs, total tokens), and one doc_id join to
+    * pick up document lengths. The only data-sized shuffle is the
+    * doc-length join; everything else is broadcast.
+    *
+    * Determinism (the oracle contract): standard BM25 needs ln() —
+    * a transcendental whose last-ulp rounding is NOT pinned across
+    * engines. This variant keeps the classic saturation shape but
+    * replaces ln(idf) with the rational Robertson–Spärck-Jones odds
+    * themselves, so every input to the kernel is an exact BIGINT:
+    *   idf   = (2(N − df) + 1) / (2df + 1)
+    *   tfsat = 22·tf·TT / (10·tf·TT + 3·TT + 9·dl·N)
+    *           [= tf(k1+1) / (tf + k1(1−b+b·dl/avgdl)),
+    *            k1 = 1.2, b = 0.75, avgdl = TT/N, fractions cleared]
+    *   score = Σ_t ⌊ idf · tfsat · 10⁶ ⌋   (BIGINT)
+    * The two divisions and two multiplies are correctly-rounded IEEE
+    * double ops on exactly-representable integer inputs, so every
+    * engine computes the same integer. Exact while 22·tf·TT < 2⁵³
+    * (TT ≈ 4·10¹¹ tokens at tf ≤ 10⁴) — beyond that, quantize avgdl
+    * once and drop TT from the per-row arithmetic. */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val lens = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val p = termDocs(docs).filter(col("term").isin(terms: _*))
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfNum = (lit(2L) * (col("nd") - col("df")) + 1L).cast("double")
+    val idfDen = (lit(2L) * col("df") + 1L).cast("double")
+    val tfNum = (lit(22L) * col("tf_doc") * col("tt")).cast("double")
+    val tfDen = (lit(10L) * col("tf_doc") * col("tt") +
+      lit(3L) * col("tt") + lit(9L) * col("dl") * col("nd")).cast("double")
+    p.join(broadcast(dfs), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor((idfNum / idfDen) * (tfNum / tfDen) * lit(1e6)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(topK)
   }
 
   /** Inverted index over whitespace tokens: per term, document

@@ -38,6 +38,29 @@ class KMeansClusterSpec extends SparkSpec {
     assert(got(1) == Seq(10.0, 10.0))
   }
 
+  test("farthestFirstInit: maxmin traversal with lowest-id seed and tiebreaks") {
+    // line of points: 0 at x=0, 1 at x=10, 2 at x=4, 3 at x=6
+    // c0 = id 0 (lowest id) at 0; farthest from {0} is id 1 (x=10);
+    // then min-dists are: id2 min(16,36)=16, id3 min(36,16)=16 — tie
+    // on distance goes to the LOWER id ⇒ id 2 is chosen third.
+    val df = emb(Seq(0L -> Seq(0.0), 1L -> Seq(10.0),
+      2L -> Seq(4.0), 3L -> Seq(6.0)))
+    val init = KMeansCluster.farthestFirstInit(df, 3)
+    assert(init.map(_._1) == Seq(0, 1, 2))
+    assert(init.map(_._2) == Seq(Seq(0.0), Seq(10.0), Seq(4.0)))
+  }
+
+  test("farthestFirstInit seeds + lloydFrom(iters=1) is a pure assignment") {
+    val df = emb(Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(8.0, 8.0),
+      2L -> Seq(0.5, 0.5), 3L -> Seq(7.5, 8.0)))
+    val init = KMeansCluster.farthestFirstInit(df, 2)
+    // c0 = point 0, c1 = the farthest point (id 1)
+    assert(init.map(_._2) == Seq(Seq(0.0, 0.0), Seq(8.0, 8.0)))
+    val got = KMeansCluster.lloydFrom(df, init, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
+  }
+
   test("lloyd separates two obvious blobs and reaches zero movement") {
     val blobA = (0L to 9L).map(i => i -> Seq(0.01 * i, 0.0))
     val blobB = (10L to 19L).map(i => i -> Seq(5.0 + 0.01 * i, 4.0))

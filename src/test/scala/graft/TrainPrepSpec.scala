@@ -126,6 +126,56 @@ class TrainPrepSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_postings")
   }
 
+  test("bm25Rank: fixed-point scores, disjunctive match, rank order") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "b b b c"), (4L, "c c"))
+      .toDF("doc_id", "text")
+    val nd = 4L; val tt = 11L // 3 + 2 + 4 + 2 tokens
+    // the spec twin of the operator kernel: same ops, same order
+    def s(tf: Long, dl: Long, df: Long): Long =
+      math.floor(
+        ((2 * (nd - df) + 1).toDouble / (2 * df + 1).toDouble)
+          * ((22 * tf * tt).toDouble
+             / (10 * tf * tt + 3 * tt + 9 * dl * nd).toDouble)
+          * 1e6).toLong
+    val exp = Map( // df_a = 2, df_b = 2
+      1L -> (2L, s(2, 3, 2) + s(1, 3, 2)), // a tf2 + b tf1
+      2L -> (1L, s(1, 2, 2)),              // a tf1
+      3L -> (1L, s(3, 4, 2)))              // b tf3
+    val got = TrainPrep.bm25Rank(docs, Seq("a", "b"), topK = 10).collect()
+    assert(got.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap == exp)
+    // ranked by score desc, doc_id asc — and the non-matching doc 4 absent
+    val scores = got.map(r => (r.getLong(2), r.getLong(0)))
+    assert(scores.sortBy(t => (-t._1, t._2)).toSeq == scores.toSeq)
+  }
+
+  test("bm25Rank: topK truncates on the total (score desc, doc asc) order") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "text")
+    // identical docs score identically: the limit must cut by doc_id
+    val got = TrainPrep.bm25Rank(docs, Seq("a"), topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("bucketed positional table: phrase search prunes buckets, same rows") {
+    val docs = Tables.documents(spark, sf())
+    TrainPrep.writePositionsBucketed(docs, "graft_test_positions", 8)
+    try {
+      val fromTable = TrainPrep.phraseSearchFromTable(
+        spark, "graft_test_positions", Seq("window", "join"))
+      val direct = TrainPrep.phraseSearch(docs, Seq("window", "join"))
+      assert(fromTable.collect().map(_.toSeq).toSet ==
+        direct.collect().map(_.toSeq).toSet)
+      // each term's equality filter must prune its scan to one bucket
+      val plan = fromTable.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_positions")
+  }
+
   test("postings: df/tf and the sorted-postings digest") {
     val docs = Seq(
       (10L, "a b a"), (2L, "b c"), (7L, "a"))
