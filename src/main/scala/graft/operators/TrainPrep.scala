@@ -250,12 +250,29 @@ object TrainPrep {
     * engine computes the same integer. Exact while 22·tf·TT < 2⁵³
     * (TT ≈ 4·10¹¹ tokens at tf ≤ 10⁴) — beyond that, quantize avgdl
     * once and drop TT from the per-row arithmetic. */
-  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame =
+    bm25From(termDocs(docs),
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("dl")),
+      terms, topK)
+
+  /** [[bm25Rank]] over a standing (term, doc_id, tf_doc) posting frame
+    * — a StreamingIndex merge-on-read or a bucketed posting table —
+    * with NO access to the documents: per-doc lengths are Σ tf_doc over
+    * the doc's terms (token counting and posting explosion agree
+    * exactly, including empty-token artifacts), so the entire search
+    * engine runs off the one stored index artifact. */
+  def bm25RankFromPostings(postings: DataFrame, terms: Seq[String],
+                           topK: Int): DataFrame =
+    bm25From(postings,
+      postings.groupBy(col("doc_id")).agg(sum(col("tf_doc")).as("dl")),
+      terms, topK)
+
+  private def bm25From(postings: DataFrame, lens: DataFrame,
+                       terms: Seq[String], topK: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val lens = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-    val p = termDocs(docs).filter(col("term").isin(terms: _*))
+    val p = postings.filter(col("term").isin(terms: _*))
     val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idfNum = (lit(2L) * (col("nd") - col("df")) + 1L).cast("double")
     val idfDen = (lit(2L) * col("df") + 1L).cast("double")

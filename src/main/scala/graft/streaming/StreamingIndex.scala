@@ -46,12 +46,14 @@ object StreamingIndex {
     configure(w).start()
   }
 
-  /** The merged index: same schema and content as
-    * [[TrainPrep.postings]] over every document the stream has
-    * committed (re-crawled docs' tf_doc deltas sum; the summary
-    * aggregation is TrainPrep.postingsFrom — one digest format).
-    * Before any batch commits, the index is EMPTY, not an error. */
-  def index(spark: SparkSession, dir: String): DataFrame = {
+  /** The merged (term, doc_id, tf_doc) posting frame over every
+    * committed batch — re-crawled docs' tf_doc deltas sum. This is the
+    * frame search reads: [[index]] summarizes it, and
+    * [[graft.operators.TrainPrep.bm25RankFromPostings]] ranks straight
+    * off it (doc lengths derive from the postings themselves), so the
+    * incremental index serves BM25 queries with batch parity. Before
+    * any batch commits, the frame is EMPTY, not an error. */
+  def mergedTermDocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val deltaSchema = StructType(Seq(
       StructField("term", StringType), StructField("doc_id", LongType),
@@ -64,9 +66,15 @@ object StreamingIndex {
       if (hasData) spark.read.schema(deltaSchema).parquet(dir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaSchema)
-    TrainPrep.postingsFrom(
-      deltas
-        .groupBy(col("term"), col("doc_id"))
-        .agg(sum(col("tf_doc")).as("tf_doc")))
+    deltas
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sum(col("tf_doc")).as("tf_doc"))
   }
+
+  /** The merged index: same schema and content as
+    * [[TrainPrep.postings]] over every document the stream has
+    * committed (the summary aggregation is TrainPrep.postingsFrom —
+    * one digest format). */
+  def index(spark: SparkSession, dir: String): DataFrame =
+    TrainPrep.postingsFrom(mergedTermDocs(spark, dir))
 }

@@ -45,6 +45,27 @@ class StreamingIndexSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("BM25 over the incremental index matches BM25 over the batch corpus") {
+    val d = Files.createTempDirectory("graft-sidx-bm25")
+    val in = d.resolve("in"); Files.createDirectories(in)
+    val b1 = Seq(1L -> "a b a", 2L -> "a c")
+    val b2 = Seq(3L -> "b b b c", 4L -> "c c")
+    writeBatch(in, "b1.csv", b1)
+    drain(in, d)
+    writeBatch(in, "b2.csv", b2)
+    drain(in, d)
+    // the search engine runs off the stored index alone: doc lengths
+    // and corpus stats derive from the merged postings
+    val fromIndex = TrainPrep.bm25RankFromPostings(
+        StreamingIndex.mergedTermDocs(spark, d.resolve("idx").toString),
+        Seq("a", "b"), topK = 10)
+      .collect().map(_.toSeq).toSeq
+    val fromDocs = TrainPrep.bm25Rank(
+        (b1 ++ b2).toDF("doc_id", "text"), Seq("a", "b"), topK = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == fromDocs && fromIndex.nonEmpty)
+  }
+
   test("index is empty (not an error) before any batch commits") {
     val d = Files.createTempDirectory("graft-sidx0")
     assert(StreamingIndex.index(spark,
