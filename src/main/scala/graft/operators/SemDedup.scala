@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cluster-bucketed semantic deduplication — the SemDeDup recipe
+  * (Abbas et al. 2023, arXiv:2303.09540): k-means the embeddings, then
+  * look for near-duplicates ONLY inside each cluster, so pair
+  * generation is an equi-join on the cluster id and never an all-pairs
+  * cross join. Retention is the paper's keep-one rule, made
+  * deterministic: a row survives iff NO lower-id member of its own
+  * cluster lies within the distance threshold ("keep first"), which is
+  * an anti-join — no connected components, no recursion, exact SQL
+  * twin.
+  *
+  * Scale: k grows with the corpus (SemDeDup uses k ≈ N/10⁴..10⁵), so
+  * per-cluster pair counts stay bounded; the join shuffles rows by
+  * cluster id once. The distance kernel is the same fixed-point
+  * Σ⌊(xᵢ−yᵢ)²·10¹⁰⌋ BIGINT as [[KMeansCluster.sqDistFixed]] —
+  * order-invariant integer sums, engine-portable.
+  *
+  * Complements the LSH-based semantic dedup (SharedLsh/q91): LSH
+  * buckets by hash collision and needs component-closure; k-means
+  * buckets by trained geometry and the keep-first rule closes in one
+  * anti-join.
+  */
+object SemDedup {
+
+  /** Fixed-point squared L2 distance between two vector COLUMNS:
+    * Σ ⌊(xᵢ − yᵢ)²·10¹⁰⌋, a BIGINT ([[KMeansCluster.sqDistFixed]]'s
+    * column-column sibling). */
+  def sqDistFixedCols(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => floor(((x - y) * (x - y)) * lit(1e10)).cast("long")),
+      lit(0L),
+      (acc, d) => acc + d)
+
+  /** Keep-first semantic dedup over a (id, v, cluster, …) assignment
+    * frame (e.g. [[KMeansCluster.lloyd]]'s output): marks each row
+    * kept=false iff some SAME-cluster member with a LOWER id is within
+    * `maxDistFp` ([[sqDistFixedCols]] units). Returns
+    * (id, cluster, kept). One cluster-keyed self-join + one anti-join
+    * — never leaves the cluster. */
+  def keepFirst(assigned: DataFrame, maxDistFp: Long): DataFrame = {
+    val a = assigned.select(col("id"), col("cluster"), col("v"))
+    val shadowed = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.id") < col("x.id"))
+      .where(sqDistFixedCols(col("x.v"), col("y.v")) <= maxDistFp)
+      .select(col("x.id").as("id")).distinct()
+    a.join(shadowed.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        not(coalesce(col("dup"), lit(false))).as("kept"))
+  }
+}
