@@ -479,6 +479,50 @@ object QueriesTrain {
         CAST(SUM(CASE WHEN kept THEN vec_id END) AS BIGINT) AS kept_id_sum
       FROM r GROUP BY 1 ORDER BY cluster"""))
 
+  /** DSIR DATA SELECTION (Dsir.scoreDocs ∘ importanceWeights): rank
+    * corpus documents by resemblance to a target domain (here: docs
+    * mentioning 'spark') via hashed-bigram importance weights — the
+    * Xie et al. 2023 recipe with the log-ratio made a fixed-point
+    * rational and the doc score an integer mean, so the whole chain is
+    * engine-exact. 256 constant-size bucket tables broadcast; two
+    * narrow corpus scans; one doc-keyed aggregation. */
+  private val q118 = Q(
+    "q118_dsir_select",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(col("text").contains("spark"))
+      val w = graft.operators.Dsir.importanceWeights(docs, target)
+      graft.operators.Dsir.scoreDocs(docs, w)
+        .orderBy(col("avg_weight_fp").desc, col("doc_id").asc)
+        .limit(25)
+    },
+    Some("""WITH tr AS (
+        SELECT doc_id,
+          substr(md5(ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]),
+            1, 2) AS b
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+          UNNEST(range(1, len(ts))) AS t(i)),
+      src AS (SELECT b, COUNT(*) AS sc FROM tr GROUP BY 1),
+      tgtdocs AS (SELECT doc_id FROM documents WHERE text LIKE '%spark%'),
+      tgt AS (SELECT tr.b, COUNT(*) AS tc
+        FROM tr JOIN tgtdocs USING (doc_id) GROUP BY 1),
+      stot AS (SELECT COUNT(*) AS s FROM tr),
+      ttot AS (SELECT COUNT(*) AS t FROM tr JOIN tgtdocs USING (doc_id)),
+      w AS (
+        SELECT src.b,
+          CAST(FLOOR(1e6 * (
+            CAST((COALESCE(tgt.tc, 0) + 1) * (stot.s + 256) AS DOUBLE)
+            / CAST((src.sc + 1) * (ttot.t + 256) AS DOUBLE))) AS BIGINT)
+            AS wfp
+        FROM src LEFT JOIN tgt ON src.b = tgt.b
+          CROSS JOIN stot CROSS JOIN ttot),
+      sc2 AS (
+        SELECT tr.doc_id, COUNT(*) AS n_grams,
+          SUM(COALESCE(w.wfp, 1000000)) AS s
+        FROM tr LEFT JOIN w ON tr.b = w.b GROUP BY 1)
+      SELECT doc_id, n_grams, CAST(s // n_grams AS BIGINT) AS avg_weight_fp
+      FROM sc2 ORDER BY avg_weight_fp DESC, doc_id ASC LIMIT 25"""))
+
   val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117)
+    q114, q115, q116, q117, q118)
 }
