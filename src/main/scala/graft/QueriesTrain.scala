@@ -367,11 +367,13 @@ object QueriesTrain {
       FROM aa GROUP BY 1 ORDER BY cluster"""
     })
 
-  /** TF-IDF KEYWORD EXTRACTION: top-3 terms per document by fixed
-    * -point tf·idf (rational RSJ idf again — no ln), via the
-    * GroupedTopK aggregator, NOT a window: the shuffle carries ≤ 3
-    * rows per (partition, doc) and no per-doc sort materializes — the
-    * pattern that survives documents with corpus-sized vocabularies. */
+  /** PER-DOCUMENT TF-IDF KEYWORDS: top-3 terms per document by fixed
+    * -point tf·idf (rational RSJ idf again — no ln) — the doc-level
+    * annotation pass (labels for retrieval/routing), NOT q59/q66's
+    * per-language vocabulary tables: here the group count is the
+    * CORPUS size, which is exactly why this uses the GroupedTopK
+    * aggregator rather than a window — the shuffle carries ≤ 3 rows
+    * per (partition, doc) and no per-doc sort materializes. */
   private val q116 = Q(
     "q116_tfidf_keywords",
     (s, dir) => {
@@ -523,6 +525,56 @@ object QueriesTrain {
       SELECT doc_id, n_grams, CAST(s // n_grams AS BIGINT) AS avg_weight_fp
       FROM sc2 ORDER BY avg_weight_fp DESC, doc_id ASC LIMIT 25"""))
 
+  /** END-TO-END TRAINING-DATA PIPELINE: exact dedup (keep each content
+    * group's min-id canonical) → leakage split (canonical ids hash to
+    * train/val/test) → token-balanced sharding of the TRAIN split —
+    * the three stages composed as one chained plan: the dedup window
+    * and split filter fuse into the sharder's input scan, and the only
+    * driver materializations are the sharder's own bounded collects
+    * (the 1-row token total and the 32-row range-bucket offsets).
+    * Census: per-shard doc/token/docid sums. */
+  private val q119 = Q(
+    "q119_train_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val canonical = docs
+        .withColumn("canon",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("canon"))
+      val train = canonical
+        .filter(TrainPrep.splitOf(col("doc_id")) === "train")
+        .select(col("doc_id"), col("text"))
+      TrainPrep.tokenBalancedShards(train, 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("shard_tokens"),
+          sum(col("doc_id")).as("docid_sum"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, text,
+          MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM documents),
+      k AS (SELECT doc_id, text FROM u WHERE doc_id = canon),
+      tr AS (
+        SELECT doc_id, text FROM k
+        WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+          NOT IN ('d', 'e', 'f')),
+      kk AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k2,
+          len(string_split(text, ' ')) AS tokens
+        FROM tr),
+      c AS (
+        SELECT doc_id, tokens,
+          SUM(tokens) OVER (ORDER BY k2 ROWS UNBOUNDED PRECEDING) AS cum,
+          SUM(tokens) OVER () AS total
+        FROM kk)
+      SELECT CAST(FLOOR((cum - tokens) * 8 / total) AS BIGINT) AS shard,
+        COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+        CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+      FROM c GROUP BY 1 ORDER BY shard"""))
+
   val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118)
+    q114, q115, q116, q117, q118, q119)
 }

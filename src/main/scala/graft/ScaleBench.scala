@@ -164,6 +164,42 @@ object ScaleBench {
         graft.operators.BpeTrain.merges(
           graft.operators.BpeTrain.wordFreqs(docs, "text"), rounds = 3).size
       }
+      // round-5 operators at the same synthetic scale: the inverted
+      // index + BM25 read (dominant cost = the 60M-posting-row build),
+      // DSIR importance scoring (two full bigram scans), the two-phase
+      // token sharder, k-means training on the synthetic embeddings,
+      // and SemDeDup keep-first on a 2% slice (k must grow with N for
+      // the full corpus — the slice keeps per-cluster pair counts at
+      // the bounded size real SemDeDup maintains via k ≈ N/10⁴)
+      val queryTerms = docs.filter(col("doc_id") === 0)
+        .select(split(col("text"), " ")).collect()(0)
+        .getSeq[String](0).take(3)
+      val bm25Hits = timed("bm25_rank", acc) {
+        graft.operators.TrainPrep.bm25Rank(docs, queryTerms, 10).count()
+      }
+      val shardCount = timed("token_shards", acc) {
+        graft.operators.TrainPrep.tokenBalancedShards(docs, 64)
+          .select(col("shard")).distinct().count()
+      }
+      val dsirDocs = timed("dsir_score", acc) {
+        val w = graft.operators.Dsir.importanceWeights(
+          docs, docs.filter(col("doc_id") % 101 === 0))
+        graft.operators.Dsir.scoreDocs(docs, w).count()
+      }
+      val emb2 = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val kmeansN = timed("kmeans_k8_i2", acc) {
+        graft.operators.KMeansCluster.lloyd(emb2, k = 8, iters = 2).count()
+      }
+      val semKept = timed("semdedup_2pct", acc) {
+        val slice = emb2.filter(col("id") % 50 === 0)
+        val assigned = graft.operators.KMeansCluster.lloyd(slice, 8, 2)
+        graft.operators.SemDedup.keepFirst(assigned, 14500000000L)
+          .filter(col("kept")).count()
+      }
+      acc.append(f""""bm25_hits":$bm25Hits,"shards":$shardCount,""" +
+        f""""dsir_docs":$dsirDocs,"kmeans_rows":$kmeansN,""" +
+        f""""semdedup_kept":$semKept,""")
       acc.append(f""""n_docs":$n,"dup_groups":$dupGroups,"star_edges":$edges,""" +
         f""""components":$comps,"chunk_groups":$chunkKept,""" +
         f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler,""" +
