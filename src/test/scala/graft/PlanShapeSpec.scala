@@ -218,4 +218,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangeLines.forall(l => !l.contains("g#") && !l.contains("text#")),
       s"gram/document text in a shuffle key:\n$p")
   }
+
+  test("bm25 ranks via TakeOrdered and broadcasts the df/stat tables") {
+    val p = planOf(Queries.all("q114_bm25_rank")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must never be a global sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"df/corpus stats must broadcast:\n$p")
+  }
+
+  test("per-doc tf-idf keywords plan has NO Window") {
+    // the corpus-sized group count is exactly why q116 uses the
+    // grouped top-k aggregator; a window sneaking back in would sort
+    // every doc group in one task
+    val p = planOf(Queries.all("q116_tfidf_keywords")(spark, sf()))
+    assert(!p.contains("Window"), s"window reintroduced:\n$p")
+  }
+
+  test("semdedup pairs join on the cluster id, never a cross join") {
+    val assigned = spark.range(100).select(col("id"),
+      (col("id") % 4).cast("int").as("cluster"),
+      array(col("id").cast("double")).as("v"))
+    val p = planOf(graft.operators.SemDedup.keepFirst(assigned, 100L))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"pair generation must stay an equi-join on cluster:\n$p")
+  }
+
+  test("dsir scoring joins the weight table by broadcast, no cartesian") {
+    val p = planOf(Queries.all("q118_dsir_select")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-weight join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
 }
