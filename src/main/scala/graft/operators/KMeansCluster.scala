@@ -58,6 +58,31 @@ object KMeansCluster {
       best.getField("d").as("dist"))
   }
 
+  /** [[assign]] with centroids as a DATAFRAME (cid: int, cv:
+    * array<double>) instead of inlined literals — the LARGE-k path:
+    * literal centroids codegen fine to k ≈ 64, but past that the
+    * argmin expression bloats (and SemDeDup-scale k ≈ N/10⁴ is far
+    * past it). Broadcast the centroid table, fan out k rows per
+    * vector, take the argmin as a min over packed (dist, cid) structs
+    * — partial aggregation collapses the fan-out to one row per
+    * (partition, id) before any exchange. Same fixed-point metric,
+    * same lowest-cid tiebreak; parity with [[assign]] is
+    * spec-asserted. A large-k Lloyd round composes as
+    * assignFrom → updateCentroids → (toDF) → assignFrom. */
+  def assignFrom(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = normalized(emb)
+    e.crossJoin(broadcast(
+        centroids.select(col("cid").cast("int").as("cid"),
+          col("cv").cast("array<double>").as("cv"))))
+      .select(col("id"), col("v"),
+        struct(SemDedup.sqDistFixedCols(col("v"), col("cv")).as("d"),
+          col("cid")).as("dc"))
+      .groupBy(col("id"), col("v"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("id"), col("v"),
+        col("best.cid").as("cluster"), col("best.d").as("dist"))
+  }
+
   /** One UPDATE step: per-cluster per-dimension mean sums, collected
     * as the next centroid table. The per-element quantization is the
     * same fixed-point trick as the distance metric — Σ⌊xᵢ·10¹²⌋ as

@@ -268,6 +268,34 @@ object TrainPrep {
       postings.groupBy(col("doc_id")).agg(sum(col("tf_doc")).as("dl")),
       terms, topK)
 
+  /** Persist the full search index: the term-bucketed posting table
+    * (`<base>_postings`) plus the doc-length side table
+    * (`<base>_doclens`, (doc_id, dl)) — the two artifacts
+    * [[bm25RankFromTable]] reads. Splitting lengths into their own
+    * table is what lets a stored-index BM25 query skip the postings
+    * -wide length aggregation [[bm25RankFromPostings]] must run: the
+    * read cost becomes |terms| pruned buckets + one doc-keyed join
+    * against a table 1/avgdl the postings' size. */
+  def writeSearchIndex(docs: DataFrame, baseName: String,
+                       buckets: Int): Unit = {
+    writePostingsBucketed(docs, s"${baseName}_postings", buckets)
+    docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${baseName}_doclens")
+  }
+
+  /** [[bm25Rank]] against a persisted [[writeSearchIndex]] pair —
+    * touches |terms| buckets of the posting table and the doc-length
+    * table; never the corpus, never a postings-wide aggregation. */
+  def bm25RankFromTable(spark: org.apache.spark.sql.SparkSession,
+                        baseName: String, terms: Seq[String],
+                        topK: Int): DataFrame = {
+    val reader = bucketedReader(spark)
+    bm25From(reader.table(s"${baseName}_postings"),
+      reader.table(s"${baseName}_doclens"), terms, topK)
+  }
+
   private def bm25From(postings: DataFrame, lens: DataFrame,
                        terms: Seq[String], topK: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")

@@ -61,6 +61,24 @@ class KMeansClusterSpec extends SparkSpec {
     assert(got == Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
   }
 
+  test("assignFrom (DataFrame centroids) matches assign (literal centroids)") {
+    // spark.range-derived input so nothing constant-folds away
+    val e = spark.range(50).select(col("id"),
+      array(col("id").cast("double") * 0.1,
+        (col("id") % 7).cast("double")).as("v"))
+    val cents = Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(2.5, 3.0),
+      2 -> Seq(5.0, 1.0), 3 -> Seq(2.5, 3.0)) // 3 duplicates 1: tie check
+    val centsDf = cents.map { case (c, v) => (c, v) }.toDF("cid", "cv")
+    val lit = KMeansCluster.assign(e, cents)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    val dfp = KMeansCluster.assignFrom(e, centsDf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(dfp == lit)
+    assert(lit.values.map(_._1).toSet.intersect(Set(3)).isEmpty) // ties -> 1
+  }
+
   test("lloyd separates two obvious blobs and reaches zero movement") {
     val blobA = (0L to 9L).map(i => i -> Seq(0.01 * i, 0.0))
     val blobB = (10L to 19L).map(i => i -> Seq(5.0 + 0.01 * i, 4.0))

@@ -176,6 +176,27 @@ class TrainPrepSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_positions")
   }
 
+  test("persisted search index: BM25 from tables matches from docs, prunes buckets") {
+    val docs = Tables.documents(spark, sf())
+    TrainPrep.writeSearchIndex(docs, "graft_test_idx", 8)
+    try {
+      val fromTable = TrainPrep.bm25RankFromTable(
+        spark, "graft_test_idx", Seq("query", "window", "scan"), topK = 20)
+      val direct = TrainPrep.bm25Rank(
+        docs, Seq("query", "window", "scan"), topK = 20)
+      assert(fromTable.collect().map(_.toSeq).toSeq ==
+        direct.collect().map(_.toSeq).toSeq)
+      // a 3-term IN filter prunes to AT MOST 3 of the 8 buckets
+      val plan = fromTable.queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: [123] out of 8".r
+          .findFirstIn(plan).isDefined,
+        s"expected bucket pruning on the posting scan:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_test_idx_doclens")
+    }
+  }
+
   test("postings: df/tf and the sorted-postings digest") {
     val docs = Seq(
       (10L, "a b a"), (2L, "b c"), (7L, "a"))
