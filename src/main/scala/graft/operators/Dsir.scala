@@ -79,4 +79,36 @@ object Dsir {
       .agg(count(lit(1)).as("n_grams"), sum(col("w_fp")).as("s"))
       .withColumn("avg_weight_fp", expr("s div n_grams"))
       .select(col("doc_id"), col("n_grams"), col("avg_weight_fp"))
+
+  /** The weight table as a driver-side map — a ≤ 256-entry broadcast
+    * model (the NgramLm.broadcastModel pattern: a deliberate
+    * bounded-model collect, never data-sized). */
+  def weightsMap(weights: DataFrame): Map[String, Long] =
+    weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** [[scoreDocs]] as a STATELESS per-row map — the streaming twin:
+    * grams derive from the row's own token array (zip with its tail),
+    * weights come from the frozen [[weightsMap]] as a map literal, and
+    * the integer mean folds inside the row. No explode, no shuffle, no
+    * state — legal on a streaming frame in append mode, and
+    * bit-identical to the join-based scorer (integer sums are
+    * order-invariant; parity is spec-asserted). */
+  def scoreWithWeights(docs: DataFrame, w: Map[String, Long]): DataFrame = {
+    val ts = split(col("text"), " ")
+    val grams = zip_with(
+      slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+      (a, b) => substring(md5(concat_ws(" ", a, b)), 1, 2))
+    val wMap = typedLit(w)
+    docs
+      .select(col("doc_id"), grams.as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        aggregate(
+          transform(col("gs"),
+            g => coalesce(element_at(wMap, g), lit(1000000L))),
+          lit(0L), (acc, x) => acc + x).as("s"))
+      .withColumn("avg_weight_fp", expr("s div n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("avg_weight_fp"))
+  }
 }

@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale: k grows with the corpus (SemDeDup uses k ≈ N/10⁴..10⁵), so
   * per-cluster pair counts stay bounded; the join shuffles rows by
-  * cluster id once. The distance kernel is the same fixed-point
-  * Σ⌊(xᵢ−yᵢ)²·10¹⁰⌋ BIGINT as [[KMeansCluster.sqDistFixed]] —
-  * order-invariant integer sums, engine-portable.
+  * cluster id once. At such k, produce the assignment with
+  * [[KMeansCluster.assignFrom]] (broadcast centroid TABLE — the
+  * literal-inlining path tops out near k = 64). The distance kernel
+  * is the same fixed-point Σ⌊(xᵢ−yᵢ)²·10¹⁰⌋ BIGINT as
+  * [[KMeansCluster.sqDistFixed]] — order-invariant integer sums,
+  * engine-portable.
   *
   * Complements the LSH-based semantic dedup (SharedLsh/q91): LSH
   * buckets by hash collision and needs component-closure; k-means

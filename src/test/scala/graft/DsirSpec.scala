@@ -44,6 +44,52 @@ class DsirSpec extends SparkSpec {
     assert(got == Map(1L -> ((2L, 1750000L)), 2L -> ((1L, 1000000L))))
   }
 
+  test("stateless scoreWithWeights is bit-identical to the join scorer") {
+    val docs = Tables.documents(spark, sf())
+    val target = docs.filter(col("text").contains("spark"))
+    val w = Dsir.importanceWeights(docs, target)
+    val a = Dsir.scoreDocs(docs, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dsir.scoreWithWeights(docs, Dsir.weightsMap(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("streaming scoring with frozen weights agrees with batch") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("graft-sdsir")
+    val in = d.resolve("in"); Files.createDirectories(in)
+    val out = d.resolve("out").toString
+    val rows = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "z z a"),
+      (4L, "solo"), (5L, "b c a b"))
+    rows.grouped(3).zipWithIndex.foreach { case (g, i) =>
+      Files.write(in.resolve(s"docs$i.csv"),
+        g.map { case (id, t) => s"$id;$t" }.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = "doc_id LONG, text STRING"
+    val batch = spark.read.schema(schema)
+      .option("delimiter", ";").csv(in.toString)
+    val w = Dsir.weightsMap(Dsir.importanceWeights(
+      batch, batch.filter(col("text").contains("a"))))
+    val stream = spark.readStream.schema(schema)
+      .option("delimiter", ";").option("maxFilesPerTrigger", "1")
+      .csv(in.toString)
+    val q = Dsir.scoreWithWeights(stream, w)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", d.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dsir.scoreDocs(batch, Dsir.importanceWeights(
+        batch, batch.filter(col("text").contains("a"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("target-resembling docs rank above the rest end-to-end") {
     val corpus = (1L to 20L).map { i =>
       if (i % 5 == 0) (i, "alpha beta alpha beta gamma")
