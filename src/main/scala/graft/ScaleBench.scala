@@ -192,7 +192,12 @@ object ScaleBench {
         graft.operators.KMeansCluster.lloyd(emb2, k = 8, iters = 2).count()
       }
       val semKept = timed("semdedup_2pct", acc) {
+        // renumber the sliced ids densely so lloyd's id<k seed read
+        // finds k seeds (ids stay 0,50,100,… otherwise — only id 0
+        // would qualify and the whole slice degenerates to 1 cluster,
+        // turning keepFirst's per-cluster join quadratic)
         val slice = emb2.filter(col("id") % 50 === 0)
+          .select((col("id") / 50).cast("long").as("id"), col("v"))
         val assigned = graft.operators.KMeansCluster.lloyd(slice, 8, 2)
         graft.operators.SemDedup.keepFirst(assigned, 14500000000L)
           .filter(col("kept")).count()

@@ -97,7 +97,7 @@ object Dsir {
     val ts = split(col("text"), " ")
     val grams = zip_with(
       slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
-      (a, b) => substring(md5(concat_ws(" ", a, b)), 1, 2))
+      (a, b) => bucketOf(a, b))
     val wMap = typedLit(w)
     docs
       .select(col("doc_id"), grams.as("gs"))

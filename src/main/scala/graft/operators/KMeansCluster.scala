@@ -190,6 +190,8 @@ object KMeansCluster {
   def oversampledInit(emb: DataFrame, k: Int, rounds: Int,
                       l: Int): Seq[(Int, Seq[Double])] = {
     require(k >= 1 && rounds >= 1 && l >= 1)
+    require(1 + rounds * l >= k,
+      s"candidate pool 1 + $rounds*$l < k=$k — raise rounds or l")
     val spark = emb.sparkSession
     import spark.implicits._
     val e = normalized(emb).localCheckpoint()

@@ -46,7 +46,11 @@ object SemDedup {
     * (id, cluster, kept). One cluster-keyed self-join + one anti-join
     * — never leaves the cluster. */
   def keepFirst(assigned: DataFrame, maxDistFp: Long): DataFrame = {
+    // the frame feeds three consumers (both self-join sides + the
+    // final left join); without a checkpoint each re-executes the
+    // upstream assignment lineage (distance-kernel scan per consumer)
     val a = assigned.select(col("id"), col("cluster"), col("v"))
+      .localCheckpoint()
     val shadowed = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") &&
           col("y.id") < col("x.id"))
