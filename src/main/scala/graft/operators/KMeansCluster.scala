@@ -83,6 +83,34 @@ object KMeansCluster {
         col("best.cid").as("cluster"), col("best.d").as("dist"))
   }
 
+  /** [[lloyd]] on the BROADCAST-TABLE assignment path ([[assignFrom]])
+    * — identical math to the literal path (assignFrom parity is
+    * spec'd; q120 oracles the whole loop), materially different
+    * physical plan: centroid join fan-out + partial-agg argmin instead
+    * of an inlined k·dims argmin expression. This is the k > ~64
+    * shape, where literal inlining bloats codegen. Seeds = vectors
+    * with id ∈ [0, k), like [[lloyd]]. */
+  def lloydLargeK(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = normalized(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def df(cs: Seq[(Int, Seq[Double])]) = cs.toDF("cid", "cv")
+    var centroids: Seq[(Int, Seq[Double])] = e
+      .filter(col("id") < k)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+    require(centroids.nonEmpty, s"need seed vectors with id < $k")
+    var assigned = assignFrom(e, df(centroids))
+    var round = 1
+    while (round < iters) {
+      centroids = updateCentroids(assigned)
+      assigned = assignFrom(e, df(centroids))
+      round += 1
+    }
+    assigned
+  }
+
   /** One UPDATE step: per-cluster per-dimension mean sums, collected
     * as the next centroid table. The per-element quantization is the
     * same fixed-point trick as the distance metric — Σ⌊xᵢ·10¹²⌋ as

@@ -60,4 +60,37 @@ object SemDedup {
       .select(col("id"), col("cluster"),
         not(coalesce(col("dup"), lit(false))).as("kept"))
   }
+
+  /** Incremental keep-first — the semantic-dedup analog of
+    * Dedup.incrementalCandidatePairs: decide `kept` for a DELTA of
+    * newly crawled rows against a STORED assignment without
+    * re-deciding (or even re-reading the verdicts of) the stored
+    * rows. A delta row is shadowed by ANY same-cluster stored member
+    * within τ, or by a lower-id same-cluster delta member within τ.
+    *
+    * When every delta id exceeds every stored id (crawl order),
+    * keepFirst(stored ∪ delta) == stored's verdicts ∪ this —
+    * keep-first's shadow relation only looks DOWNWARD in id, so
+    * arrivals can never flip a stored verdict (spec-asserted).
+    * Per-batch cost: delta×(stored + delta) cluster-keyed joins —
+    * the stored side is probed, never rescanned quadratically. */
+  def keepFirstIncremental(stored: DataFrame, delta: DataFrame,
+                           maxDistFp: Long): DataFrame = {
+    val s = stored.select(col("id"), col("cluster"), col("v"))
+    val d = delta.select(col("id"), col("cluster"), col("v"))
+      .localCheckpoint() // probed three times (two joins + verdict)
+    val byStored = d.as("x").join(s.as("y"),
+        col("x.cluster") === col("y.cluster"))
+      .where(sqDistFixedCols(col("x.v"), col("y.v")) <= maxDistFp)
+      .select(col("x.id").as("id"))
+    val byDelta = d.as("x").join(d.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.id") < col("x.id"))
+      .where(sqDistFixedCols(col("x.v"), col("y.v")) <= maxDistFp)
+      .select(col("x.id").as("id"))
+    d.join(byStored.union(byDelta).distinct().withColumn("dup", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        not(coalesce(col("dup"), lit(false))).as("kept"))
+  }
 }

@@ -79,6 +79,17 @@ class KMeansClusterSpec extends SparkSpec {
     assert(lit.values.map(_._1).toSet.intersect(Set(3)).isEmpty) // ties -> 1
   }
 
+  test("lloydLargeK (broadcast-table loop) matches lloyd (literal loop)") {
+    val rows = (0L to 39L).map(i =>
+      (i, Seq((i % 5).toDouble * 2, (i % 3).toDouble)))
+    val e = spark.createDataFrame(rows).toDF("id", "v")
+    val a = KMeansCluster.lloyd(e, k = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val b = KMeansCluster.lloydLargeK(e, k = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
   test("oversampledInit covers separated blobs and seeds a clean assignment") {
     // three tight blobs; k=3 via 2 rounds of l=2 oversampling
     val rows = (0L to 29L).map { i =>

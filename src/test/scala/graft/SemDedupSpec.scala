@@ -29,6 +29,29 @@ class SemDedupSpec extends SparkSpec {
       3L -> true, 4L -> false))
   }
 
+  test("keepFirstIncremental: stored ∪ delta verdicts equal from-scratch") {
+    // 40 rows, 3 clusters, duplicate vectors sprinkled across the
+    // stored/delta boundary (crawl order: delta ids all higher)
+    val rows = (0L until 40L).map { i =>
+      (i, (i % 3).toInt, Seq((i % 7).toDouble, (i % 3).toDouble))
+    }
+    val all = rows.toDF("id", "cluster", "v")
+    val stored = all.filter(col("id") < 25)
+    val delta = all.filter(col("id") >= 25)
+    val tau = 1000000000L // 0.1 — exact dups only
+    val scratch = SemDedup.keepFirst(all, tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val inc = SemDedup.keepFirstIncremental(stored, delta, tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(inc.keySet == (25L until 40L).toSet)
+    assert(inc == scratch.view.filterKeys(_ >= 25L).toMap)
+    // stored verdicts are untouched by arrivals — keepFirst on the
+    // stored slice alone already equals the from-scratch restriction
+    val storedOnly = SemDedup.keepFirst(stored, tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(storedOnly == scratch.view.filterKeys(_ < 25L).toMap)
+  }
+
   test("keepFirst over lloyd: threshold 0 keeps exact-dup groups' min id only") {
     val rows = Seq(
       0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 10.0),
