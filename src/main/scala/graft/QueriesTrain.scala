@@ -416,6 +416,23 @@ object QueriesTrain {
       SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, s AS score_fp
       FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** The Spark side shared by q117/q120: trained k-means (the variant
+    * under test) → keepFirst(τ) → per-cluster retention census. One
+    * body so the two queries can only differ in the Lloyd variant. */
+  private def semdedupCensus(
+      lloydVariant: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      (s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    graft.operators.SemDedup.keepFirst(lloydVariant(emb), 14500000000L)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("id"))).as("kept_id_sum"))
+      .orderBy(col("cluster"))
+  }
+
   /** SEMDEDUP (SemDedup.keepFirst ∘ KMeansCluster.lloyd): cluster
     * -bucketed semantic dedup per Abbas et al. 2023 — q108's trained
     * k-means buckets the embeddings, near-dup pairs are generated ONLY
@@ -426,22 +443,17 @@ object QueriesTrain {
     * intra-cluster pair distances and the same anti-join. */
   private val q117 = Q(
     "q117_semdedup",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"),
-          Similarity.asDouble(col("embedding")).as("v"))
-      val assigned = KMeansCluster.lloyd(emb, k = 4, iters = 2)
-      graft.operators.SemDedup.keepFirst(assigned, 14500000000L)
-        .groupBy(col("cluster").cast("long").as("cluster"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), col("id"))).as("kept_id_sum"))
-        .orderBy(col("cluster"))
-    },
-    Some("""WITH ev AS (
+    semdedupCensus(KMeansCluster.lloyd(_, k = 4, iters = 2)),
+    Some(semdedupSql(k = 4)))
+
+  /** The k-parameterized SQL twin shared by q117 (k=4) and q120 (k=8):
+    * seeds → two Lloyd rounds → intra-cluster pair distances →
+    * keep-first verdicts → census. ONE template, so a fix to the
+    * chain can never apply to one query and silently miss the other. */
+  private def semdedupSql(k: Int): String = s"""WITH ev AS (
         SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
         FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
-      c0 AS (SELECT vec_id AS cid, i, a AS m FROM ev WHERE vec_id < 4),
+      c0 AS (SELECT vec_id AS cid, i, a AS m FROM ev WHERE vec_id < $k),
       d1 AS (
         SELECT e.vec_id, c.cid,
           SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10) AS BIGINT)) AS d
@@ -479,7 +491,7 @@ object QueriesTrain {
       SELECT CAST(cid AS BIGINT) AS cluster, COUNT(*) AS n_docs,
         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         CAST(SUM(CASE WHEN kept THEN vec_id END) AS BIGINT) AS kept_id_sum
-      FROM r GROUP BY 1 ORDER BY cluster"""))
+      FROM r GROUP BY 1 ORDER BY cluster"""
 
   /** DSIR DATA SELECTION (Dsir.scoreDocs ∘ importanceWeights): rank
     * corpus documents by resemblance to a target domain (here: docs
@@ -584,60 +596,8 @@ object QueriesTrain {
     * assignFrom loop to the same integers the literal path produces. */
   private val q120 = Q(
     "q120_semdedup_largek",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"),
-          Similarity.asDouble(col("embedding")).as("v"))
-      val assigned = KMeansCluster.lloydLargeK(emb, k = 8, iters = 2)
-      graft.operators.SemDedup.keepFirst(assigned, 14500000000L)
-        .groupBy(col("cluster").cast("long").as("cluster"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), col("id"))).as("kept_id_sum"))
-        .orderBy(col("cluster"))
-    },
-    Some("""WITH ev AS (
-        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
-        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
-      c0 AS (SELECT vec_id AS cid, i, a AS m FROM ev WHERE vec_id < 8),
-      d1 AS (
-        SELECT e.vec_id, c.cid,
-          SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10) AS BIGINT)) AS d
-        FROM ev e JOIN c0 c ON e.i = c.i GROUP BY 1, 2),
-      a1 AS (
-        SELECT vec_id, cid FROM (
-          SELECT vec_id, cid,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          FROM d1) r WHERE rn = 1),
-      c1 AS (
-        SELECT a1.cid, e.i,
-          CAST(SUM(CAST(FLOOR(e.a * 1e12) AS BIGINT)) AS DOUBLE)
-            / 1e12 / COUNT(*) AS m
-        FROM ev e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY 1, 2),
-      d2 AS (
-        SELECT e.vec_id, c.cid,
-          SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10) AS BIGINT)) AS d
-        FROM ev e JOIN c1 c ON e.i = c.i GROUP BY 1, 2),
-      a2 AS (
-        SELECT vec_id, cid FROM (
-          SELECT vec_id, cid,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          FROM d2) r WHERE rn = 1),
-      pd AS (
-        SELECT ax.vec_id AS hi,
-          SUM(CAST(FLOOR(((x.a - y.a)*(x.a - y.a)) * 1e10) AS BIGINT)) AS d
-        FROM a2 ax JOIN a2 ay ON ax.cid = ay.cid AND ay.vec_id < ax.vec_id
-          JOIN ev x ON x.vec_id = ax.vec_id
-          JOIN ev y ON y.vec_id = ay.vec_id AND y.i = x.i
-        GROUP BY ax.vec_id, ay.vec_id),
-      dup AS (SELECT DISTINCT hi FROM pd WHERE d <= 14500000000),
-      r AS (
-        SELECT a2.vec_id, a2.cid, (dup.hi IS NULL) AS kept
-        FROM a2 LEFT JOIN dup ON a2.vec_id = dup.hi)
-      SELECT CAST(cid AS BIGINT) AS cluster, COUNT(*) AS n_docs,
-        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        CAST(SUM(CASE WHEN kept THEN vec_id END) AS BIGINT) AS kept_id_sum
-      FROM r GROUP BY 1 ORDER BY cluster"""))
+    semdedupCensus(KMeansCluster.lloydLargeK(_, k = 8, iters = 2)),
+    Some(semdedupSql(k = 8)))
 
   val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120)

@@ -91,16 +91,12 @@ object KMeansCluster {
     * shape, where literal inlining bloats codegen. Seeds = vectors
     * with id ∈ [0, k), like [[lloyd]]. */
   def lloydLargeK(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val e = normalized(emb)
+    val e0 = normalized(emb)
+    val e = if (iters > 1) e0.localCheckpoint() else e0 // see lloydFrom
     val spark = emb.sparkSession
     import spark.implicits._
     def df(cs: Seq[(Int, Seq[Double])]) = cs.toDF("cid", "cv")
-    var centroids: Seq[(Int, Seq[Double])] = e
-      .filter(col("id") < k)
-      .select(col("id"), col("v")).collect()
-      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq)
-      .sortBy(_._1)
-    require(centroids.nonEmpty, s"need seed vectors with id < $k")
+    var centroids = seedCentroids(e, k)
     var assigned = assignFrom(e, df(centroids))
     var round = 1
     while (round < iters) {
@@ -138,13 +134,23 @@ object KMeansCluster {
     * id width or element type can't break the driver-side seed read. */
   def lloyd(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = normalized(emb)
-    val centroids: Seq[(Int, Seq[Double])] = e
+    lloydFrom(e, seedCentroids(e, k), iters)
+  }
+
+  /** Seed read: the vectors with id ∈ [0, k) — and EXACTLY k of them.
+    * Sparse ids (a filtered slice, say) would otherwise silently
+    * starve the seed set and train fewer clusters than asked — the
+    * degeneracy the round-5 scale bench hit once; fail loudly instead
+    * (renumber ids densely before seeding, as ScaleBench now does). */
+  private def seedCentroids(e: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+    val centroids = e
       .filter(col("id") < k)
       .select(col("id"), col("v")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq)
-      .sortBy(_._1)
-    require(centroids.nonEmpty, s"need seed vectors with id < $k")
-    lloydFrom(e, centroids, iters)
+      .sortBy(_._1).toSeq
+    require(centroids.size == k,
+      s"need exactly $k seed vectors with id in [0, $k), found ${centroids.size} — renumber sparse ids densely first")
+    centroids
   }
 
   /** `iters` Lloyd rounds from explicit seed centroids (e.g.
@@ -152,7 +158,11 @@ object KMeansCluster {
   def lloydFrom(emb: DataFrame, init: Seq[(Int, Seq[Double])],
                 iters: Int): DataFrame = {
     require(init.nonEmpty, "need at least one seed centroid")
-    val e = normalized(emb)
+    // multi-round Lloyd consumes the frame once per round (update
+    // collect + next assign) — checkpoint so rounds rescan a cache,
+    // not the source lineage; a single assignment pass stays lazy
+    val e0 = normalized(emb)
+    val e = if (iters > 1) e0.localCheckpoint() else e0
     var centroids = init
     var assigned = assign(e, centroids)
     var round = 1

@@ -78,7 +78,19 @@ object SemDedup {
                            maxDistFp: Long): DataFrame = {
     val s = stored.select(col("id"), col("cluster"), col("v"))
     val d = delta.select(col("id"), col("cluster"), col("v"))
-      .localCheckpoint() // probed three times (two joins + verdict)
+      // consumed four times: byStored's x side, BOTH byDelta sides,
+      // and the verdict join
+      .localCheckpoint()
+    // the crawl-order precondition is what makes incremental == from
+    // -scratch; out-of-order ids would let a higher-id stored row
+    // shadow a lower-id arrival (a verdict from-scratch would never
+    // produce) — fail loudly instead of silently diverging. Two 1-row
+    // aggregates; this function is an action-context batch step.
+    val hi = s.agg(max(col("id").cast("long"))).collect()(0)
+    val lo = d.agg(min(col("id").cast("long"))).collect()(0)
+    require(hi.isNullAt(0) || lo.isNullAt(0) ||
+      hi.getLong(0) < lo.getLong(0),
+      s"crawl-order precondition violated: max stored id ${hi.get(0)} >= min delta id ${lo.get(0)}")
     val byStored = d.as("x").join(s.as("y"),
         col("x.cluster") === col("y.cluster"))
       .where(sqDistFixedCols(col("x.v"), col("y.v")) <= maxDistFp)
