@@ -599,6 +599,63 @@ object QueriesTrain {
     semdedupCensus(KMeansCluster.lloydLargeK(_, k = 8, iters = 2)),
     Some(semdedupSql(k = 8)))
 
+  /** PROXIMITY-BOOSTED BM25 (TrainPrep.bm25ProximityRank): q114's
+    * ranking made phrase-aware with q112's positional index — each
+    * adjacent query-term pair adds 10⁶ div (1+gap) for the doc's
+    * tightest in-order occurrence (exact phrase ⇒ full bonus,
+    * reversed-only ⇒ none). Per-pair position joins filter postings
+    * per term first and reduce with a per-doc MIN — cost follows the
+    * queried terms' posting sizes, never the corpus. */
+  private val q121 = Q(
+    "q121_proximity_rank",
+    (s, dir) =>
+      TrainPrep.bm25ProximityRank(Tables.documents(s, dir),
+        Seq("query", "window", "scan"), topK = 20),
+    Some("""WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+      toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      p AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term IN ('query', 'window', 'scan') GROUP BY 1, 2),
+      d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      sc AS (
+        SELECT p.doc_id,
+          CAST(FLOOR(
+            (CAST(2*(st.nd - d.df) + 1 AS DOUBLE)
+               / CAST(2*d.df + 1 AS DOUBLE))
+            * (CAST(22*p.tf*st.tt AS DOUBLE)
+               / CAST(10*p.tf*st.tt + 3*st.tt + 9*l.dl*st.nd AS DOUBLE))
+            * 1e6) AS BIGINT) AS s
+        FROM p JOIN d USING (term)
+          JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN st),
+      base AS (
+        SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(s) AS BIGINT) AS score_fp
+        FROM sc GROUP BY 1),
+      pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          string_split(text, ' ')[CAST(i AS INT)] AS term
+        FROM documents,
+          UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)),
+      g0 AS (
+        SELECT a.doc_id, MIN(b.pos - a.pos - 1) AS gap
+        FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos > a.pos
+        WHERE a.term = 'query' AND b.term = 'window' GROUP BY 1),
+      b0 AS (SELECT doc_id, 1000000 // (1 + gap) AS bonus_0 FROM g0),
+      g1 AS (
+        SELECT a.doc_id, MIN(b.pos - a.pos - 1) AS gap
+        FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos > a.pos
+        WHERE a.term = 'window' AND b.term = 'scan' GROUP BY 1),
+      b1 AS (SELECT doc_id, 1000000 // (1 + gap) AS bonus_1 FROM g1)
+      SELECT base.doc_id, n_terms, score_fp,
+        CAST(score_fp + COALESCE(bonus_0, 0) + COALESCE(bonus_1, 0)
+          AS BIGINT) AS total_fp
+      FROM base
+        LEFT JOIN b0 ON base.doc_id = b0.doc_id
+        LEFT JOIN b1 ON base.doc_id = b1.doc_id
+      ORDER BY total_fp DESC, base.doc_id ASC LIMIT 20"""))
+
   val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120)
+    q114, q115, q116, q117, q118, q119, q120, q121)
 }

@@ -297,7 +297,16 @@ object TrainPrep {
   }
 
   private def bm25From(postings: DataFrame, lens: DataFrame,
-                       terms: Seq[String], topK: Int): DataFrame = {
+                       terms: Seq[String], topK: Int): DataFrame =
+    bm25Scores(postings, lens, terms)
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(topK)
+
+  /** Pre-limit BM25 scores (doc_id, n_terms, score_fp) — the ranked
+    * reads ([[bm25Rank]] and the proximity-boosted
+    * [[bm25ProximityRank]]) order/limit on top of this. */
+  private def bm25Scores(postings: DataFrame, lens: DataFrame,
+                         terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
     val p = postings.filter(col("term").isin(terms: _*))
@@ -314,7 +323,52 @@ object TrainPrep {
         floor((idfNum / idfDen) * (tfNum / tfDen) * lit(1e6)).as("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_fp"))
-      .orderBy(col("score_fp").desc, col("doc_id").asc)
+  }
+
+  /** Proximity-boosted BM25 — phrase-aware ranking over BOTH index
+    * artifacts: the BM25 base score from the doc-level postings, plus
+    * a positional bonus per ADJACENT query-term pair,
+    *   bonus = 10⁶ div (1 + gap),
+    * where gap is the doc's minimum forward distance (tokens strictly
+    * between an occurrence of tᵢ and a later occurrence of tᵢ₊₁) —
+    * an exact phrase hit (gap 0) earns the full 10⁶, a 9-token gap a
+    * tenth of it, missing/only-reversed order nothing. All integer
+    * arithmetic (`div` floors identically in every engine).
+    *
+    * Plan: the per-pair position joins filter the positional postings
+    * to each term FIRST (bucket-prunable from the stored table), join
+    * on doc_id, and take a per-doc MIN — cost proportional to the
+    * queried terms' posting sizes, never the corpus. */
+  def bm25ProximityRank(docs: DataFrame, terms: Seq[String],
+                        topK: Int): DataFrame = {
+    require(terms.size >= 2, "need at least two terms for proximity")
+    val scores = bm25Scores(termDocs(docs),
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("dl")),
+      terms)
+    val p = termPositions(docs)
+    val bonuses = terms.sliding(2).zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        p.filter(col("term") === a)
+          .select(col("doc_id"), col("pos").as("pa"))
+          .join(p.filter(col("term") === b)
+              .select(col("doc_id"), col("pos").as("pb")),
+            Seq("doc_id"))
+          .where(col("pb") > col("pa"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("pb") - col("pa") - 1).as("gap"))
+          .select(col("doc_id"),
+            expr("1000000 div (1 + gap)").as(s"bonus_$i"))
+    }.toSeq
+    val joined = bonuses.foldLeft(scores)(
+      (acc, bf) => acc.join(bf, Seq("doc_id"), "left"))
+    val total = bonuses.indices
+      .map(i => coalesce(col(s"bonus_$i"), lit(0L)))
+      .foldLeft(col("score_fp"))(_ + _)
+    joined
+      .select(col("doc_id"), col("n_terms"), col("score_fp"),
+        total.as("total_fp"))
+      .orderBy(col("total_fp").desc, col("doc_id").asc)
       .limit(topK)
   }
 

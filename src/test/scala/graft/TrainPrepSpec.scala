@@ -197,6 +197,24 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("bm25ProximityRank: adjacency bonus by tightest in-order gap") {
+    val docs = Seq(
+      (1L, "q w x"),   // gap 0  -> bonus 1000000
+      (2L, "q x w"),   // gap 1  -> bonus  500000
+      (3L, "w q"),     // reversed only -> no bonus
+      (4L, "q"))       // second term absent -> no bonus
+      .toDF("doc_id", "text")
+    val got = TrainPrep.bm25ProximityRank(docs, Seq("q", "w"), topK = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // bonus = total - base, which is what the test pins per doc
+    assert(got(1L)._2 - got(1L)._1 == 1000000L)
+    assert(got(2L)._2 - got(2L)._1 == 500000L)
+    assert(got(3L)._2 == got(3L)._1)
+    assert(got(4L)._2 == got(4L)._1)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("postings: df/tf and the sorted-postings digest") {
     val docs = Seq(
       (10L, "a b a"), (2L, "b c"), (7L, "a"))
