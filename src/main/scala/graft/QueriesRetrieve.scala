@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fusion, RandomProjection, Similarity, TextAnalysis, TrainPrep}
+import Queries.Q
+
+/** Retrieval-fusion and corpus-geometry queries: hybrid lexical+semantic
+  * search, fielded ranking, vocabulary-growth and cross-source overlap
+  * censuses, and signed random projection — the layer that combines the
+  * index artifacts (q110-q121) with the embedding machinery (q20-q105).
+  */
+object QueriesRetrieve {
+
+  private val QueryTerms = Seq("query", "window", "scan")
+
+  /** HYBRID RETRIEVAL VIA RRF (Fusion.rrf): the lexical BM25 top-50
+    * (q114's engine) and the semantic cosine top-50 for query vector 0
+    * (q20's engine) fused by reciprocal rank — only RANKS cross the
+    * lexical/semantic boundary, so the incommensurable scores never
+    * mix and the fused score is an exact BIGINT
+    * (Σ 10⁶ div (60 + rank)). Missing-from-one-list docs keep the
+    * other list's contribution (full outer + coalesce). Each input is
+    * a bounded top-N; the fusion never touches the corpus. */
+  private val q122 = Q(
+    "q122_rrf_fusion",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val lex = Fusion.rankOf(
+        TrainPrep.bm25Rank(docs, QueryTerms, topK = 50), "score_fp")
+      val sem = Similarity.cosineTopKFast(e, e.filter(col("id") === 0), 50)
+        .select(col("vec_id").as("doc_id"), col("rnk").cast("long").as("rank"))
+      Fusion.rrf(Seq(lex, sem), rrfK = 60, topK = 20)
+    },
+    Some("""WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+      toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      p AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term IN ('query', 'window', 'scan') GROUP BY 1, 2),
+      d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      sc AS (
+        SELECT p.doc_id,
+          CAST(FLOOR(
+            (CAST(2*(st.nd - d.df) + 1 AS DOUBLE)
+               / CAST(2*d.df + 1 AS DOUBLE))
+            * (CAST(22*p.tf*st.tt AS DOUBLE)
+               / CAST(10*p.tf*st.tt + 3*st.tt + 9*l.dl*st.nd AS DOUBLE))
+            * 1e6) AS BIGINT) AS s
+        FROM p JOIN d USING (term)
+          JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN st),
+      base AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_fp
+        FROM sc GROUP BY 1),
+      lex AS (SELECT doc_id, rank FROM (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rank
+        FROM base) t WHERE rank <= 50),
+      ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      norms AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      q AS (SELECT * FROM ev WHERE vec_id = 0),
+      dots AS (SELECT e.vec_id,
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM q JOIN ev e ON q.i = e.i AND e.vec_id <> 0 GROUP BY 1),
+      cos AS (SELECT dots.vec_id, dot / (nq.nrm * ne.nrm) AS cosim
+        FROM dots JOIN norms ne ON dots.vec_id = ne.vec_id
+        CROSS JOIN (SELECT nrm FROM norms WHERE vec_id = 0) nq),
+      sem AS (SELECT vec_id AS doc_id, rank FROM (
+        SELECT vec_id,
+          ROW_NUMBER() OVER (ORDER BY cosim DESC, vec_id ASC) AS rank
+        FROM cos) t WHERE rank <= 50),
+      f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+          (CASE WHEN lex.rank IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN sem.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
+          (COALESCE(1000000 // (60 + lex.rank), 0)
+            + COALESCE(1000000 // (60 + sem.rank), 0)) AS rrf_fp
+        FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+      SELECT doc_id, CAST(n_lists AS BIGINT) AS n_lists,
+        CAST(rrf_fp AS BIGINT) AS rrf_fp
+      FROM f ORDER BY rrf_fp DESC, doc_id ASC LIMIT 20"""))
+
+  /** FIELDED BM25 (TrainPrep.bm25FieldedRank): title = first 16 tokens
+    * at 3× weight, body = the rest — the BM25F early-tf-merge variant
+    * running through q114's exact rational kernel with weighted
+    * (tf, dl). One posexplode decides the field per occurrence; the
+    * weighted lengths are tokenCount arithmetic with no explode. */
+  private val q123 = Q(
+    "q123_bm25_fielded",
+    (s, dir) =>
+      TrainPrep.bm25FieldedRank(Tables.documents(s, dir),
+        titleLen = 16, titleBoost = 3, QueryTerms, topK = 20),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      lens AS (SELECT doc_id,
+          3*LEAST(len(ts), 16) + GREATEST(len(ts) - 16, 0) AS dl FROM tk),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+      toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, ts[CAST(i AS INT)] AS term
+        FROM tk, UNNEST(range(1, len(ts)+1)) AS t(i)),
+      p AS (SELECT term, doc_id,
+          CAST(SUM(CASE WHEN i <= 16 THEN 3 ELSE 1 END) AS BIGINT) AS tf
+        FROM toks WHERE term IN ('query', 'window', 'scan') GROUP BY 1, 2),
+      d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      sc AS (
+        SELECT p.doc_id,
+          CAST(FLOOR(
+            (CAST(2*(st.nd - d.df) + 1 AS DOUBLE)
+               / CAST(2*d.df + 1 AS DOUBLE))
+            * (CAST(22*p.tf*st.tt AS DOUBLE)
+               / CAST(10*p.tf*st.tt + 3*st.tt + 9*l.dl*st.nd AS DOUBLE))
+            * 1e6) AS BIGINT) AS s
+        FROM p JOIN d USING (term)
+          JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN st)
+      SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(s) AS BIGINT) AS score_fp
+      FROM sc GROUP BY 1
+      ORDER BY score_fp DESC, doc_id ASC LIMIT 20"""))
+
+  /** VOCABULARY GROWTH (Heaps-law census) over the 5-char shingle
+    * vocabulary (the dedup family's shingles — the whitespace-token
+    * vocabulary of this corpus is a closed 31-word set, so shingles
+    * are what actually grow): per 50-document bucket of FIRST
+    * APPEARANCE, how many new shingles the bucket introduces, plus the
+    * running vocabulary size. The min-doc-per-shingle aggregation is
+    * one shingle-keyed shuffle; the cumulative window runs over the
+    * BUCKET census only (corpus/50 rows — at real scale widen the
+    * bucket so the census row count stays bounded, the shape is
+    * width-agnostic). */
+  private val q124 = Q(
+    "q124_vocab_growth",
+    (s, dir) => {
+      val first = graft.operators.Dedup
+        .shingleRows(Tables.documents(s, dir), "doc_id", "text", 5)
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+      first.groupBy(expr("fd div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_shingles"))
+        .withColumn("vocab_size",
+          sum(col("new_shingles")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH sh AS (
+        SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      f AS (SELECT sh.sh, MIN(doc_id) AS fd FROM sh GROUP BY 1),
+      b AS (SELECT fd // 50 AS bucket, COUNT(*) AS new_shingles
+        FROM f GROUP BY 1)
+      SELECT CAST(bucket AS BIGINT) AS bucket, new_shingles,
+        CAST(SUM(new_shingles) OVER (ORDER BY bucket
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+      FROM b ORDER BY bucket"""))
+
+  /** CROSS-SOURCE VOCABULARY OVERLAP: pairwise Jaccard of the distinct
+    * -term sets of every source pair — the corpus-composition diagnostic
+    * (which crawls duplicate each other's vocabulary). Set sizes and
+    * intersections are exact counts over the deduped (source, term)
+    * frame; the only join key is the term, so per-term fan-out is
+    * bounded by #sources², never by corpus size. Fixed-point Jaccard
+    * (10⁶·|∩| div |∪|) keeps the output integer. Top 15 pairs. */
+  private val q125 = Q(
+    "q125_source_overlap",
+    (s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      st.as("a")
+        .join(st.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("sz").as("sz_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("sz").as("sz_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"),
+          expr("1000000 * inter div (sz_a + sz_b - inter)").as("jaccard_fp"))
+        .orderBy(col("jaccard_fp").desc, col("src_a").asc, col("src_b").asc)
+        .limit(15)
+    },
+    Some("""WITH st AS (
+        SELECT DISTINCT source, term FROM (
+          SELECT source, UNNEST(string_split(text, ' ')) AS term
+          FROM documents)),
+      sizes AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, inter,
+        CAST(1000000 * inter // (sa.sz + sb.sz - inter) AS BIGINT)
+          AS jaccard_fp
+      FROM inter
+      JOIN sizes sa ON src_a = sa.source
+      JOIN sizes sb ON src_b = sb.source
+      ORDER BY jaccard_fp DESC, src_a ASC, src_b ASC LIMIT 15"""))
+
+  /** SIGNED RANDOM PROJECTION (RandomProjection.projectFpInline,
+    * 64 → 8 dims): per-output-dim census of the fixed-point projected
+    * components. The query runs the MAP-ONLY inline path (sign matrix
+    * baked into the expression, no shuffle, no join); the oracle
+    * replays the math through the explicit sign-table join — parity
+    * between the two physical shapes is additionally spec-asserted. */
+  private val q126 = Q(
+    "q126_random_projection",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      RandomProjection.projectFpInline(e, dims = 64, outDims = 8)
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("proj_fp")).as("sum_fp"),
+          min(col("proj_fp")).as("min_fp"), max(col("proj_fp")).as("max_fp"))
+        .orderBy(col("j"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      x AS (SELECT vec_id, i, CAST(FLOOR(a * 1e6) AS BIGINT) AS xfp FROM ev),
+      sg AS (SELECT i, j,
+          CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 1)
+            IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sign
+        FROM UNNEST(range(1, 65)) AS a(i), UNNEST(range(0, 8)) AS b(j)),
+      pr AS (SELECT x.vec_id AS id, sg.j,
+          CAST(SUM(sg.sign * x.xfp) AS BIGINT) AS proj_fp
+        FROM x JOIN sg ON x.i = sg.i GROUP BY 1, 2)
+      SELECT CAST(j AS BIGINT) AS j, COUNT(*) AS n_vecs,
+        CAST(SUM(proj_fp) AS BIGINT) AS sum_fp,
+        MIN(proj_fp) AS min_fp, MAX(proj_fp) AS max_fp
+      FROM pr GROUP BY 1 ORDER BY j"""))
+
+  val list: Seq[Q] = Seq(q122, q123, q124, q125, q126)
+}

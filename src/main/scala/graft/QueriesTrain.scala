@@ -656,6 +656,39 @@ object QueriesTrain {
         LEFT JOIN b1 ON base.doc_id = b1.doc_id
       ORDER BY total_fp DESC, base.doc_id ASC LIMIT 20"""))
 
+  /** INCREMENTAL SEMDEDUP (SemDedup.keepFirstIncremental): q117's
+    * corpus split at id 400 into STORED + DELTA (crawl order); the
+    * stored verdicts come from keepFirst on the stored slice alone,
+    * the delta verdicts from the incremental path (delta vs stored ∪
+    * lower-id delta — the stored side is probed, never re-decided),
+    * and their union feeds q117's census. The oracle is the FROM
+    * -SCRATCH chain on the full corpus (semdedupSql k=4, verbatim) —
+    * a green row IS the proof that incremental == batch, the property
+    * that lets a 100 TB dedup absorb a day's crawl without replaying
+    * history. Both slices share one trained assignment (the cluster
+    * map is the stored artifact an incremental pass reads). */
+  private val q127 = Q(
+    "q127_incr_semdedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val assigned = KMeansCluster.lloyd(emb, k = 4, iters = 2)
+        .localCheckpoint()
+      val stored = assigned.filter(col("id") < 400)
+      val delta = assigned.filter(col("id") >= 400)
+      val tau = 14500000000L
+      graft.operators.SemDedup.keepFirst(stored, tau)
+        .union(graft.operators.SemDedup.keepFirstIncremental(
+          stored, delta, tau))
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("id"))).as("kept_id_sum"))
+        .orderBy(col("cluster"))
+    },
+    Some(semdedupSql(k = 4)))
+
   val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121)
+    q114, q115, q116, q117, q118, q119, q120, q121, q127)
 }

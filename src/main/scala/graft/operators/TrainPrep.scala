@@ -325,6 +325,41 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_fp"))
   }
 
+  /** Fielded BM25 (the BM25F simplification with early tf merging,
+    * Robertson et al. 2004): the document splits into a TITLE field
+    * (its first `titleLen` tokens) and a BODY field (the rest); a
+    * title occurrence counts `titleBoost`× a body occurrence in BOTH
+    * the term frequency and the document length,
+    *   wtf = boost·tf_title + tf_body,
+    *   wdl = boost·min(dl, titleLen) + max(dl − titleLen, 0),
+    * and the weighted pair feeds the SAME rational BM25 kernel as
+    * [[bm25Rank]] (via [[bm25From]] — one kernel, two callers), so
+    * determinism and the 10⁶ fixed-point contract carry over verbatim.
+    * `titleBoost = 1` degenerates to exactly [[bm25Rank]]
+    * (spec-asserted), which pins the field split as pure bookkeeping.
+    *
+    * Plan: ONE posexplode produces the weighted tf (the position
+    * decides the field — no second corpus scan per field), the weighted
+    * lengths come from tokenCount arithmetic without any explode, and
+    * everything downstream is [[bm25Rank]]'s broadcast shape. */
+  def bm25FieldedRank(docs: DataFrame, titleLen: Int, titleBoost: Int,
+                      terms: Seq[String], topK: Int): DataFrame = {
+    require(titleLen >= 1 && titleBoost >= 1,
+      "need titleLen >= 1 and titleBoost >= 1")
+    val weightedTf = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos0", "term")))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sum(when(col("pos0") < titleLen, titleBoost.toLong)
+        .otherwise(1L)).as("tf_doc"))
+    val tc = TextAnalysis.tokenCount(col("text")).cast("long")
+    val weightedLens = docs.select(col("doc_id"),
+      (lit(titleBoost.toLong) * least(tc, lit(titleLen.toLong)) +
+        greatest(tc - titleLen, lit(0L))).as("dl"))
+    bm25From(weightedTf, weightedLens, terms, topK)
+  }
+
   /** Proximity-boosted BM25 — phrase-aware ranking over BOTH index
     * artifacts: the BM25 base score from the doc-level postings, plus
     * a positional bonus per ADJACENT query-term pair,

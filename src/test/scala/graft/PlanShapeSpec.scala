@@ -251,4 +251,26 @@ class PlanShapeSpec extends SparkSpec {
       s"bucket-weight join must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
+
+  test("rrf fusion never touches the corpus in the fuse stage: no cartesian, top-k via TakeOrdered") {
+    val p = planOf(Queries.all("q122_rrf_fusion")(spark, sf()))
+    assert(!p.contains("CartesianProduct"),
+      s"fusion must join bounded top-Ns only:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fused top-k must never be a global sort:\n$p")
+  }
+
+  test("fielded bm25 keeps the plain kernel's shape: TakeOrdered + broadcasts") {
+    val p = planOf(Queries.all("q123_bm25_fielded")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k via sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"df/corpus stats must broadcast:\n$p")
+  }
+
+  test("source-overlap joins on the term, never a cross join") {
+    val p = planOf(Queries.all("q125_source_overlap")(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"pairwise overlap must stay a term equi-join:\n$p")
+  }
 }
