@@ -239,5 +239,257 @@ object QueriesRetrieve {
         MIN(proj_fp) AS min_fp, MAX(proj_fp) AS max_fp
       FROM pr GROUP BY 1 ORDER BY j"""))
 
-  val list: Seq[Q] = Seq(q122, q123, q124, q125, q126)
+  /** MMR DIVERSIFIED RERANK (Fusion.mmrDiversify): the ANN top-10 for
+    * query vector 0 reranked for diversity — greedy picks maximize
+    * 4·rel_fp + (min fixed-point sqdist to the picked set) div 10⁶,
+    * rel_fp the RRF-style 10⁶ div (60 + rank) so every input is an
+    * exact BIGINT. The distributed phase is the ANN retrieval; the
+    * O(k·N) greedy runs on the collected 10-candidate model state
+    * (bounded by construction). The oracle unrolls all five selection
+    * rounds (LEAST-folded min distance per round, argmax with the
+    * lower-id tiebreak). */
+  private val q128 = Q(
+    "q128_mmr_rerank",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val sem = Similarity.cosineTopKFast(e, e.filter(col("id") === 0), 10)
+        .select(col("vec_id").as("doc_id"),
+          expr("1000000 div (60 + rnk)").as("rel_fp"))
+      val cands = sem.join(e.select(col("id").as("doc_id"), col("v")),
+        Seq("doc_id"))
+      Fusion.mmrDiversify(cands, picks = 5, relW = 4L, distDiv = 1000000L)
+        .orderBy(col("pick"))
+    },
+    Some {
+      def leastOf(ds: Seq[String]) =
+        if (ds.size == 1) ds.head else s"LEAST(${ds.mkString(", ")})"
+      // selection round r: candidates joined to the distances toward
+      // every already-picked doc, LEAST-folded, argmax(mmr, low id)
+      def round(r: Int): String = {
+        val joins = (1 until r).map(p =>
+          s"JOIN dd d$p ON d$p.b = c.doc_id AND d$p.a = (SELECT doc_id FROM p$p)")
+          .mkString(" ")
+        val minD = leastOf((1 until r).map(p => s"d$p.d"))
+        s"""m$r AS (SELECT c.doc_id, 4*c.rel + ($minD) // 1000000 AS mmr
+           FROM cand c $joins),
+         p$r AS (SELECT doc_id, mmr FROM m$r
+           ORDER BY mmr DESC, doc_id ASC LIMIT 1)"""
+      }
+      s"""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      norms AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      q AS (SELECT * FROM ev WHERE vec_id = 0),
+      dots AS (SELECT e.vec_id,
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM q JOIN ev e ON q.i = e.i AND e.vec_id <> 0 GROUP BY 1),
+      cos AS (SELECT dots.vec_id, dot / (nq.nrm * ne.nrm) AS cosim
+        FROM dots JOIN norms ne ON dots.vec_id = ne.vec_id
+        CROSS JOIN (SELECT nrm FROM norms WHERE vec_id = 0) nq),
+      cand AS (SELECT vec_id AS doc_id, 1000000 // (60 + rank) AS rel
+        FROM (SELECT vec_id,
+          ROW_NUMBER() OVER (ORDER BY cosim DESC, vec_id ASC) AS rank
+        FROM cos) t WHERE rank <= 10),
+      dd AS (SELECT cx.doc_id AS a, cy.doc_id AS b,
+          CAST(SUM(CAST(FLOOR(((x.a - y.a)*(x.a - y.a)) * 1e10) AS BIGINT))
+            AS BIGINT) AS d
+        FROM cand cx JOIN cand cy ON cx.doc_id <> cy.doc_id
+        JOIN ev x ON x.vec_id = cx.doc_id
+        JOIN ev y ON y.vec_id = cy.doc_id AND y.i = x.i
+        GROUP BY 1, 2),
+      p1 AS (SELECT doc_id, 4*rel AS mmr FROM cand
+        ORDER BY rel DESC, doc_id ASC LIMIT 1),
+      ${(2 to 5).map(round).mkString(",\n      ")}
+      SELECT CAST(pick AS BIGINT) AS pick, doc_id,
+        CAST(mmr AS BIGINT) AS mmr_fp
+      FROM (
+        SELECT 1 AS pick, doc_id, mmr FROM p1
+        UNION ALL SELECT 2, doc_id, mmr FROM p2
+        UNION ALL SELECT 3, doc_id, mmr FROM p3
+        UNION ALL SELECT 4, doc_id, mmr FROM p4
+        UNION ALL SELECT 5, doc_id, mmr FROM p5)
+      ORDER BY pick"""
+    })
+
+  /** CONTRASTIVE PAIR MINING (Similarity.minePairs): for each of 4
+    * anchor vectors, the top-3 SAME-label neighbors (positives) and
+    * the top-3 DIFFERENT-label neighbors (HARD negatives — the most
+    * similar rows that shouldn't be) by exact decimal cosine — the
+    * batch-construction primitive for metric learning / embedding
+    * finetunes. Broadcast anchors, one linear corpus scan, window
+    * partitioned by (anchor, same_label). */
+  private val q129 = Q(
+    "q129_hard_negatives",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+      Similarity.minePairs(e, e.filter(col("id") < 4), k = 3)
+        .select(col("q_id"),
+          when(col("same_label"), 1L).otherwise(0L).as("same_label"),
+          col("rnk").cast("long").as("rnk"), col("vec_id"))
+        .orderBy(col("q_id"), col("same_label"), col("rnk"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      norms AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      q AS (SELECT ev.* FROM ev WHERE vec_id < 4),
+      dots AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM q JOIN ev e ON q.i = e.i AND e.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      cos AS (SELECT q_id, dots.vec_id AS vec_id,
+          CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS same_label,
+          dot / (nq.nrm * nc.nrm) AS cosim
+        FROM dots
+        JOIN norms nq ON q_id = nq.vec_id
+        JOIN norms nc ON dots.vec_id = nc.vec_id
+        JOIN embeddings lq ON q_id = lq.vec_id
+        JOIN embeddings lc ON dots.vec_id = lc.vec_id),
+      rk AS (SELECT q_id, vec_id, same_label,
+          ROW_NUMBER() OVER (PARTITION BY q_id, same_label
+            ORDER BY cosim DESC, vec_id ASC) AS rnk
+        FROM cos)
+      SELECT q_id, CAST(same_label AS BIGINT) AS same_label,
+        CAST(rnk AS BIGINT) AS rnk, vec_id
+      FROM rk WHERE rnk <= 3
+      ORDER BY q_id, same_label, rnk"""))
+
+  /** kNN LABEL PROPAGATION (5-NN majority vote): vectors 0-49 are the
+    * unlabeled probes, 50+ the labeled pool; each probe takes the
+    * majority label of its 5 exact-cosine nearest neighbors (ties to
+    * the smaller label), and the output is the (true, predicted)
+    * confusion census — the weak-supervision / label-spreading
+    * primitive, and a measured quality readout for the embedding
+    * space. Probes broadcast; one linear pool scan. */
+  private val q130 = Q(
+    "q130_knn_labels",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+      val pool = e.filter(col("id") >= 50)
+      val probes = e.filter(col("id") < 50)
+      val nn = Similarity.cosineTopKFast(
+          pool.select(col("id"), col("v")),
+          probes.select(col("id"), col("v")), 5)
+        .join(pool.select(col("id").as("vec_id"), col("label")), Seq("vec_id"))
+      val votes = nn.groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("n_votes").desc, col("label").asc)
+      val pred = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("label").as("pred_label"))
+      pred.join(probes.select(col("id").as("q_id"),
+          col("label").as("true_label")), Seq("q_id"))
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      norms AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      q AS (SELECT * FROM ev WHERE vec_id < 50),
+      dots AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM q JOIN ev e ON q.i = e.i AND e.vec_id >= 50
+        GROUP BY 1, 2),
+      cos AS (SELECT q_id, dots.vec_id AS vec_id, dot / (nq.nrm * nc.nrm) AS cosim
+        FROM dots
+        JOIN norms nq ON q_id = nq.vec_id
+        JOIN norms nc ON dots.vec_id = nc.vec_id),
+      nn AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY cosim DESC, vec_id ASC) AS rnk
+          FROM cos) t WHERE rnk <= 5),
+      votes AS (SELECT nn.q_id, l.label, COUNT(*) AS n_votes
+        FROM nn JOIN embeddings l ON nn.vec_id = l.vec_id
+        GROUP BY 1, 2),
+      pred AS (SELECT q_id, label AS pred_label FROM (
+          SELECT q_id, label,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY n_votes DESC, label ASC) AS rn
+          FROM votes) t WHERE rn = 1)
+      SELECT CAST(t.label AS BIGINT) AS true_label,
+        CAST(pred_label AS BIGINT) AS pred_label, COUNT(*) AS n
+      FROM pred JOIN embeddings t ON pred.q_id = t.vec_id
+      GROUP BY 1, 2 ORDER BY true_label, pred_label"""))
+
+  /** K-CENTER COVERAGE (coreset census): the 4 farthest-first seeds
+    * (q115's derandomized traversal — the classic k-center
+    * 2-approximation) with each vector assigned to its nearest seed,
+    * read out as per-seed population and COVERAGE RADIUS (max
+    * fixed-point sqdist) — the data-pruning question "how well do k
+    * representatives cover the corpus". Selection is k narrow scans;
+    * assignment is one broadcast-literal argmin pass; no data-row
+    * shuffle anywhere before the 4-row census. */
+  private val q131 = Q(
+    "q131_kcenter_coverage",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val init = graft.operators.KMeansCluster.farthestFirstInit(emb, 4)
+      graft.operators.KMeansCluster.lloydFrom(emb, init, iters = 1)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          max(col("dist")).as("radius_fp"),
+          sum(col("id")).as("id_sum"))
+        .orderBy(col("cluster"))
+    },
+    Some {
+      def dist(cte: String) =
+        s"""SELECT e.vec_id, CAST(SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10)
+           AS BIGINT)) AS BIGINT) AS d
+           FROM ev e JOIN $cte c ON e.i = c.i GROUP BY 1"""
+      s"""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      s0 AS (SELECT MIN(vec_id) AS vid FROM embeddings),
+      c0 AS (SELECT 0 AS cid, e.i, e.a AS m FROM ev e JOIN s0 ON e.vec_id = s0.vid),
+      m1 AS (${dist("c0")}),
+      s1 AS (SELECT vec_id FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+      c1 AS (SELECT 1 AS cid, e.i, e.a AS m FROM ev e JOIN s1 ON e.vec_id = s1.vec_id),
+      m2r AS (${dist("c1")}),
+      m2 AS (SELECT m1.vec_id, LEAST(m1.d, m2r.d) AS d
+        FROM m1 JOIN m2r ON m1.vec_id = m2r.vec_id),
+      s2 AS (SELECT vec_id FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+      c2 AS (SELECT 2 AS cid, e.i, e.a AS m FROM ev e JOIN s2 ON e.vec_id = s2.vec_id),
+      m3r AS (${dist("c2")}),
+      m3 AS (SELECT m2.vec_id, LEAST(m2.d, m3r.d) AS d
+        FROM m2 JOIN m3r ON m2.vec_id = m3r.vec_id),
+      s3 AS (SELECT vec_id FROM m3 ORDER BY d DESC, vec_id LIMIT 1),
+      c3 AS (SELECT 3 AS cid, e.i, e.a AS m FROM ev e JOIN s3 ON e.vec_id = s3.vec_id),
+      cc AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+        UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3),
+      dd AS (
+        SELECT e.vec_id, c.cid, CAST(SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10)
+          AS BIGINT)) AS BIGINT) AS d
+        FROM ev e JOIN cc c ON e.i = c.i GROUP BY 1, 2),
+      aa AS (
+        SELECT vec_id, cid, d FROM (
+          SELECT vec_id, cid, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dd) r WHERE rn = 1)
+      SELECT CAST(cid AS BIGINT) AS cluster, COUNT(*) AS n,
+        MAX(d) AS radius_fp, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM aa GROUP BY 1 ORDER BY cluster"""
+    })
+
+  val list: Seq[Q] = Seq(q122, q123, q124, q125, q126, q128, q129, q130,
+    q131)
 }

@@ -47,6 +47,68 @@ object Fusion {
       .limit(topK)
   }
 
+  /** Maximal-marginal-relevance diversified rerank (Carbonell &
+    * Goldstein 1998) over a BOUNDED candidate frame — the step between
+    * "top-N most relevant" and "top-k most relevant AND mutually
+    * diverse" (few-shot example selection, dedup-aware retrieval).
+    * Greedy: the first pick is the most relevant candidate; each next
+    * pick maximizes
+    *
+    *   mmr = relW·rel_fp + (min sqdist to the picked set) div distDiv
+    *
+    * (ties to the lower doc_id), with the distance the fixed-point
+    * Σ⌊(xᵢ−yᵢ)²·10¹⁰⌋ BIGINT the k-means/SemDedup family uses — the
+    * whole objective is exact integer arithmetic, so the greedy chain
+    * has an exact unrolled-CTE SQL twin. The first pick's recorded
+    * mmr_fp is relW·rel_fp (no diversity term exists yet).
+    *
+    * `cands` needs (doc_id, rel_fp, v: array<double>) and MUST be
+    * bounded (a retrieval top-N): the candidates are collected and the
+    * O(picks·N) greedy runs driver-side — at ≤ N ≈ 10³ candidates
+    * this is model-state work, exactly like the BPE merge loop; the
+    * distributed phase is the retrieval that produced the candidates.
+    * A >4096-row frame fails loudly rather than pretending to scale. */
+  def mmrDiversify(cands: DataFrame, picks: Int, relW: Long,
+                   distDiv: Long): DataFrame = {
+    require(picks >= 1 && relW >= 1 && distDiv >= 1)
+    val rows = cands.select(col("doc_id").cast("long"),
+        col("rel_fp").cast("long"), col("v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    require(rows.length <= 4096,
+      s"mmrDiversify reranks bounded top-Ns; got ${rows.length} candidates")
+    def sqDistFp(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) {
+        val d = a(i) - b(i); s += math.floor(d * d * 1e10).toLong; i += 1
+      }
+      s
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      rows.sortBy(_._1).map(r => r._1 -> r): _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val minDist = scala.collection.mutable.Map.empty[Long, Long]
+    var round = 1
+    while (round <= math.min(picks, rows.length)) {
+      val best = remaining.values.maxBy { case (id, rel, _) =>
+        val div = if (round == 1) 0L else minDist(id) / distDiv
+        (relW * rel + div, -id) // ties resolve to the LOWER doc_id
+      }
+      val mmr = relW * best._2 +
+        (if (round == 1) 0L else minDist(best._1) / distDiv)
+      picked += ((round.toLong, best._1, mmr))
+      remaining.remove(best._1)
+      remaining.values.foreach { case (id, _, v) =>
+        val d = sqDistFp(v, best._3)
+        minDist(id) = math.min(minDist.getOrElse(id, Long.MaxValue), d)
+      }
+      round += 1
+    }
+    val spark = cands.sparkSession
+    import spark.implicits._
+    picked.toSeq.toDF("pick", "doc_id", "mmr_fp")
+  }
+
   /** Attach a 1-based dense rank to an ALREADY-BOUNDED result frame
     * (a retrieval top-N): row_number over (ordCol desc, doc_id asc).
     * The global window is intentional and safe — the input is a top-N,

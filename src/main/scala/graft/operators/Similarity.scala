@@ -131,6 +131,34 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Contrastive pair mining — per anchor, the top-k SAME-label rows
+    * (positives) and the top-k DIFFERENT-label rows (HARD negatives:
+    * the most similar things that should be far apart — what a metric
+    * -learning batch wants) by exact cosine. `corpus` and `queries`
+    * need (id, v, label); anchors are broadcast, so the shape is
+    * [[cosineTopK]]'s linear probe-side scan with the window
+    * partitioned by (anchor, same_label) instead of anchor alone.
+    * Decimal kernel + id tiebreak keep it deterministic; at scale the
+    * candidate set comes from the LSH/IVF paths first and this ranks
+    * within it. */
+  def minePairs(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("id").as("vec_id"), col("v"),
+      col("label").as("c_label"), normDecimal(col("v")).as("nrm"))
+    val q = queries.select(col("id").as("q_id"), col("v").as("qv"),
+      col("label").as("q_label"), normDecimal(col("v")).as("qnrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("c_label") === col("q_label")).as("same_label"),
+        (dotDecimal(col("v"), col("qv")).cast("double") /
+          (col("nrm") * col("qnrm"))).as("cosim"))
+    val w = Window.partitionBy(col("q_id"), col("same_label"))
+      .orderBy(col("cosim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sign-LSH bucket id from the first `bits` dimensions (1-based array
     * access): bit i set iff v[i] >= 0. The scale path: equi-join on the
     * bucket replaces the cross join; recall is traded via multiple
