@@ -294,12 +294,12 @@ object QueriesRetrieve {
         FROM (SELECT vec_id,
           ROW_NUMBER() OVER (ORDER BY cosim DESC, vec_id ASC) AS rank
         FROM cos) t WHERE rank <= 10),
-      dd AS (SELECT cx.doc_id AS a, cy.doc_id AS b,
+      cev AS (SELECT ev.vec_id, ev.i, ev.a
+        FROM ev JOIN cand ON ev.vec_id = cand.doc_id),
+      dd AS (SELECT x.vec_id AS a, y.vec_id AS b,
           CAST(SUM(CAST(FLOOR(((x.a - y.a)*(x.a - y.a)) * 1e10) AS BIGINT))
             AS BIGINT) AS d
-        FROM cand cx JOIN cand cy ON cx.doc_id <> cy.doc_id
-        JOIN ev x ON x.vec_id = cx.doc_id
-        JOIN ev y ON y.vec_id = cy.doc_id AND y.i = x.i
+        FROM cev x JOIN cev y ON y.i = x.i AND x.vec_id <> y.vec_id
         GROUP BY 1, 2),
       p1 AS (SELECT doc_id, 4*rel AS mmr FROM cand
         ORDER BY rel DESC, doc_id ASC LIMIT 1),
