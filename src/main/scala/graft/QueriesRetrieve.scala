@@ -490,6 +490,88 @@ object QueriesRetrieve {
       FROM aa GROUP BY 1 ORDER BY cluster"""
     })
 
+  /** EPOCH-BUDGETED REPETITION PLAN (the data-constrained-scaling
+    * allocation, Muennighoff et al. 2023): given a token budget of
+    * half the corpus and an equal share per source, each source
+    * repeats up to a 4-epoch cap — allocation = min(share, 4·tokens),
+    * epochs (millinats of an epoch, 1000·alloc div tokens) all
+    * integer. The whole plan is one per-source aggregation + two
+    * broadcast scalars; at 100 TB this is catalog-sized work driving
+    * the downstream sampler (q94's mixture weights consume it). */
+  private val q132 = Q(
+    "q132_epoch_budget",
+    (s, dir) => {
+      val bySource = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("tokens"))
+      val totals = bySource.agg(
+        sum(col("tokens")).as("total"),
+        count(lit(1)).as("n_sources"))
+      bySource.crossJoin(broadcast(totals))
+        .select(col("source"), col("tokens"),
+          expr("(total div 2) div n_sources").as("share"))
+        .select(col("source"), col("tokens"),
+          least(col("share"), col("tokens") * 4).as("alloc_tokens"))
+        .withColumn("epochs_x1000",
+          expr("1000 * alloc_tokens div tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH bysrc AS (
+        SELECT source,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+          COUNT(*) AS n_sources FROM bysrc),
+      plan AS (
+        SELECT source, tokens,
+          LEAST((total // 2) // n_sources, tokens * 4) AS alloc_tokens
+        FROM bysrc CROSS JOIN tot)
+      SELECT source, tokens, alloc_tokens,
+        CAST(1000 * alloc_tokens // tokens AS BIGINT) AS epochs_x1000
+      FROM plan ORDER BY source"""))
+
+  /** PROJECTED-LSH BUCKETS: q126's 8-dim signed projection closed into
+    * its purpose — an LSH family: bucket = the 8 projection SIGNS
+    * packed into an integer (the random-hyperplane hash over the
+    * REDUCED space, vs q21's raw first-8-dims signs). Map-only until
+    * the bucket census; the census is what sizes a bucketed ANN join.
+    * The oracle replays projection + packing through the sign-table
+    * join. */
+  private val q133 = Q(
+    "q133_projected_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      RandomProjection.projectFpInline(e, dims = 64, outDims = 8)
+        .groupBy(col("id"))
+        .agg(sum(expr("""CASE WHEN proj_fp >= 0
+            THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
+            ELSE CAST(0 AS BIGINT) END""")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_vec"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      x AS (SELECT vec_id, i, CAST(FLOOR(a * 1e6) AS BIGINT) AS xfp FROM ev),
+      sg AS (SELECT i, j,
+          CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 1)
+            IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sign
+        FROM UNNEST(range(1, 65)) AS a(i), UNNEST(range(0, 8)) AS b(j)),
+      pr AS (SELECT x.vec_id AS id, sg.j,
+          CAST(SUM(sg.sign * x.xfp) AS BIGINT) AS proj_fp
+        FROM x JOIN sg ON x.i = sg.i GROUP BY 1, 2),
+      bk AS (SELECT id,
+          CAST(SUM(CASE WHEN proj_fp >= 0 THEN (1::BIGINT << j)
+            ELSE 0 END) AS BIGINT) AS bucket
+        FROM pr GROUP BY 1)
+      SELECT bucket, COUNT(*) AS n, MIN(id) AS min_vec
+      FROM bk GROUP BY 1 ORDER BY bucket"""))
+
   val list: Seq[Q] = Seq(q122, q123, q124, q125, q126, q128, q129, q130,
-    q131)
+    q131, q132, q133)
 }

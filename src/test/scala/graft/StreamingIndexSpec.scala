@@ -66,6 +66,33 @@ class StreamingIndexSpec extends SparkSpec {
     assert(fromIndex == fromDocs && fromIndex.nonEmpty)
   }
 
+  test("hybrid RRF fusion served off the incremental index matches batch fusion") {
+    val d = Files.createTempDirectory("graft-sidx-rrf")
+    val in = d.resolve("in"); Files.createDirectories(in)
+    val b1 = Seq(1L -> "a b a", 2L -> "a c")
+    val b2 = Seq(3L -> "b b b c", 4L -> "c c")
+    writeBatch(in, "b1.csv", b1)
+    drain(in, d)
+    writeBatch(in, "b2.csv", b2)
+    drain(in, d)
+    // the lexical list comes from the STORED index artifact; the
+    // semantic list is any bounded (doc_id, rank) frame — fusion only
+    // sees ranks, so serving lexical retrieval off the incremental
+    // index must leave the hybrid result bit-identical
+    val sem = Seq(4L -> 1L, 1L -> 2L, 9L -> 3L).toDF("doc_id", "rank")
+    val fromIndex = graft.operators.Fusion.rrf(Seq(
+        graft.operators.Fusion.rankOf(TrainPrep.bm25RankFromPostings(
+          StreamingIndex.mergedTermDocs(spark, d.resolve("idx").toString),
+          Seq("a", "b"), topK = 10), "score_fp"), sem), 60, 5)
+      .collect().map(_.toSeq).toSeq
+    val fromDocs = graft.operators.Fusion.rrf(Seq(
+        graft.operators.Fusion.rankOf(TrainPrep.bm25Rank(
+          (b1 ++ b2).toDF("doc_id", "text"), Seq("a", "b"), topK = 10),
+          "score_fp"), sem), 60, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == fromDocs && fromIndex.nonEmpty)
+  }
+
   test("index is empty (not an error) before any batch commits") {
     val d = Files.createTempDirectory("graft-sidx0")
     assert(StreamingIndex.index(spark,
