@@ -90,7 +90,32 @@ class TestdataCanarySpec extends SparkSpec {
   test("documents/embeddings invariants (text string, embedding float array)") {
     check("documents", "doc_id", isIntegral, "integral")
     check("documents", "text", isStringy, "string")
+    check("documents", "source", isStringy, "string")
+    check("documents", "lang", isStringy, "string")
     check("embeddings", "vec_id", isIntegral, "integral")
     check("embeddings", "embedding", isFloatArray, "array<float|double>")
+    check("embeddings", "label", isIntegral, "integral")
+  }
+
+  test("embedding geometry invariants (64 dims, dense ids from 0, >= 500 rows)") {
+    // q126/q133 inline a 64x8 sign matrix, the k-means family seeds on
+    // ids 0..k-1, q127 splits at id 400, q130 at id 50 — a regeneration
+    // that changes dims, sparsifies ids, or shrinks the table must fail
+    // HERE with one readable message, not in ten queries
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf())
+    val row = e.agg(
+      count(lit(1)), min(col("vec_id")), max(col("vec_id")),
+      min(size(col("embedding"))), max(size(col("embedding"))))
+      .collect()(0)
+    val (n, lo, hi) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(row.getInt(3) == 64 && row.getInt(4) == 64,
+      s"TESTDATA DRIFT: embedding dims now ${row.getInt(3)}..${row.getInt(4)}, " +
+        "q126/q133's inline sign matrix and the dims-pinned oracles assume 64")
+    assert(lo == 0 && hi == n - 1,
+      s"TESTDATA DRIFT: vec_id no longer dense 0..n-1 ($lo..$hi of $n rows) — " +
+        "k-means seeding (id < k) and the id-split queries (q127/q130) assume density")
+    assert(n >= 500,
+      s"TESTDATA DRIFT: embeddings shrank to $n rows; q127 splits at id 400")
   }
 }
