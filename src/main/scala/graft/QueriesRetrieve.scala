@@ -572,6 +572,88 @@ object QueriesRetrieve {
       SELECT bucket, COUNT(*) AS n, MIN(id) AS min_vec
       FROM bk GROUP BY 1 ORDER BY bucket"""))
 
+  /** SEARCH-RESULT NEAR-DUP COLLAPSE (SERP dedup): the BM25 top-20
+    * with results suppressed when a HIGHER-ranked result is ≥50%
+    * 5-shingle-Jaccard similar — the "don't show ten copies of the
+    * same page" retrieval post-pass — SemDeDup's keep-first anti-join
+    * keyed by RANK instead of id. Shingles are exploded only for the
+    * 20-row candidate frame (the corpus is never re-shingled), pairs
+    * come from the shingle equi-join, and the verdict is one
+    * anti-join; the candidate frame is checkpointed once because
+    * three consumers would otherwise re-run the BM25 ranking. */
+  private val q134 = Q(
+    "q134_serp_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Fusion.rankOf(
+          TrainPrep.bm25Rank(docs, QueryTerms, topK = 20), "score_fp")
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .localCheckpoint()
+      val sh = graft.operators.Dedup
+        .shingleRows(cand, "doc_id", "text", 5)
+        .join(cand.select(col("doc_id"), col("rank")), Seq("doc_id"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.rank") < col("b.rank"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      val shadowed = inter
+        .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+        .filter(col("i").cast("double") /
+          (col("sza") + col("szb") - col("i")) >= 0.5)
+        .select(col("db").as("doc_id")).distinct()
+      cand.join(shadowed.withColumn("dup", lit(true)), Seq("doc_id"), "left")
+        .filter(coalesce(col("dup"), lit(false)) === false)
+        .select(col("doc_id"), col("rank"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+      toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      p AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term IN ('query', 'window', 'scan') GROUP BY 1, 2),
+      d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      sc AS (
+        SELECT p.doc_id,
+          CAST(FLOOR(
+            (CAST(2*(st.nd - d.df) + 1 AS DOUBLE)
+               / CAST(2*d.df + 1 AS DOUBLE))
+            * (CAST(22*p.tf*st.tt AS DOUBLE)
+               / CAST(10*p.tf*st.tt + 3*st.tt + 9*l.dl*st.nd AS DOUBLE))
+            * 1e6) AS BIGINT) AS s
+        FROM p JOIN d USING (term)
+          JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN st),
+      base AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_fp
+        FROM sc GROUP BY 1),
+      cand AS (SELECT doc_id, rank FROM (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rank
+        FROM base) t WHERE rank <= 20),
+      csh AS (
+        SELECT DISTINCT c.doc_id, c.rank, substr(d.text, i, 5) AS sh
+        FROM cand c JOIN documents d ON c.doc_id = d.doc_id,
+          UNNEST(range(1, greatest(length(d.text)-4, 1)+1)) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM csh a JOIN csh b ON a.sh = b.sh AND a.rank < b.rank
+        GROUP BY 1, 2),
+      shadowed AS (
+        SELECT DISTINCT db AS doc_id
+        FROM inter
+        JOIN sizes sa ON da = sa.doc_id
+        JOIN sizes sb ON db = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
+      SELECT c.doc_id, CAST(c.rank AS BIGINT) AS rank
+      FROM cand c LEFT JOIN shadowed s ON c.doc_id = s.doc_id
+      WHERE s.doc_id IS NULL
+      ORDER BY rank"""))
+
   val list: Seq[Q] = Seq(q122, q123, q124, q125, q126, q128, q129, q130,
-    q131, q132, q133)
+    q131, q132, q133, q134)
 }

@@ -202,9 +202,38 @@ object ScaleBench {
         graft.operators.SemDedup.keepFirst(assigned, 14500000000L)
           .filter(col("kept")).count()
       }
+      // round-5-final operators: map-only signed projection + its LSH
+      // bucket census, hybrid RRF fusion (BM25 top-50 over the corpus
+      // ∪ cosine top-50 over the synthetic embeddings), and
+      // contrastive pair mining with synthetic labels
+      val rpBuckets = timed("projected_lsh", acc) {
+        graft.operators.RandomProjection
+          .projectFpInline(emb2, dims = 16, outDims = 8)
+          .groupBy(col("id"))
+          .agg(sum(expr("""CASE WHEN proj_fp >= 0
+              THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
+              ELSE CAST(0 AS BIGINT) END""")).as("bucket"))
+          .groupBy(col("bucket")).count().count()
+      }
+      val fusedHits = timed("rrf_fusion", acc) {
+        val lex = graft.operators.Fusion.rankOf(
+          graft.operators.TrainPrep.bm25Rank(docs, queryTerms, 50),
+          "score_fp")
+        val sem = graft.operators.Similarity
+          .cosineTopKFast(emb2, emb2.filter(col("id") === 0), 50)
+          .select(col("vec_id").as("doc_id"),
+            col("rnk").cast("long").as("rank"))
+        graft.operators.Fusion.rrf(Seq(lex, sem), 60, 20).count()
+      }
+      val minedPairs = timed("mine_pairs", acc) {
+        val lab = emb2.withColumn("label", pmod(col("id"), lit(10L)))
+        graft.operators.Similarity
+          .minePairs(lab, lab.filter(col("id") < 4), 3).count()
+      }
       acc.append(f""""bm25_hits":$bm25Hits,"shards":$shardCount,""" +
         f""""dsir_docs":$dsirDocs,"kmeans_rows":$kmeansN,""" +
-        f""""semdedup_kept":$semKept,""")
+        f""""semdedup_kept":$semKept,"rp_buckets":$rpBuckets,""" +
+        f""""fused_hits":$fusedHits,"mined_pairs":$minedPairs,""")
       acc.append(f""""n_docs":$n,"dup_groups":$dupGroups,"star_edges":$edges,""" +
         f""""components":$comps,"chunk_groups":$chunkKept,""" +
         f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler,""" +
