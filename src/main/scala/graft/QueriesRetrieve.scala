@@ -544,11 +544,8 @@ object QueriesRetrieve {
       val e = Tables.embeddings(s, dir).select(
         col("vec_id").as("id"),
         Similarity.asDouble(col("embedding")).as("v"))
-      RandomProjection.projectFpInline(e, dims = 64, outDims = 8)
-        .groupBy(col("id"))
-        .agg(sum(expr("""CASE WHEN proj_fp >= 0
-            THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
-            ELSE CAST(0 AS BIGINT) END""")).as("bucket"))
+      RandomProjection.packSignBuckets(
+          RandomProjection.projectFpInline(e, dims = 64, outDims = 8))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("id")).as("min_vec"))
         .orderBy(col("bucket"))

@@ -207,12 +207,9 @@ object ScaleBench {
       // ∪ cosine top-50 over the synthetic embeddings), and
       // contrastive pair mining with synthetic labels
       val rpBuckets = timed("projected_lsh", acc) {
-        graft.operators.RandomProjection
-          .projectFpInline(emb2, dims = 16, outDims = 8)
-          .groupBy(col("id"))
-          .agg(sum(expr("""CASE WHEN proj_fp >= 0
-              THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
-              ELSE CAST(0 AS BIGINT) END""")).as("bucket"))
+        graft.operators.RandomProjection.packSignBuckets(
+            graft.operators.RandomProjection
+              .projectFpInline(emb2, dims = 16, outDims = 8))
           .groupBy(col("bucket")).count().count()
       }
       val fusedHits = timed("rrf_fusion", acc) {

@@ -71,12 +71,14 @@ object Fusion {
   def mmrDiversify(cands: DataFrame, picks: Int, relW: Long,
                    distDiv: Long): DataFrame = {
     require(picks >= 1 && relW >= 1 && distDiv >= 1)
+    // limit BEFORE collect: the guard must fire as an exception on an
+    // unbounded frame, not as a driver OOM inside collect()
     val rows = cands.select(col("doc_id").cast("long"),
         col("rel_fp").cast("long"), col("v").cast("array<double>"))
-      .collect()
+      .limit(4097).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
     require(rows.length <= 4096,
-      s"mmrDiversify reranks bounded top-Ns; got ${rows.length} candidates")
+      "mmrDiversify reranks bounded top-Ns; got > 4096 candidates")
     def sqDistFp(a: Array[Double], b: Array[Double]): Long = {
       var s = 0L; var i = 0
       while (i < a.length) {

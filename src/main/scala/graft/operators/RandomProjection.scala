@@ -75,11 +75,28 @@ object RandomProjection {
     val q = vecs.select(col("id"), quantize(col("v")).as("vfp"))
     val projs = (0 until outDims).map { j =>
       val signs = typedLit((1 to dims).map(i => signAt(i, j)))
-      aggregate(
+      val fold = aggregate(
         zip_with(col("vfp"), signs, (x, s) => x * s),
         lit(0L), (acc, x) => acc + x)
+      // zip_with pads a length mismatch with nulls, which would turn
+      // the fold (and every downstream census) into silent NULL/0
+      // garbage — fail loudly instead, repo-wide convention
+      coalesce(fold, raise_error(concat(
+        lit(s"projectFpInline: expected $dims-dim non-null vector, got length "),
+        size(col("vfp")).cast("string"))).cast("long"))
     }
     q.select(col("id"), posexplode(array(projs: _*)).as(Seq("j0", "proj_fp")))
       .select(col("id"), col("j0").cast("long").as("j"), col("proj_fp"))
   }
+
+  /** Pack per-vector projection signs into the random-hyperplane LSH
+    * bucket id: bit j set iff proj_fp(j) ≥ 0. Input is either
+    * projection variant's (id, j, proj_fp) contract; output
+    * (id, bucket). Lives here so the oracle-checked query (q133) and
+    * the scale bench can never drift in packing/tie semantics. */
+  def packSignBuckets(projected: DataFrame): DataFrame =
+    projected.groupBy(col("id"))
+      .agg(sum(expr("""CASE WHEN proj_fp >= 0
+          THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
+          ELSE CAST(0 AS BIGINT) END""")).as("bucket"))
 }

@@ -54,23 +54,37 @@ object Similarity {
   def normDecimal(v: Column): Column =
     sqrt(dotDecimal(v, v).cast("double"))
 
+  /** The decimal-kernel corpus×broadcast(queries) cosine scores with
+    * optional pass-through columns — the ONE body behind
+    * [[cosineTopK]] and [[minePairs]], so the self-pair filter,
+    * broadcast shape, and kernel can never drift between them. Both
+    * inputs need (id, v [, extras…]); query-side extras are returned
+    * prefixed `q_`. Output: (q_id, vec_id, cosim, extras…). */
+  private def cosineScores(corpus: DataFrame, queries: DataFrame,
+                           corpusExtras: Seq[String] = Nil,
+                           queryExtras: Seq[String] = Nil): DataFrame = {
+    val c = corpus.select(Seq(col("id").as("vec_id"), col("v"),
+      normDecimal(col("v")).as("nrm")) ++ corpusExtras.map(col): _*)
+    val q = queries.select(Seq(col("id").as("q_id"), col("v").as("qv"),
+      normDecimal(col("v")).as("qnrm")) ++
+      queryExtras.map(n => col(n).as(s"q_$n")): _*)
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(Seq(col("q_id"), col("vec_id"),
+        (dotDecimal(col("v"), col("qv")).cast("double") /
+          (col("nrm") * col("qnrm"))).as("cosim")) ++
+        corpusExtras.map(col) ++ queryExtras.map(n => col(s"q_$n")): _*)
+  }
+
   /** Exact cosine top-k of `corpus` rows for each row of `queries`
     * (both need columns id, v:array<double>; queries must be small —
     * it is broadcast). Deterministic (decimal kernel + id tiebreak). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col("id").as("vec_id"), col("v"),
-      normDecimal(col("v")).as("nrm"))
-    val q = queries.select(col("id").as("q_id"), col("v").as("qv"),
-      normDecimal(col("v")).as("qnrm"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (dotDecimal(col("v"), col("qv")).cast("double") /
-          (col("nrm") * col("qnrm"))).as("cosim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    cosineScores(corpus, queries)
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
 
@@ -143,16 +157,10 @@ object Similarity {
     * within it. */
   def minePairs(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col("id").as("vec_id"), col("v"),
-      col("label").as("c_label"), normDecimal(col("v")).as("nrm"))
-    val q = queries.select(col("id").as("q_id"), col("v").as("qv"),
-      col("label").as("q_label"), normDecimal(col("v")).as("qnrm"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
+    val scored = cosineScores(corpus, queries,
+        corpusExtras = Seq("label"), queryExtras = Seq("label"))
       .select(col("q_id"), col("vec_id"),
-        (col("c_label") === col("q_label")).as("same_label"),
-        (dotDecimal(col("v"), col("qv")).cast("double") /
-          (col("nrm") * col("qnrm"))).as("cosim"))
+        (col("label") === col("q_label")).as("same_label"), col("cosim"))
     val w = Window.partitionBy(col("q_id"), col("same_label"))
       .orderBy(col("cosim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))

@@ -106,15 +106,19 @@ class TestdataCanarySpec extends SparkSpec {
     val e = Tables.embeddings(spark, sf())
     val row = e.agg(
       count(lit(1)), min(col("vec_id")), max(col("vec_id")),
-      min(size(col("embedding"))), max(size(col("embedding"))))
+      min(size(col("embedding"))), max(size(col("embedding"))),
+      countDistinct(col("vec_id")))
       .collect()(0)
     val (n, lo, hi) = (row.getLong(0), row.getLong(1), row.getLong(2))
     assert(row.getInt(3) == 64 && row.getInt(4) == 64,
       s"TESTDATA DRIFT: embedding dims now ${row.getInt(3)}..${row.getInt(4)}, " +
         "q126/q133's inline sign matrix and the dims-pinned oracles assume 64")
-    assert(lo == 0 && hi == n - 1,
-      s"TESTDATA DRIFT: vec_id no longer dense 0..n-1 ($lo..$hi of $n rows) — " +
-        "k-means seeding (id < k) and the id-split queries (q127/q130) assume density")
+    // min/max/count alone would pass {0,0,2,…,n-1}; distinct==n is what
+    // actually proves density (duplicate + gap is the sparse-seed trap)
+    assert(lo == 0 && hi == n - 1 && row.getLong(5) == n,
+      s"TESTDATA DRIFT: vec_id no longer dense 0..n-1 ($lo..$hi, " +
+        s"${row.getLong(5)} distinct of $n rows) — k-means seeding (id < k) " +
+        "and the id-split queries (q127/q130) assume density")
     assert(n >= 500,
       s"TESTDATA DRIFT: embeddings shrank to $n rows; q127 splits at id 400")
   }
