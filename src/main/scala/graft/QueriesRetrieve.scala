@@ -137,8 +137,13 @@ object QueriesRetrieve {
   private val q124 = Q(
     "q124_vocab_growth",
     (s, dir) => {
-      val first = graft.operators.Dedup
-        .shingleRows(Tables.documents(s, dir), "doc_id", "text", 5)
+      // NOT shingleRows: its per-doc DISTINCT is a second full shuffle
+      // of the shingle rows that a min-per-shingle aggregation never
+      // needs — the raw explode feeds the partial min directly
+      val first = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.charShingles(col("text"), 5))
+            .as("sh"))
         .groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
       first.groupBy(expr("fd div 50").as("bucket"))
         .agg(count(lit(1)).as("new_shingles"))
