@@ -656,6 +656,84 @@ object QueriesRetrieve {
       WHERE s.doc_id IS NULL
       ORDER BY rank"""))
 
+  /** COHORT RETENTION (events table): users grouped by FIRST-SEEN day,
+    * per-cohort count of users active again `day_offset` days later —
+    * the classic activation/retention triangle. The (user, day)
+    * activity grid is one distinct shuffle, the cohort map one
+    * user-keyed agg, and the join is user-co-partitioned; the census
+    * is cohorts×offsets rows regardless of event volume. */
+  private val q135 = Q(
+    "q135_cohort_retention",
+    (s, dir) => {
+      val activity = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      activity.join(cohort, Seq("user_id"))
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    },
+    Some("""WITH act AS (
+        SELECT DISTINCT user_id,
+          CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+      coh AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
+      SELECT strftime(coh.cohort_day, '%Y-%m-%d') AS cohort,
+        CAST(date_diff('day', coh.cohort_day, act.day) AS BIGINT)
+          AS day_offset,
+        COUNT(*) AS n_users
+      FROM act JOIN coh USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort, day_offset"""))
+
+  /** RFM SEGMENTATION (events table): per-user recency (days since
+    * last activity, vs the corpus max day), frequency (event count),
+    * monetary (decimal-cast value sum), bucketed by integer division
+    * into a 4×4 grid census — the standard audience-segmentation
+    * operator. One user-keyed aggregation + one broadcast scalar;
+    * the grid is 16 rows at any event volume. */
+  private val q136 = Q(
+    "q136_rfm_segments",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val maxDay = ev.agg(max(to_date(col("ts"))).as("max_day"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(18,2)")).as("mon"))
+      perUser.crossJoin(broadcast(maxDay))
+        .select(col("user_id"), col("freq"), col("mon"),
+          datediff(col("max_day"), col("last_day")).cast("long")
+            .as("recency"))
+        .groupBy(
+          least(col("recency"), lit(3L)).as("r_bucket"),
+          least(expr("greatest(freq - 40, 0) div 15"), lit(3L))
+            .as("f_bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("mon")).cast("double").as("mon_sum"))
+        .orderBy(col("r_bucket"), col("f_bucket"))
+    },
+    Some("""WITH mx AS (
+        SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day
+        FROM events),
+      pu AS (
+        SELECT user_id,
+          MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+          COUNT(*) AS freq,
+          SUM(CAST(value AS DECIMAL(18,2))) AS mon
+        FROM events GROUP BY 1),
+      r AS (
+        SELECT user_id, freq, mon,
+          CAST(date_diff('day', last_day, mx.max_day) AS BIGINT) AS recency
+        FROM pu CROSS JOIN mx)
+      SELECT LEAST(recency, 3) AS r_bucket,
+        LEAST(GREATEST(freq - 40, 0) // 15, 3) AS f_bucket,
+        COUNT(*) AS n_users,
+        CAST(SUM(mon) AS DOUBLE) AS mon_sum
+      FROM r GROUP BY 1, 2 ORDER BY r_bucket, f_bucket"""))
+
   val list: Seq[Q] = Seq(q122, q123, q124, q125, q126, q128, q129, q130,
-    q131, q132, q133, q134)
+    q131, q132, q133, q134, q135, q136)
 }
