@@ -32,8 +32,17 @@ import org.apache.spark.sql.functions._
 object KMeansCluster {
 
   /** Fixed-point squared L2 distance between a vector column and a
-    * literal centroid: Σ ⌊(vᵢ − mᵢ)²·10¹⁰⌋, a BIGINT. */
-  def sqDistFixed(v: Column, centroid: Seq[Double]): Column = {
+    * literal centroid: Σ ⌊(vᵢ − mᵢ)²·10¹⁰⌋, a BIGINT. Native codegen'd
+    * kernel (plans/SqDistFixedExpr) — the HOF formulation it replaced
+    * is CodegenFallback and this sits in every assignment scan; the
+    * twin below exists for the bit-parity spec. */
+  def sqDistFixed(v: Column, centroid: Seq[Double]): Column =
+    graft.plans.SqDistFixedExpr.sqDistFixed(v, array(centroid.map(lit): _*))
+
+  /** The zip_with/aggregate formulation [[sqDistFixed]] replaced; kept
+    * as the agreement reference (SqDistFixedExprSpec asserts
+    * bit-identical results). */
+  private[graft] def sqDistFixedHof(v: Column, centroid: Seq[Double]): Column = {
     val m = array(centroid.map(lit): _*)
     aggregate(
       zip_with(v, m,

@@ -31,13 +31,11 @@ object SemDedup {
 
   /** Fixed-point squared L2 distance between two vector COLUMNS:
     * Σ ⌊(xᵢ − yᵢ)²·10¹⁰⌋, a BIGINT ([[KMeansCluster.sqDistFixed]]'s
-    * column-column sibling). */
+    * column-column sibling). Native codegen'd kernel
+    * (plans/SqDistFixedExpr) — this sits in the keepFirst self-join
+    * filter, the hottest pair loop SemDeDup runs. */
   def sqDistFixedCols(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => floor(((x - y) * (x - y)) * lit(1e10)).cast("long")),
-      lit(0L),
-      (acc, d) => acc + d)
+    graft.plans.SqDistFixedExpr.sqDistFixed(a, b)
 
   /** Keep-first semantic dedup over a (id, v, cluster, …) assignment
     * frame (e.g. [[KMeansCluster.lloyd]]'s output): marks each row

@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
   *
   * Injects the range-lookup planner strategy, the ip_to_int /
-  * nfc_normalize / dot_double SQL functions, and the HOF-dot-product
-  * rewrite rule into every session built with it.
+  * nfc_normalize / dot_double / sqdist_fixed SQL functions, and the
+  * HOF-dot-product rewrite rule into every session built with it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double"),
       (exprs: Seq[Expression]) => DotDoubleExpr.fromExprs(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("sqdist_fixed"),
+      new ExpressionInfo(classOf[SqDistFixedExpr].getName, "sqdist_fixed"),
+      (exprs: Seq[Expression]) => SqDistFixedExpr.fromExprs(exprs)))
   }
 }
