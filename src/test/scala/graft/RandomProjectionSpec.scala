@@ -41,6 +41,34 @@ class RandomProjectionSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("inline projection is streaming-legal: append-mode stream equals batch") {
+    // the projection is a stateless map (no shuffle, no state), so it
+    // runs in a plain append-mode stream — the property SCALE.md
+    // claims for the 100 TB ingest path
+    val d = java.nio.file.Files.createTempDirectory("graft-rp-stream")
+    val in = d.resolve("in").toString
+    val out = d.resolve("out").toString
+    val vecs = Tables.embeddings(spark, sf()).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("id") < 50)
+    vecs.coalesce(1).write.parquet(in)
+    val stream = spark.readStream
+      .schema("id LONG, v ARRAY<DOUBLE>").parquet(in)
+    val q = RandomProjection.projectFpInline(stream, dims = 64, outDims = 8)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", d.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = RandomProjection.projectFpInline(vecs, 64, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.size == 400 && streamed == batch)
+  }
+
   test("inline projection plan is map-only: no shuffle before the census agg") {
     val e = Tables.embeddings(spark, sf()).select(
       col("vec_id").as("id"),
