@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => RangeLookup.Strategy)
     e.injectOptimizerRule(_ => DotDoubleRule)
+    e.injectOptimizerRule(_ => SqDistFixedRule)
     e.injectFunction((
       FunctionIdentifier("ip_to_int"),
       new ExpressionInfo(classOf[IpToIntExpr].getName, "ip_to_int"),

@@ -51,6 +51,22 @@ class ExtensionsSpec extends AnyFunSuite {
           hof.queryExecution.optimizedPlan)
       // id=0: 0*0 + 1*1 = 1
       assert(hof.orderBy("d").collect().head.getDouble(0) == 1.0)
+      // sqdist_fixed function + its HOF-rewrite rule (same non-literal
+      // -input caveat as dot_double above)
+      assert(spark.sql(
+        "SELECT sqdist_fixed(array(1d, 3d), array(1d, 1d)) AS v")
+        .collect().head.getLong(0) == math.floor(4.0 * 1e10).toLong)
+      val hofSq = spark.sql("""
+        SELECT aggregate(
+          zip_with(a, a, (x, c) ->
+            CAST(floor(((x - c) * (x - c)) * 1e10) AS BIGINT)),
+          0L, (acc, d) -> acc + d) AS d FROM ext_vs""")
+      assert(hofSq.queryExecution.optimizedPlan.expressions.map(
+        _.collect { case s: graft.plans.SqDistFixedExpr => s }.size).sum == 1,
+        s"extension rule must rewrite the SQL HOF sqdist form:\n" +
+          hofSq.queryExecution.optimizedPlan)
+      // a minus itself: distance 0 for every row
+      assert(hofSq.collect().forall(_.getLong(0) == 0L))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
