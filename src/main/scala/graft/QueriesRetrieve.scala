@@ -734,6 +734,83 @@ object QueriesRetrieve {
         CAST(SUM(mon) AS DOUBLE) AS mon_sum
       FROM r GROUP BY 1, 2 ORDER BY r_bucket, f_bucket"""))
 
+  /** GLOBAL TOP-p% DATA SELECTION (exact, no global sort): keep the
+    * top 10% of documents by DSIR score (q118's scorer) using the
+    * two-phase range-partitioned prefix scan for the global rank —
+    * the way an exact corpus-wide "select the best p percent" runs at
+    * 100 TB: a composite sort KEY (inverted zero-padded score ‖
+    * doc_id) makes ascending key order equal (score desc, id asc),
+    * `withCumWeight` with unit weights turns it into a dense global
+    * rank with NO single-task window (per-bucket windows + a 32-row
+    * offset collect), and the keep rule is rank ≤ ⌊n/10⌋. Census per
+    * source of the kept slice. The oracle spells the same rank with
+    * one SQL window. */
+  private val q137 = Q(
+    "q137_top_p_select",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(col("text").contains("spark"))
+      val w = graft.operators.Dsir.importanceWeights(docs, target)
+      val scored = graft.operators.Dsir.scoreDocs(docs, w)
+      val keyed = scored.select(col("doc_id"), col("avg_weight_fp"),
+        concat(
+          lpad((lit(1000000000000000L) - col("avg_weight_fp"))
+            .cast("string"), 16, "0"),
+          lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
+        lit(1L).as("one"))
+      val n = keyed.count()
+      val keep = math.max(1L, n / 10)
+      val kept = graft.operators.WeightedSample
+        .withCumWeight(keyed, "k", "one")
+        .filter(col("cum") <= keep)
+      kept.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("avg_weight_fp")).as("score_sum"),
+          min(col("cum")).as("best_rank"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tr AS (
+        SELECT doc_id,
+          substr(md5(ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]),
+            1, 2) AS b
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+          UNNEST(range(1, len(ts))) AS t(i)),
+      src AS (SELECT b, COUNT(*) AS sc FROM tr GROUP BY 1),
+      tgtdocs AS (SELECT doc_id FROM documents WHERE text LIKE '%spark%'),
+      tgt AS (SELECT tr.b, COUNT(*) AS tc
+        FROM tr JOIN tgtdocs USING (doc_id) GROUP BY 1),
+      stot AS (SELECT COUNT(*) AS s FROM tr),
+      ttot AS (SELECT COUNT(*) AS t FROM tr JOIN tgtdocs USING (doc_id)),
+      w AS (
+        SELECT src.b,
+          CAST(FLOOR(1e6 * (
+            CAST((COALESCE(tgt.tc, 0) + 1) * (stot.s + 256) AS DOUBLE)
+            / CAST((src.sc + 1) * (ttot.t + 256) AS DOUBLE))) AS BIGINT)
+            AS wfp
+        FROM src LEFT JOIN tgt ON src.b = tgt.b
+          CROSS JOIN stot CROSS JOIN ttot),
+      sc2 AS (
+        SELECT tr.doc_id, COUNT(*) AS n_grams,
+          SUM(COALESCE(w.wfp, 1000000)) AS s
+        FROM tr LEFT JOIN w ON tr.b = w.b GROUP BY 1),
+      scored AS (
+        SELECT doc_id, CAST(s // n_grams AS BIGINT) AS avg_weight_fp
+        FROM sc2),
+      ranked AS (
+        SELECT doc_id, avg_weight_fp,
+          ROW_NUMBER() OVER (ORDER BY avg_weight_fp DESC, doc_id ASC)
+            AS rnk,
+          COUNT(*) OVER () AS n
+        FROM scored),
+      kept AS (
+        SELECT * FROM ranked WHERE rnk <= GREATEST(1, n // 10))
+      SELECT d.source, COUNT(*) AS n_kept,
+        CAST(SUM(avg_weight_fp) AS BIGINT) AS score_sum,
+        CAST(MIN(rnk) AS BIGINT) AS best_rank
+      FROM kept JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY source"""))
+
   val list: Seq[Q] = Seq(q122, q123, q124, q125, q126, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136)
+    q131, q132, q133, q134, q135, q136, q137)
 }
