@@ -752,12 +752,22 @@ object QueriesRetrieve {
       val target = docs.filter(col("text").contains("spark"))
       val w = graft.operators.Dsir.importanceWeights(docs, target)
       val scored = graft.operators.Dsir.scoreDocs(docs, w)
+      // the 16-digit zero-padded inversion only orders correctly while
+      // the score fits under the bias — a pathological target/corpus
+      // ratio must fail loudly, not silently mis-rank (repo convention)
+      val inRange = col("avg_weight_fp").between(0L, 999999999999999L)
+      val guarded = when(inRange, col("avg_weight_fp"))
+        .otherwise(raise_error(concat(
+          lit("q137: avg_weight_fp outside the sort-key range: "),
+          col("avg_weight_fp").cast("string"))).cast("long"))
       val keyed = scored.select(col("doc_id"), col("avg_weight_fp"),
         concat(
-          lpad((lit(1000000000000000L) - col("avg_weight_fp"))
-            .cast("string"), 16, "0"),
+          lpad((lit(1000000000000000L) - guarded).cast("string"), 16, "0"),
           lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
         lit(1L).as("one"))
+        // count + withCumWeight both consume this frame: materialize
+        // the (expensive) DSIR scoring lineage exactly once
+        .localCheckpoint()
       val n = keyed.count()
       val keep = math.max(1L, n / 10)
       val kept = graft.operators.WeightedSample

@@ -19,11 +19,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * k-means assignment scans and the SemDeDup self-join filter — the
   * hottest per-row loops the engine runs at scale.
   *
-  * Semantics are EXACTLY the HOF formulation's (SqDistFixedExprSpec
-  * asserts bit-identical results on the real embeddings): per element
+  * Semantics are EXACTLY the HOF formulation's under ANSI mode (the
+  * Spark 4 default, and every session this repo builds): per element
   * `(long) Math.floor(((a−b)·(a−b))·10¹⁰)` — same IEEE op order, same
-  * double→long saturation — summed left-to-right (integer addition,
-  * order-free); length mismatch or a null element yields null.
+  * double→long saturation — summed left-to-right via
+  * `Math.addExact`, so a sum past Long.MaxValue throws exactly like
+  * ANSI's Add (SqDistFixedExprSpec asserts both the bit-parity and
+  * the overflow throw); length mismatch or a null element yields
+  * null. In a NON-ANSI session the HOF would wrap where this kernel
+  * still throws — failing loudly on a meaningless distance either
+  * way is the repo convention.
   */
 case class SqDistFixedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -62,7 +67,7 @@ case class SqDistFixedExpr(left: Expression, right: Expression)
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |    double $d = $a.getDouble($i) - $b.getDouble($i);
-         |    $acc += (long) Math.floor(($d * $d) * 1.0E10);
+         |    $acc = Math.addExact($acc, (long) Math.floor(($d * $d) * 1.0E10));
          |  }
          |}
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
@@ -86,7 +91,7 @@ object SqDistFixedExpr {
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
-      acc += math.floor((d * d) * 1.0e10).toLong
+      acc = Math.addExact(acc, math.floor((d * d) * 1.0e10).toLong)
       i += 1
     }
     java.lang.Long.valueOf(acc)
@@ -115,9 +120,12 @@ object SqDistFixedExpr {
   * the [[DotDoubleRule]] treatment applied to the distance kernel: a
   * user (or SQL author) writing the declarative form gets the fused
   * codegen'd loop without knowing the native function exists. The
-  * rewrite is semantics-preserving: identical per-element IEEE op
-  * order, identical null contract, and integer addition makes the fold
-  * order immaterial. Guards are structural — double arrays, both
+  * rewrite is semantics-preserving under ANSI mode (the Spark 4
+  * default): identical per-element IEEE op order, identical null
+  * contract, overflow throws on both sides (Math.addExact vs ANSI
+  * Add), and integer addition makes the fold order immaterial — in a
+  * non-ANSI session the HOF wraps on overflow where the kernel
+  * throws, a strictly-louder failure. Guards are structural — double arrays, both
   * squared-difference legs the SAME ordered (x, c) variable pair
   * drawn from the zip_with variables, the exact 1e10 scale and 0L
   * seed (raw-bits tests), an identity finish lambda; a no-op

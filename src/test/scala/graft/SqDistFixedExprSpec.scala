@@ -33,6 +33,17 @@ class SqDistFixedExprSpec extends SparkSpec {
       3L -> Some(math.floor(4.0 * 1e10).toLong)))
   }
 
+  test("sum overflow throws (ANSI-Add parity) instead of wrapping") {
+    val df = Seq((Seq(1e160, 1e160), Seq(0.0, 0.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(SqDistFixedExpr.sqDistFixed(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException in the cause chain, got: $e")
+  }
+
   test("SQL registration works and the kernel stays inside codegen") {
     SqDistFixedExpr.register(spark)
     val r = spark.sql(
