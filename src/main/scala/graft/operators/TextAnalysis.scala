@@ -94,6 +94,39 @@ object TextAnalysis {
           size(bg).cast("double"))
   }
 
+  /** Maximum single-token frequency of the doc — the "most repeated
+    * word" numerator of Gopher-style repetition rules. Pure per-row
+    * array arithmetic (O(distinct·n) per row, bounded by doc length),
+    * no shuffle. */
+  def maxTokenFreq(text: Column): Column = {
+    val t = tokens(text)
+    array_max(transform(array_distinct(t),
+      d => size(filter(t, x => x === d))))
+  }
+
+  /** Gopher-family quality rules (Rae et al. 2021 §A.1.1, thresholds
+    * adapted to the synthetic corpus so each rule splits it), all
+    * integer comparisons — engine-exact:
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3.9, 5.1] — cross-multiplied:
+    *    39·nw ≤ 10·nchars ≤ 51·nw (nchars = non-space chars)
+    *  - ≥ 2 distinct required stopwords present
+    *  - most-repeated token ≤ 20 % of tokens (5·maxtf ≤ nw)
+    * Returns the four boolean rule columns; callers census or filter. */
+  def gopherFlags(text: Column, minWords: Int, maxWords: Int)
+      : Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nw = size(t)
+    val nchars = length(regexp_replace(text, " ", ""))
+    val stopHits = size(filter(array_distinct(t),
+      x => EnStopwords.map(w => x === w).reduce(_ || _)))
+    Seq(
+      "r_wordcount" -> (nw >= minWords && nw <= maxWords),
+      "r_meanwordlen" -> (nchars * 10 >= nw * 39 && nchars * 10 <= nw * 51),
+      "r_stopwords" -> (stopHits >= 2),
+      "r_repetition" -> (maxTokenFreq(text) * 5 <= nw))
+  }
+
   /** Deflate compression ratio (compressed bytes / raw UTF-8 bytes) —
     * the Gopher/RefinedWeb quality signal: machine-generated or
     * heavily templated text compresses far below prose, random bytes

@@ -273,4 +273,31 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"),
       s"pairwise overlap must stay a term equi-join:\n$p")
   }
+
+  test("gopher census is one pass: single scan, no shuffle before the 1-row agg") {
+    val p = planOf(Queries.all("q138_gopher_rules")(spark, sf()))
+    assert("FileScan".r.findAllIn(p).length == 1, s"one scan only:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"per-row rules must not join:\n$p")
+  }
+
+  test("source TVD broadcasts the post-agg grid sides (term/source-sized)") {
+    val p = planOf(Queries.all("q139_source_divergence")(spark, sf()))
+    assert(p.contains("BroadcastExchange"),
+      s"vocab-sized sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the grid must cross broadcast-small aggregates, never rows:\n$p")
+  }
+
+  test("session paths cap state before the collect and top-k via TakeOrdered") {
+    val p = planOf(Queries.all("q140_session_paths")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 paths must never be a global sort:\n$p")
+  }
+
+  test("attribution is window-only: no self-join of events") {
+    val p = planOf(Queries.all("q142_attribution")(spark, sf()))
+    assert(!p.contains("Join"),
+      s"last-touch must be a running-max window, not a pair join:\n$p")
+  }
 }
