@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CorpusStats, EventAnalytics, TextAnalysis}
@@ -215,5 +216,199 @@ object QueriesAnalytics {
       WHERE trail_buckets >= 12 AND n*trail_buckets*2 > trail_sum*3
       ORDER BY event_type, hr"""))
 
-  val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143)
+  /** Shared oracle CTE: the rare-gram (df ∈ [2,10]) 8-gram edge list
+    * and its degree table — q144/q145 read the same graph. */
+  private val GramEdgesSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+        FROM documents),
+      grams AS (SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, UNNEST(list_transform(range(1, len(t)-6),
+          i -> array_to_string(
+            list_slice(t, CAST(i AS INT), CAST(i AS INT)+7), ' '))) AS g
+        FROM toks WHERE len(t) >= 8)),
+      df AS (SELECT g, COUNT(*) AS d FROM grams GROUP BY 1),
+      rare AS (SELECT g FROM df WHERE d BETWEEN 2 AND 10),
+      pairs AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+        FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
+        WHERE a.doc_id < b.doc_id),
+      deg AS (SELECT v, COUNT(*) AS d FROM (
+        SELECT x AS v FROM pairs UNION ALL SELECT y FROM pairs)
+        GROUP BY 1)"""
+
+  /** DOCUMENT-SIMILARITY GRAPH TRIANGLE CENSUS
+    * (Curation.sharedGramEdges ∘ Graphs.triangleCensus): edges = doc
+    * pairs sharing a word 8-gram with document frequency in [2, 10]
+    * (the df cap bounds fan-out — a gram emits ≤ C(10,2) pairs), then
+    * the oriented two-hop triangle join + Σ C(deg,2) triplets and the
+    * global clustering coefficient as integer ppm. The
+    * template-cluster structure readout: high cc = template families,
+    * low cc = chance collisions. */
+  private val q144 = Q(
+    "q144_graph_triangles",
+    // SharedGrams.gramEdges: one materialized edge list serves the
+    // census's five consumers AND q145 (the SharedGrams discipline)
+    (s, dir) => graft.operators.Graphs.triangleCensus(
+      SharedGrams.gramEdges(s, dir)),
+    Some(s"""$GramEdgesSql
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        (SELECT COUNT(*) FROM pairs) AS n_edges,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs e1
+          JOIN pairs e2 ON e1.y = e2.x
+          JOIN pairs e3 ON e1.x = e3.x AND e2.y = e3.y) AS n_triangles,
+        (SELECT CAST(COALESCE(SUM(d*(d-1)//2), 0) AS BIGINT) FROM deg)
+          AS n_triplets,
+        CASE WHEN (SELECT COALESCE(SUM(d*(d-1)//2), 0) FROM deg) = 0
+          THEN 0
+          ELSE CAST((SELECT COUNT(*) FROM pairs e1
+              JOIN pairs e2 ON e1.y = e2.x
+              JOIN pairs e3 ON e1.x = e3.x AND e2.y = e3.y) * 3000000
+            // (SELECT SUM(d*(d-1)//2) FROM deg) AS BIGINT)
+          END AS global_cc_ppm"""))
+
+  /** DEGREE-DISTRIBUTION HISTOGRAM of the same shared-gram graph:
+    * (degree → node count), the power-law readout that tells a dedup
+    * operator whether the near-dup graph has hub docs (boilerplate
+    * magnets) before CC is attempted. */
+  private val q145 = Q(
+    "q145_graph_degrees",
+    (s, dir) => graft.operators.Graphs.degrees(
+      SharedGrams.gramEdges(s, dir))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree")),
+    Some(s"""$GramEdgesSql
+      SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY 1 ORDER BY degree"""))
+
+  /** GROUPED PEARSON CORRELATION MATRIX over lineitem
+    * (quantity↔extendedprice, quantity↔discount per returnflag):
+    * sufficient statistics as EXACT decimal sums in one pass (the
+    * dsum discipline), combined in IEEE doubles with IDENTICAL
+    * operation order on both engines, floored to ×10⁶ fixed point.
+    * One scan, one hash-agg — the profiling companion to q73. */
+  private val q146 = Q(
+    "q146_corr_matrix",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def d2(c: String) = col(c).cast("decimal(18,2)")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(d2("l_quantity")).cast("double").as("sx"),
+          sum(d2("l_extendedprice")).cast("double").as("sy"),
+          sum(d2("l_discount")).cast("double").as("sz"),
+          sum(d2("l_quantity") * d2("l_quantity")).cast("double").as("sxx"),
+          sum(d2("l_extendedprice") * d2("l_extendedprice")).cast("double").as("syy"),
+          sum(d2("l_discount") * d2("l_discount")).cast("double").as("szz"),
+          sum(d2("l_quantity") * d2("l_extendedprice")).cast("double").as("sxy"),
+          sum(d2("l_quantity") * d2("l_discount")).cast("double").as("sxz"))
+        .select(col("l_returnflag"), col("n"),
+          expr(CorrExpr("sxy", "sx", "sy", "sxx", "syy"))
+            .as("corr_qty_price_fp"),
+          expr(CorrExpr("sxz", "sx", "sz", "sxx", "szz"))
+            .as("corr_qty_disc_fp"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH a AS (SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sz,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS szz,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxz
+      FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+        ${CorrExpr("sxy", "sx", "sy", "sxx", "syy")} AS corr_qty_price_fp,
+        ${CorrExpr("sxz", "sx", "sz", "sxx", "szz")} AS corr_qty_disc_fp
+      FROM a ORDER BY l_returnflag"""))
+
+  /** The Pearson-correlation fixed-point combiner, shared VERBATIM
+    * between the Spark expr and the oracle SQL so the IEEE operation
+    * order is identical token for token (the last-ulp rule from the
+    * determinism notes). */
+  private def CorrExpr(sxy: String, sx: String, sy: String,
+                       sxx: String, syy: String): String =
+    s"CASE WHEN (n*$sxx - $sx*$sx) * (n*$syy - $sy*$sy) <= 0e0 THEN 0 " +
+      s"ELSE CAST(FLOOR(((n*$sxy - $sx*$sy) " +
+      s"/ SQRT((n*$sxx - $sx*$sx) * (n*$syy - $sy*$sy))) * 1000000e0) " +
+      "AS BIGINT) END"
+
+  /** CONVERSION-LATENCY PERCENTILES (Funnel.stepTimes ∘ the q39
+    * exact-discrete-percentile kernel): per funnel transition
+    * (view→click, click→purchase), n / min / exact discrete median
+    * (rank ⌊(n+1)/2⌋) / p90 (rank ⌈9n/10⌉) / max of the step gap in
+    * ms. Percentile ranks are integer-div expressions shared verbatim
+    * with the oracle; ties break on user id so the selected row is
+    * unique. One window per step partition — two partitions total. */
+  private val q147 = Q(
+    "q147_conversion_latency",
+    (s, dir) => {
+      val times = graft.operators.Funnel.stepTimes(
+        Tables.events(s, dir).selectExpr(
+          "user_id", "event_type", "unix_millis(ts) as ms"),
+        "user_id", "event_type", "ms",
+        Seq("view", "click", "purchase"), maxGapMs = Some(86400000L))
+      val durs = times
+        .select(col("u"), lit("1_view_click").as("step"),
+          (col("t2") - col("t1")).as("dur"))
+        .union(times.select(col("u"), lit("2_click_purchase").as("step"),
+          (col("t3") - col("t2")).as("dur")))
+        .filter(col("dur").isNotNull)
+      val w = Window.partitionBy(col("step"))
+        .orderBy(col("dur"), col("u"))
+      val ranked = durs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("step"))))
+      val base = ranked.groupBy(col("step"))
+        .agg(count(lit(1)).as("n"), min(col("dur")).as("min_ms"),
+          max(col("dur")).as("max_ms"))
+      val med = ranked.filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("step"), col("dur").as("median_ms"))
+      val p90 = ranked.filter(col("rn") === expr("(9*cnt + 9) div 10"))
+        .select(col("step"), col("dur").as("p90_ms"))
+      base.join(med, Seq("step")).join(p90, Seq("step"))
+        .select(col("step"), col("n"), col("min_ms"), col("median_ms"),
+          col("p90_ms"), col("max_ms"))
+        .orderBy(col("step"))
+    },
+    Some("""WITH t AS (SELECT user_id AS u, event_type AS et,
+          epoch_ms(ts) AS ms FROM events),
+      s1 AS (SELECT u, MIN(ms) AS t1 FROM t WHERE et = 'view' GROUP BY 1),
+      s2 AS (SELECT t.u, MIN(t.ms) AS t2 FROM t JOIN s1 USING (u)
+        WHERE t.et = 'click' AND t.ms > s1.t1
+          AND t.ms <= s1.t1 + 86400000 GROUP BY 1),
+      s3 AS (SELECT t.u, MIN(t.ms) AS t3 FROM t JOIN s2 USING (u)
+        WHERE t.et = 'purchase' AND t.ms > s2.t2
+          AND t.ms <= s2.t2 + 86400000 GROUP BY 1),
+      durs AS (
+        SELECT s1.u, '1_view_click' AS step, s2.t2 - s1.t1 AS dur
+        FROM s1 JOIN s2 USING (u)
+        UNION ALL
+        SELECT s2.u, '2_click_purchase' AS step, s3.t3 - s2.t2 AS dur
+        FROM s2 JOIN s3 USING (u)),
+      ranked AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY step ORDER BY dur, u) AS rn,
+          COUNT(*) OVER (PARTITION BY step) AS cnt
+        FROM durs),
+      base AS (SELECT step, CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(dur) AS min_ms, MAX(dur) AS max_ms
+        FROM ranked GROUP BY 1),
+      med AS (SELECT step, dur AS median_ms FROM ranked
+        WHERE rn = (cnt + 1) // 2),
+      p90 AS (SELECT step, dur AS p90_ms FROM ranked
+        WHERE rn = (9*cnt + 9) // 10)
+      SELECT step, n, min_ms, median_ms, p90_ms, max_ms
+      FROM base JOIN med USING (step) JOIN p90 USING (step)
+      ORDER BY step"""))
+
+  val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
+    q145, q146, q147)
 }

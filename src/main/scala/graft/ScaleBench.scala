@@ -227,6 +227,57 @@ object ScaleBench {
         graft.operators.Similarity
           .minePairs(lab, lab.filter(col("id") < 4), 3).count()
       }
+      // analytics layer (q138-q143 kernels) at the same synthetic
+      // scale. Events: n rows over n/1000 users spread across ~90 days
+      // by a Knuth multiplicative hash — sessions stay bounded, every
+      // user partition holds ~1000 events.
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        pmod(col("id"), lit(math.max(1L, n / 1000))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"),
+            lit("signup"), lit("error")),
+          (pmod(col("id"), lit(5L)) + 1).cast("int")).as("event_type"),
+        pmod(col("id") * 2654435761L, lit(7776000000L)).as("ms"),
+        (pmod(col("id"), lit(10000L)).cast("double") / 100.0).as("value"))
+        .localCheckpoint()
+      val pathRows = timed("session_paths", acc) {
+        graft.operators.EventAnalytics
+          .sessionPaths(ev, 1800000L, 8, 20).count()
+      }
+      val transRows = timed("transitions", acc) {
+        graft.operators.EventAnalytics
+          .transitionCensus(ev, 1800000L).count()
+      }
+      val attrRows = timed("attribution", acc) {
+        graft.operators.EventAnalytics.lastTouchAttribution(
+          ev, Seq("view", "click"), "purchase", 604800000L).count()
+      }
+      val anomRows = timed("rate_anomaly", acc) {
+        graft.operators.EventAnalytics.rateAnomalies(ev).count()
+      }
+      // gopher census (scan-fused array rules) + source TVD over the
+      // OPEN md5 vocabulary (~60 distinct terms per doc — the case the
+      // closed-form missing-mass rewrite exists for: no vocab-sized
+      // broadcast, one term-keyed shuffle join)
+      val gopherKept = timed("gopher_census", acc) {
+        val flags = graft.operators.TextAnalysis
+          .gopherFlags(col("text"), 20, 80)
+        docs.select(flags.map { case (nm, c) =>
+            when(c, 1L).otherwise(0L).as(nm) }: _*)
+          .agg(sum(col("r_wordcount") * col("r_meanwordlen") *
+            col("r_stopwords") * col("r_repetition")).as("k"))
+          .collect()(0).getLong(0)
+      }
+      val tvdRows = timed("source_tvd_openvocab", acc) {
+        graft.operators.CorpusStats.sourceUnigramTvd(
+          docs.withColumn("source",
+            pmod(col("doc_id"), lit(20L)).cast("string"))).count()
+      }
+      ev.unpersist()
+      acc.append(f""""path_rows":$pathRows,"trans_rows":$transRows,""" +
+        f""""attr_rows":$attrRows,"anom_rows":$anomRows,""" +
+        f""""gopher_kept":$gopherKept,"tvd_rows":$tvdRows,""")
       acc.append(f""""bm25_hits":$bm25Hits,"shards":$shardCount,""" +
         f""""dsir_docs":$dsirDocs,"kmeans_rows":$kmeansN,""" +
         f""""semdedup_kept":$semKept,"rp_buckets":$rpBuckets,""" +

@@ -94,11 +94,25 @@ object SharedGrams {
         .repartition(org.apache.spark.sql.functions.col("h"))
         .localCheckpoint())
 
+  /** The shared-8-gram similarity-graph edge list (q144 triangle
+    * census + q145 degree histogram — and triangleCensus alone
+    * consumes it five times: three join legs, degrees, edge count).
+    * Bounded by construction (df ∈ [2,10] ⇒ ≤ C(10,2) pairs per
+    * gram), so the checkpoint is small however large the corpus. */
+  private val edgeCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def gramEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((s, dir),
+      operators.Curation.sharedGramEdges(
+        Tables.documents(s, dir), "doc_id", "text", n = 8, maxDf = 10)
+        .localCheckpoint())
+
   def clear(): Unit = synchronized {
-    cache.values.foreach { df =>
+    (cache.values ++ edgeCache.values).foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     cache.clear()
+    edgeCache.clear()
   }
 }
 

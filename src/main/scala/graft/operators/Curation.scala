@@ -44,6 +44,30 @@ object Curation {
       .select(col(idCol)).distinct()
   }
 
+  /** Oriented (x < y) distinct document pairs sharing at least one
+    * word n-gram whose document frequency lies in [2, maxDf] — the
+    * bounded-fan-out similarity-graph edge builder (feeds
+    * [[Graphs.triangleCensus]]). The df cap is the scale guard: a
+    * gram emits ≤ C(maxDf, 2) pairs, so the edge list is linear in
+    * the gram table; without it one boilerplate gram shared by k docs
+    * would fan out k² pairs (the reason [[boilerplateDocs]] REMOVES
+    * such docs rather than pairing them). Joins carry only
+    * (16-byte hash, id) rows. */
+  def sharedGramEdges(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, maxDf: Int): DataFrame = {
+    val grams = gramHashes(docs, idCol, textCol, n)
+    val rare = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= maxDf)
+      .select(col("gh"))
+    val g = grams.join(rare, Seq("gh"))
+    g.select(col("gh"), col(idCol).as("x"))
+      .join(g.select(col("gh"), col(idCol).as("y")), Seq("gh"))
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y"))
+      .distinct()
+  }
+
   /** Ids of `train` documents sharing ANY word n-gram with any `test`
     * document — n-gram-level leakage audit (the GPT-3-appendix-style
     * decontamination that exact-hash dedup misses). The test side is

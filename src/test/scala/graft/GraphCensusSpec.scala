@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Curation, Graphs}
+
+/** Triangle/triplet census + bounded shared-gram edge builder
+  * (q144/q145 kernels) on crafted micro-graphs.
+  */
+class GraphCensusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(es: (Long, Long)*) = es.toSeq.toDF("x", "y")
+
+  test("triangle census on K4: 4 triangles, 6 edges, cc = 1") {
+    val k4 = pairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r = Graphs.triangleCensus(k4)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // triplets = 4 * C(3,2) = 12; cc = 3*4/12 = 1 -> 1e6 ppm
+    assert(r == ((4L, 6L, 4L, 12L, 1000000L)))
+  }
+
+  test("path graph has zero triangles but open triplets") {
+    val path = pairs((1L, 2L), (2L, 3L), (3L, 4L))
+    val r = Graphs.triangleCensus(path)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // degrees 1,2,2,1 -> triplets = 1 + 1 = 2
+    assert(r == ((4L, 3L, 0L, 2L, 0L)))
+  }
+
+  test("empty edge list yields an all-zero census row, not a crash") {
+    val r = Graphs.triangleCensus(pairs())
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("sharedGramEdges pairs docs on a common rare gram only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h tail1"),
+      (2L, "a b c d e f g h tail2"),          // shares the 8-gram with 1
+      (3L, "z y x w v u t s tail3")           // disjoint
+    ).toDF("doc_id", "text")
+    val es = Curation.sharedGramEdges(docs, "doc_id", "text", 8, 10)
+      .as[(Long, Long)].collect().toSet
+    assert(es == Set((1L, 2L)))
+  }
+
+  test("sharedGramEdges df cap drops boilerplate grams entirely") {
+    // 5 docs all sharing one 8-gram: maxDf=3 excludes it -> no edges
+    val docs = (1L to 5L).map(i => (i, s"a b c d e f g h tail$i"))
+      .toDF("doc_id", "text")
+    assert(Curation.sharedGramEdges(docs, "doc_id", "text", 8, 3)
+      .count() == 0L)
+    // maxDf=5 admits it -> C(5,2) = 10 edges
+    assert(Curation.sharedGramEdges(docs, "doc_id", "text", 8, 5)
+      .count() == 10L)
+  }
+
+  test("degrees counts both endpoints") {
+    val d = Graphs.degrees(pairs((1L, 2L), (1L, 3L)))
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+}

@@ -281,12 +281,12 @@ class PlanShapeSpec extends SparkSpec {
       s"per-row rules must not join:\n$p")
   }
 
-  test("source TVD broadcasts the post-agg grid sides (term/source-sized)") {
+  test("source TVD is a term equi-join; only the source census broadcasts") {
     val p = planOf(Queries.all("q139_source_divergence")(spark, sf()))
     assert(p.contains("BroadcastExchange"),
-      s"vocab-sized sides must broadcast:\n$p")
+      s"the |sources| census and 1-row total must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"the grid must cross broadcast-small aggregates, never rows:\n$p")
+      s"no sources x vocab grid — missing-term mass is closed-form:\n$p")
   }
 
   test("session paths cap state before the collect and top-k via TakeOrdered") {
