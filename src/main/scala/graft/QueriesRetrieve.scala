@@ -821,6 +821,117 @@ object QueriesRetrieve {
       FROM kept JOIN documents d USING (doc_id)
       GROUP BY 1 ORDER BY source"""))
 
+  /** The rational BM25 kernel as oracle-SQL text, parameterized on
+    * the posting CTE name — q148 needs it twice (feedback pass +
+    * expanded pass), q149 once; one definition keeps the three
+    * replicas token-identical. Expects CTEs `lens(doc_id, dl)` and
+    * `st(nd, tt)` in scope. */
+  private def Bm25SqlKernel(p: String, out: String): String =
+    s"""$out AS (SELECT $p.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_terms,
+        CAST(SUM(CAST(FLOOR(
+          (CAST(2*(st.nd - d_$p.df) + 1 AS DOUBLE)
+             / CAST(2*d_$p.df + 1 AS DOUBLE))
+          * (CAST(22*$p.tf*st.tt AS DOUBLE)
+             / CAST(10*$p.tf*st.tt + 3*st.tt + 9*l.dl*st.nd AS DOUBLE))
+          * 1e6) AS BIGINT)) AS BIGINT) AS score_fp
+      FROM $p JOIN d_$p ON $p.term = d_$p.term
+        JOIN lens l ON $p.doc_id = l.doc_id CROSS JOIN st
+      GROUP BY 1)"""
+
+  /** PSEUDO-RELEVANCE-FEEDBACK EXPANSION (TrainPrep.prfExpandedRank;
+    * the Rocchio/RM3 family): BM25 top-10 feedback docs → every term
+    * they contain scored feedback-df × 10⁶ div (corpus-df + 1) → the
+    * 5 best non-query terms join the query → re-rank through the
+    * SAME kernel via the terms-FRAME variant. Fully relational: the
+    * data-dependent expansion never hits the driver (no collect), so
+    * the shape survives query-log-scale fan-out. */
+  private val q148 = Q(
+    "q148_prf_expansion",
+    (s, dir) => TrainPrep.prfExpandedRank(Tables.documents(s, dir),
+      QueryTerms, fbK = 10, nExpand = 5, topK = 20),
+    Some(s"""WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt
+        FROM lens),
+      toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        GROUP BY 1, 2),
+      p1 AS (SELECT * FROM post
+        WHERE term IN ('query', 'window', 'scan')),
+      d_p1 AS (SELECT term, COUNT(*) AS df FROM p1 GROUP BY 1),
+      ${Bm25SqlKernel("p1", "b1")},
+      fb AS (SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY score_fp DESC, doc_id ASC) AS rn FROM b1) t
+        WHERE rn <= 10),
+      dff AS (SELECT term, COUNT(*) AS dff FROM post
+        JOIN fb USING (doc_id) GROUP BY 1),
+      dfc AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+      expn AS (SELECT term FROM (
+          SELECT dff.term, dff.dff*1000000 // (dfc.df + 1) AS escore
+          FROM dff JOIN dfc ON dff.term = dfc.term
+          WHERE dff.term NOT IN ('query', 'window', 'scan')) t
+        ORDER BY escore DESC, term ASC LIMIT 5),
+      qterms AS (SELECT term FROM expn
+        UNION
+        SELECT UNNEST(['query', 'window', 'scan']) AS term),
+      p2 AS (SELECT post.* FROM post JOIN qterms USING (term)),
+      d_p2 AS (SELECT term, COUNT(*) AS df FROM p2 GROUP BY 1),
+      ${Bm25SqlKernel("p2", "b2")}
+      SELECT doc_id, n_terms, score_fp FROM b2
+      ORDER BY score_fp DESC, doc_id ASC LIMIT 20"""))
+
+  /** HIT-ANCHORED SNIPPET EXTRACTION (Fusion.snippets): for the BM25
+    * top-5, the 10-token window with the most DISTINCT query terms
+    * (windows anchored at hit positions — an optimal window always
+    * starts at one; ties leftmost). Everything after the top-5
+    * semi-join is per-result-doc work. */
+  private val q149 = Q(
+    "q149_search_snippets",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Fusion.snippets(docs,
+        Fusion.rankOf(TrainPrep.bm25Rank(docs, QueryTerms, 5),
+          "score_fp"),
+        QueryTerms, width = 10)
+    },
+    Some(s"""WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt
+        FROM lens),
+      toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      p1 AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term IN ('query', 'window', 'scan') GROUP BY 1, 2),
+      d_p1 AS (SELECT term, COUNT(*) AS df FROM p1 GROUP BY 1),
+      ${Bm25SqlKernel("p1", "b1")},
+      top AS (SELECT doc_id, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY score_fp DESC, doc_id ASC) AS rn FROM b1) t
+        WHERE rn <= 5),
+      tk AS (SELECT d.doc_id, top.rank, string_split(d.text, ' ') AS ts
+        FROM documents d JOIN top ON d.doc_id = top.doc_id),
+      hits AS (SELECT doc_id, rank, CAST(i AS BIGINT) AS p,
+          ts[CAST(i AS INT)] AS term
+        FROM tk, UNNEST(range(1, len(ts)+1)) AS u(i)
+        WHERE ts[CAST(i AS INT)] IN ('query', 'window', 'scan')),
+      scored AS (SELECT s.doc_id, s.rank, s.p AS st,
+          CAST(COUNT(DISTINCT h.term) AS BIGINT) AS n_hits
+        FROM hits s JOIN hits h ON s.doc_id = h.doc_id
+          AND h.p BETWEEN s.p AND s.p + 9
+        GROUP BY 1, 2, 3),
+      best AS (SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY n_hits DESC, st ASC) AS rn2 FROM scored) t
+        WHERE rn2 = 1)
+      SELECT b.doc_id, b.rank, b.st AS win_start, b.n_hits,
+        array_to_string(list_slice(tk.ts,
+          CAST(b.st AS INT), CAST(b.st AS INT) + 9), ' ') AS snippet
+      FROM best b JOIN tk ON b.doc_id = tk.doc_id
+      ORDER BY b.rank"""))
+
   val list: Seq[Q] = Seq(q122, q123, q124, q125, q126, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137)
+    q131, q132, q133, q134, q135, q136, q137, q148, q149)
 }

@@ -121,4 +121,44 @@ object Fusion {
       .orderBy(col(ordCol).desc, col("doc_id").asc)
     topN.select(col("doc_id"), row_number().over(w).cast("long").as("rank"))
   }
+
+  /** Hit-anchored snippet extraction for a ranked result page: for
+    * each (doc_id, rank) in `ranked` (a BOUNDED top-N), the
+    * `width`-token window containing the most DISTINCT query terms —
+    * windows are anchored at query-term occurrences (an optimal
+    * window always starts at one: shifting a hit-free left edge right
+    * loses nothing), ties break leftmost. Output (doc_id, rank,
+    * win_start (1-based), n_hits, snippet).
+    *
+    * Cost: everything after the semi-join touches only the N result
+    * docs — positions explode per doc, candidate starts are hit
+    * positions, the start×hit join is per-doc and ≤ len² on a single
+    * doc. The corpus never re-scans. */
+  def snippets(docs: DataFrame, ranked: DataFrame, terms: Seq[String],
+               width: Int): DataFrame = {
+    val cand = docs.join(broadcast(ranked.select(col("doc_id"), col("rank"))),
+      Seq("doc_id"))
+    val hits = cand
+      .select(col("doc_id"), col("rank"),
+        posexplode(split(col("text"), " ")))
+      .filter(col("col").isin(terms: _*))
+      .select(col("doc_id"), col("rank"), (col("pos") + 1).as("p"),
+        col("col").as("term"))
+    val starts = hits.select(col("doc_id"), col("rank"), col("p").as("st"))
+    val scored = starts.join(
+        hits.select(col("doc_id"), col("p"), col("term")), Seq("doc_id"))
+      .filter(col("p") >= col("st") && col("p") <= col("st") + (width - 1))
+      .groupBy(col("doc_id"), col("rank"), col("st"))
+      .agg(countDistinct(col("term")).as("n_hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("n_hits").desc, col("st").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("rank"), col("st").as("win_start"),
+        col("n_hits"),
+        array_join(slice(split(col("text"), " "),
+          col("win_start").cast("int"), lit(width)), " ").as("snippet"))
+      .orderBy(col("rank"))
+  }
 }

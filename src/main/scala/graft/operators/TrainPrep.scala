@@ -413,6 +413,71 @@ object TrainPrep {
     * posting content in a scalar, so an oracle can verify the index
     * without shipping arrays. Posting lists stay distributed — one
     * hash shuffle on the term. */
+  /** [[bm25Scores]] with the query terms supplied as a (bounded)
+    * DataFrame instead of a literal list — the shape data-DEPENDENT
+    * queries need (PRF expansion, query logs): the term set joins in
+    * by broadcast semi-join, everything downstream is the same
+    * rational kernel. */
+  private def bm25ScoresByFrame(postings: DataFrame, lens: DataFrame,
+                                termsDf: DataFrame): DataFrame = {
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val p = postings.join(broadcast(termsDf.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfNum = (lit(2L) * (col("nd") - col("df")) + 1L).cast("double")
+    val idfDen = (lit(2L) * col("df") + 1L).cast("double")
+    val tfNum = (lit(22L) * col("tf_doc") * col("tt")).cast("double")
+    val tfDen = (lit(10L) * col("tf_doc") * col("tt") +
+      lit(3L) * col("tt") + lit(9L) * col("dl") * col("nd")).cast("double")
+    p.join(broadcast(dfs), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor((idfNum / idfDen) * (tfNum / tfDen) * lit(1e6)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_fp"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the Rocchio/RM3
+    * family, fully relational — the data-dependent expansion terms
+    * NEVER hit the driver): BM25-retrieve the `fbK` feedback docs,
+    * score every term they contain by
+    *   feedback df × 10⁶ div (corpus df + 1)
+    * (concentration in the feedback set, discounted by corpus
+    * commonness — exact BIGINTs), take the `nExpand` best non-query
+    * terms (score desc, term asc), and re-rank with the original ∪
+    * expansion term set through [[bm25ScoresByFrame]]. Every
+    * intermediate is bounded (fbK docs, ≤ fbK·maxlen candidate terms,
+    * |Q|+nExpand final terms); the corpus is touched by exactly the
+    * two posting reads. */
+  def prfExpandedRank(docs: DataFrame, terms: Seq[String], fbK: Int,
+                      nExpand: Int, topK: Int): DataFrame = {
+    // four consumers read the posting frame (feedback rank, feedback
+    // df, corpus df, re-rank): materialize the corpus-sized build once
+    // — the in-process analog of running PRF against the stored index
+    // (bm25RankFromTable + writeSearchIndex), which is the 100 TB path
+    val post = termDocs(docs).localCheckpoint()
+    val lens = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+    val fbDocs = bm25From(post, lens, terms, fbK).select(col("doc_id"))
+    val dfF = post.join(broadcast(fbDocs), Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("dff"))
+    val dfC = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val expansion = dfF.join(dfC, Seq("term"))
+      .filter(!col("term").isin(terms: _*))
+      .select(col("term"),
+        expr("dff * 1000000 div (df + 1)").as("escore"))
+      .orderBy(col("escore").desc, col("term").asc)
+      .limit(nExpand)
+    val allTerms = expansion.select(col("term"))
+      .union(docs.sparkSession.createDataset(terms)(
+        org.apache.spark.sql.Encoders.STRING).toDF("term"))
+      .distinct()
+    bm25ScoresByFrame(post, lens, allTerms)
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   def postings(docs: DataFrame): DataFrame = postingsFrom(termDocs(docs))
 
   /** The index summary over any (term, doc_id, tf_doc) posting frame —

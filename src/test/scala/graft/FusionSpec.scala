@@ -62,4 +62,28 @@ class FusionSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(fused.length == 20 && fused.forall(members.contains))
   }
+
+  test("snippets picks the densest window, anchored at a hit, leftmost tie") {
+    import spark.implicits._
+    // doc 1: 'q1' at 3; 'q1 q2' at 8,9 -> window starting at 8 holds 2
+    // distinct terms; the window at 3 holds only 1 (9 > 3+4)
+    val docs = Seq(
+      (1L, "w w q1 w w w w q1 q2 w w w"),
+      (2L, "q2 w w w w w w w w w w w")).toDF("doc_id", "text")
+    val ranked = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val out = Fusion.snippets(docs, ranked, Seq("q1", "q2"), width = 5)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(out == List(
+      (1L, 1L, 8L, 2L, "q1 q2 w w w"),
+      (2L, 2L, 1L, 1L, "q2 w w w w")))
+  }
+
+  test("snippets same-count tie breaks to the leftmost hit anchor") {
+    import spark.implicits._
+    val docs = Seq((1L, "q1 w w w w w q1 w")).toDF("doc_id", "text")
+    val ranked = Seq((1L, 1L)).toDF("doc_id", "rank")
+    val out = Fusion.snippets(docs, ranked, Seq("q1"), width = 3)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(out == List((1L, 1L, 1L, 1L, "q1 w w")))
+  }
 }

@@ -231,4 +231,37 @@ class TrainPrepSpec extends SparkSpec {
     assert(got("b") == ((2L, 2L, digest(Seq(2L, 10L)))))
     assert(got("c") == ((1L, 1L, digest(Seq(2L)))))
   }
+
+  test("PRF expansion surfaces a doc containing no original query term") {
+    // feedback docs (1,2) contain q + the co-occurring term 'exp';
+    // doc 3 has ONLY 'exp' — unreachable by the plain query, ranked
+    // by the expanded one (the PRF effect in miniature)
+    val docs = Seq(
+      (1L, "q exp w w"), (2L, "q exp w w"), (3L, "exp exp w w"),
+      (4L, "w w w w"), (5L, "w w w w"))
+      .toDF("doc_id", "text")
+    val plain = TrainPrep.bm25Rank(docs, Seq("q"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val prf = TrainPrep.prfExpandedRank(docs, Seq("q"),
+        fbK = 2, nExpand = 1, topK = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(3L))
+    assert(prf.contains(3L))
+    assert(prf.contains(1L) && prf.contains(2L))
+  }
+
+  test("PRF with no expandable term degenerates to the plain ranking") {
+    // feedback docs contain nothing but the query term and words that
+    // appear in EVERY doc (escore ties resolve by term asc, but a
+    // universal term adds the same score to all docs -> order holds)
+    val docs = Seq(
+      (1L, "q q"), (2L, "q w"), (3L, "w w"))
+      .toDF("doc_id", "text")
+    val plain = TrainPrep.bm25Rank(docs, Seq("q"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toList
+    val prf = TrainPrep.prfExpandedRank(docs, Seq("q"),
+        fbK = 2, nExpand = 0, topK = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toList
+    assert(prf == plain)
+  }
 }
