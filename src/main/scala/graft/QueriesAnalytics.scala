@@ -409,6 +409,32 @@ object QueriesAnalytics {
       FROM base JOIN med USING (step) JOIN p90 USING (step)
       ORDER BY step"""))
 
+  /** FORECAST BACKTEST (EventAnalytics.forecastBacktest): naive
+    * trailing-24h-mean hourly forecast, absolute-error census per
+    * event type (n_cells / Σ|err| / MAE ×100, all integer). The
+    * quality readout for the baseline q143 thresholds against. */
+  private val q150 = Q(
+    "q150_forecast_backtest",
+    (s, dir) => EventAnalytics.forecastBacktest(
+      Tables.events(s, dir).selectExpr(
+        "event_type", "unix_millis(ts) as ms")),
+    Some("""WITH t AS (SELECT event_type,
+          epoch_ms(ts) // 3600000 AS hr FROM events),
+      c AS (SELECT event_type, hr, COUNT(*) AS n FROM t GROUP BY 1, 2),
+      w AS (SELECT event_type, hr, n,
+          SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+          COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_buckets
+        FROM c),
+      e AS (SELECT event_type, n,
+          ABS(n - trail_sum // trail_buckets) AS err
+        FROM w WHERE trail_buckets >= 12)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(SUM(err) AS BIGINT) AS abs_err_sum,
+        CAST(SUM(err) * 100 // COUNT(*) AS BIGINT) AS mae_x100
+      FROM e GROUP BY 1 ORDER BY event_type"""))
+
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147)
+    q145, q146, q147, q150)
 }

@@ -129,7 +129,18 @@ object EventAnalytics {
     * window on the integer hour — missing hours shrink the divisor
     * (that's what the coverage scaling is for) rather than silently
     * zero-filling. Output is flagged cells only. */
-  def rateAnomalies(ev: DataFrame): DataFrame = {
+  def rateAnomalies(ev: DataFrame): DataFrame =
+    hourlyWithTrail(ev)
+      .filter(col("trail_buckets") >= 12 &&
+        col("n") * col("trail_buckets") * 2 > col("trail_sum") * 3)
+      .select(col("event_type"), col("hr"), col("n"),
+        col("trail_sum"), col("trail_buckets"))
+      .orderBy(col("event_type"), col("hr"))
+
+  /** Hourly (event_type, hr, n) counts with the trailing-24h RANGE
+    * window sums — shared by [[rateAnomalies]] and
+    * [[forecastBacktest]] so the two agree on what "trailing" means. */
+  private def hourlyWithTrail(ev: DataFrame): DataFrame = {
     val hourly = ev
       .withColumn("hr", expr("ms div 3600000"))
       .groupBy(col("event_type"), col("hr"))
@@ -139,10 +150,23 @@ object EventAnalytics {
     hourly
       .withColumn("trail_sum", sum(col("n")).over(w))
       .withColumn("trail_buckets", count(lit(1)).over(w))
-      .filter(col("trail_buckets") >= 12 &&
-        col("n") * col("trail_buckets") * 2 > col("trail_sum") * 3)
-      .select(col("event_type"), col("hr"), col("n"),
-        col("trail_sum"), col("trail_buckets"))
-      .orderBy(col("event_type"), col("hr"))
   }
+
+  /** Forecast backtest: predict each hour's count as the trailing-24h
+    * integer mean (⌊sum/buckets⌋, ≥12 covered buckets to play), then
+    * census the absolute error per event type — n_cells, total
+    * absolute error, and MAE ×100 (integer division; all BIGINT so
+    * the readout is engine-exact). The model-quality readout for the
+    * same naive seasonal-free baseline [[rateAnomalies]] thresholds
+    * against; |types|-row output at any event volume. */
+  def forecastBacktest(ev: DataFrame): DataFrame =
+    hourlyWithTrail(ev)
+      .filter(col("trail_buckets") >= 12)
+      .withColumn("fc", expr("trail_sum div trail_buckets"))
+      .withColumn("err", abs(col("n") - col("fc")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("err")).as("abs_err_sum"),
+        expr("sum(err) * 100 div count(1)").as("mae_x100"))
+      .orderBy(col("event_type"))
 }

@@ -89,6 +89,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 24L, 5L, 48L, 24L)))
   }
 
+  test("forecastBacktest: trailing-mean forecast and integer MAE census") {
+    // 24 calm hours at n=2, then an hour at n=5: fc=48/24=2, err=3;
+    // plus 12 perfectly-predicted hours at n=2 (fc=2, err=0)
+    val calm = (0L until 36L).flatMap(h =>
+      Seq.tabulate(2)(i => ("click", h * 3600000L + i)))
+    val spike = Seq.tabulate(3)(i => ("click", 36L * 3600000L + i))
+    val out = graft.operators.EventAnalytics.forecastBacktest(
+      (calm ++ spike).toDF("event_type", "ms"))
+      .as[(String, Long, Long, Long)].collect()
+    // evaluated cells: hours 12..36 (25 cells); only hour 36 errs
+    // (n=3 vs fc=2) -> sum=1, mae_x100 = 100/25 = 4
+    assert(out.toSeq == Seq(("click", 25L, 1L, 4L)))
+  }
+
   test("rateAnomalies cold start (<12 trailing buckets) never flags") {
     val rows = (0L until 6L).flatMap(h =>
       Seq.tabulate(if (h == 5) 50 else 1)(i => ("view", h * 3600000L + i)))

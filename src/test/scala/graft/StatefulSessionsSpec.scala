@@ -61,4 +61,45 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(all.contains((7L, 2L, 1L)))
     assert(all.contains((8L, 1L, 2L)))
   }
+
+  test("streaming sessions == batch sessionized groups on the same events") {
+    // real events; a per-user far-future sentinel closes every real
+    // session so the streaming side emits them all (the sentinel opens
+    // a fresh session that stays in state and is never emitted)
+    val real = Seq(
+      (1L, 0L), (1L, 10000L), (1L, 200000L),       // gap at 60s: 2 sessions
+      (2L, 5000L), (2L, 50000L), (2L, 70000L),     // chained: 1 session
+      (3L, 42L))                                   // singleton
+    val sentinel = real.map(_._1).distinct.map(u => (u, 999999999L))
+
+    val d = Files.createTempDirectory("graft-parity")
+    val in = d.resolve("in"); Files.createDirectories(in)
+    Files.write(in.resolve("all.csv"),
+      (real ++ sentinel).map { case (u, ms) => s"$u,$ms" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val out = d.resolve("out").toString
+    val q = StatefulSessions.sessionize(
+        spark.readStream.schema("user LONG, ms LONG").csv(in.toString)
+          .as[StatefulSessions.Event],
+        gapMs = 60000L)
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append")
+      .option("checkpointLocation", d.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("user", "sessionId", "nEvents", "durMs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val batch = graft.operators.EventAnalytics.sessionized(
+        real.zipWithIndex.map { case ((u, ms), i) => (u, i.toLong, ms) }
+          .toDF("user_id", "event_id", "ms"), gapMs = 60000L)
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n"), (max($"ms") - min($"ms")).as("dur"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    assert(streamed == batch)
+  }
 }
