@@ -435,6 +435,137 @@ object QueriesAnalytics {
         CAST(SUM(err) * 100 // COUNT(*) AS BIGINT) AS mae_x100
       FROM e GROUP BY 1 ORDER BY event_type"""))
 
+  private def dsum286(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** SHIPPING-PRIORITY TOP-10 (the TPC-H Q3 shape on the star
+    * schema): segment-filtered customers ⋈ date-filtered orders ⋈
+    * lineitem, decimal-exact revenue per order, top 10. The join
+    * planning exercise: both dimension sides are filtered BEFORE the
+    * fact join (AQE broadcasts them), revenue is the dsum discipline,
+    * and the top-10 is TakeOrdered — no global sort. */
+  private val q151 = Q(
+    "q151_shipping_priority",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-06-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-06-01"))
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum286(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l.l_orderkey,
+        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        o.o_orderpriority,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+          AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-06-01'
+        AND l.l_shipdate > TIMESTAMP '1997-06-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10"""))
+
+  /** REGIONAL REVENUE (the TPC-H Q5 shape, customer-nation form):
+    * region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem — two broadcast
+    * dims, one mid-size dim, two fact-side shuffles; revenue per
+    * nation in ASIA over a 2-year window. */
+  private val q152 = Q(
+    "q152_regional_revenue",
+    (s, dir) => {
+      val n = broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum286(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n.n_name,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+          AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 ORDER BY revenue DESC, n_name"""))
+
+  /** LARGE-VOLUME ORDERS (the TPC-H Q18 shape): orders whose total
+    * quantity exceeds 180 — the agg-then-semi-join pattern (the
+    * HAVING set is computed on lineitem alone, then pulls order and
+    * customer rows), top 10 by quantity. */
+  private val q153 = Q(
+    "q153_large_orders",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum286(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 180.0)
+      big
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("l_orderkey"), col("total_qty"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("totalprice"))
+        .orderBy(col("total_qty").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""WITH big AS (
+        SELECT l_orderkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+            AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+          > 180.0)
+      SELECT c.c_name, b.l_orderkey, b.total_qty,
+        CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+          AS totalprice
+      FROM big b
+      JOIN orders o ON b.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY b.total_qty DESC, b.l_orderkey ASC LIMIT 10"""))
+
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147, q150)
+    q145, q146, q147, q150, q151, q152, q153)
 }

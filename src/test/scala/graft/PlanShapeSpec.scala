@@ -300,4 +300,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"),
       s"last-touch must be a running-max window, not a pair join:\n$p")
   }
+
+  test("shipping priority broadcasts the filtered dims, top-10 via TakeOrdered") {
+    val p = planOf(Queries.all("q151_shipping_priority")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered customer/orders dims must broadcast into the fact join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 revenue must never be a global sort:\n$p")
+    assert(p.contains("PushedFilters"),
+      s"segment/date filters must reach the scans:\n$p")
+  }
+
+  test("large orders: the HAVING set computes on lineitem alone, top-10 via TakeOrdered") {
+    val p = planOf(Queries.all("q153_large_orders")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 via sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"equi-joins only:\n$p")
+  }
 }
