@@ -130,21 +130,33 @@ object EventAnalytics {
     * (that's what the coverage scaling is for) rather than silently
     * zero-filling. Output is flagged cells only. */
   def rateAnomalies(ev: DataFrame): DataFrame =
-    hourlyWithTrail(ev)
+    rateAnomaliesFromHourly(hourlyCounts(ev))
+
+  /** [[rateAnomalies]] off a standing hourly rollup (event_type, hr,
+    * n) — e.g. [[graft.streaming.RollupMaintenance.mergedHourly]]'s
+    * merge-on-read: monitoring reads the incrementally-maintained
+    * rollup, never the event stream. */
+  def rateAnomaliesFromHourly(hourly: DataFrame): DataFrame =
+    withTrail(hourly)
       .filter(col("trail_buckets") >= 12 &&
         col("n") * col("trail_buckets") * 2 > col("trail_sum") * 3)
       .select(col("event_type"), col("hr"), col("n"),
         col("trail_sum"), col("trail_buckets"))
       .orderBy(col("event_type"), col("hr"))
 
-  /** Hourly (event_type, hr, n) counts with the trailing-24h RANGE
-    * window sums — shared by [[rateAnomalies]] and
-    * [[forecastBacktest]] so the two agree on what "trailing" means. */
-  private def hourlyWithTrail(ev: DataFrame): DataFrame = {
-    val hourly = ev
-      .withColumn("hr", expr("ms div 3600000"))
+  /** Hourly (event_type, hr, n) counts — the rollup grain shared by
+    * the monitoring readouts and the incremental maintenance
+    * (RollupMaintenance writes per-batch deltas at exactly this
+    * grain, so merged deltas == this by additivity of counts). */
+  def hourlyCounts(ev: DataFrame): DataFrame =
+    ev.withColumn("hr", expr("ms div 3600000"))
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n"))
+
+  /** Trailing-24h RANGE window sums over an hourly rollup — shared by
+    * the anomaly and forecast readouts so "trailing" has exactly one
+    * definition. */
+  private def withTrail(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rangeBetween(-24, -1)
     hourly
@@ -160,7 +172,11 @@ object EventAnalytics {
     * same naive seasonal-free baseline [[rateAnomalies]] thresholds
     * against; |types|-row output at any event volume. */
   def forecastBacktest(ev: DataFrame): DataFrame =
-    hourlyWithTrail(ev)
+    forecastBacktestFromHourly(hourlyCounts(ev))
+
+  /** [[forecastBacktest]] off a standing hourly rollup. */
+  def forecastBacktestFromHourly(hourly: DataFrame): DataFrame =
+    withTrail(hourly)
       .filter(col("trail_buckets") >= 12)
       .withColumn("fc", expr("trail_sum div trail_buckets"))
       .withColumn("err", abs(col("n") - col("fc")))
