@@ -566,6 +566,76 @@ object QueriesAnalytics {
       JOIN customer c ON o.o_custkey = c.c_custkey
       ORDER BY b.total_qty DESC, b.l_orderkey ASC LIMIT 10"""))
 
+  /** DAILY ACTIVE / NEW / RETURNING USERS: per UTC day, distinct
+    * actives split by whether the day is the user's first — the
+    * standard growth census. Two hash-aggs ((user, day) distinct,
+    * then first-day per user) and a day-keyed rollup; |days| rows. */
+  private val q154 = Q(
+    "q154_daily_actives",
+    (s, dir) => {
+      val ud = Tables.events(s, dir)
+        .selectExpr("user_id", "unix_millis(ts) div 86400000 as day")
+        .distinct()
+      val fd = ud.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+      ud.join(fd, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("day") === col("fday"), 1L).otherwise(0L))
+            .as("new_users"))
+        .withColumn("returning", col("dau") - col("new_users"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          epoch_ms(ts) // 86400000 AS day FROM events),
+      fd AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1)
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+        CAST(SUM(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+          AS new_users,
+        CAST(COUNT(*) - SUM(CASE WHEN day = fday THEN 1 ELSE 0 END)
+          AS BIGINT) AS returning
+      FROM ud JOIN fd USING (user_id)
+      GROUP BY 1 ORDER BY day"""))
+
+  /** POWER-USER HISTOGRAM: users bucketed by the BIT LENGTH of their
+    * event count (= ⌊log₂ n⌋+1 without a transcendental — `bin()`
+    * string length is integer-exact in both engines), with user and
+    * event totals per bucket. The engagement-distribution readout;
+    * ≤64 rows at any scale. */
+  private val q155 = Q(
+    "q155_power_users",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .groupBy(length(bin(col("n"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .orderBy(col("bucket")),
+    Some("""WITH u AS (SELECT user_id, COUNT(*) AS n FROM events
+        GROUP BY 1)
+      SELECT CAST(LENGTH(BIN(n)) AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(n) AS BIGINT) AS n_events
+      FROM u GROUP BY 1 ORDER BY bucket"""))
+
+  /** HOUR-OF-DAY SEASONALITY: event share per (event_type, UTC
+    * hour-of-day) as integer ppm of the type's total — the diurnal
+    * -pattern census q143's trailing baseline deliberately ignores.
+    * 24·|types| rows. */
+  private val q156 = Q(
+    "q156_hourly_seasonality",
+    (s, dir) => Tables.events(s, dir)
+      .selectExpr("event_type", "(unix_millis(ts) div 3600000) % 24 as hod")
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("n * 1000000 div sum(n) over (partition by event_type)"))
+      .orderBy(col("event_type"), col("hod")),
+    Some("""WITH c AS (SELECT event_type,
+          (epoch_ms(ts) // 3600000) % 24 AS hod, COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+        CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
+          AS BIGINT) AS share_ppm
+      FROM c ORDER BY event_type, hod"""))
+
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147, q150, q151, q152, q153)
+    q145, q146, q147, q150, q151, q152, q153, q154, q155, q156)
 }
