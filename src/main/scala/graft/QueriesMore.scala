@@ -43,27 +43,22 @@ object QueriesMore {
 
   /** Gap-based sessionization (30-min inactivity): lag → new-session flag
     * → running sum = session id → per-session stats. The batch shape of
-    * the streaming session-window operator. */
+    * the streaming session-window operator — ONE kernel
+    * (EventAnalytics.sessionized) shared with the path/transition
+    * censuses (q140/q141) and pinned against the stateful streaming
+    * sessionizer by StatefulSessionsSpec's parity test. */
   private val q30 = Q(
     "q30_sessionize",
-    (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ms"), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ms"))
-        .withColumn("new_s",
-          when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L)
-            .when(lag(col("ms"), 1).over(w).isNull, 1L)
-            .otherwise(0L))
-        .withColumn("session_id",
-          sum(col("new_s")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    (s, dir) =>
+      graft.operators.EventAnalytics.sessionized(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms")),
+        gapMs = 1800000L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("ms")) - min(col("ms"))).as("dur_ms"))
-        .orderBy(col("user_id"), col("session_id"))
-    },
+        .orderBy(col("user_id"), col("session_id")),
     Some("""WITH t AS (
         SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
       f AS (

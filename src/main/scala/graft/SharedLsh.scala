@@ -107,12 +107,31 @@ object SharedGrams {
         Tables.documents(s, dir), "doc_id", "text", n = 8, maxDf = 10)
         .localCheckpoint())
 
+  /** The checkpointed (postings, doc-lengths) pair PRF reads four
+    * times (q148) — one materialization per session+input, like every
+    * other corpus-sized shared artifact, so repeated query runs reuse
+    * one copy instead of checkpointing per invocation. */
+  private val postCache =
+    TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  def postingPair(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    postCache.getOrElseUpdate((s, dir), {
+      val docs = Tables.documents(s, dir)
+      import org.apache.spark.sql.functions.{col => c}
+      (operators.TrainPrep.termDocs(docs).localCheckpoint(),
+        docs.select(c("doc_id"),
+          operators.TextAnalysis.tokenCount(c("text")).cast("long")
+            .as("dl")).localCheckpoint())
+    })
+
   def clear(): Unit = synchronized {
-    (cache.values ++ edgeCache.values).foreach { df =>
+    (cache.values ++ edgeCache.values ++
+      postCache.values.flatMap(p => Seq(p._1, p._2))).foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     cache.clear()
     edgeCache.clear()
+    postCache.clear()
   }
 }
 

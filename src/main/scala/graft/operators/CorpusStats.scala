@@ -34,10 +34,15 @@ object CorpusStats {
     * grid, no vocab-sized broadcast, open-vocabulary-safe (the
     * ScaleBench corpus has ~60M distinct terms at 1M docs and this
     * still runs as one shuffle join). The |sources| census and the
-    * 1-row total are the only broadcasts. The ×10⁴ scale keeps the
-    * numerator Σ·10⁴ ≤ 2·s·T·10⁴ inside BIGINT up to s·T ≈ 9·10¹⁴
-    * (sf1 is ~10¹³); past that, split the flooring as
-    * q = Σ div d; r = Σ − q·d; tvd = q·10⁴ + r·10⁴ div d. */
+    * 1-row total are the only broadcasts.
+    *
+    * The final ×10⁴ flooring runs in DECIMAL(38,0) with an integral
+    * `div` (quotient ≤ 10⁴, so the BIGINT result never overflows):
+    * num·10⁴ reaches 2·s·T·10⁴ ≈ 10²⁹ at a 10-TB-scale source, far
+    * past BIGINT but comfortably inside decimal(38) — and DuckDB's
+    * HUGEINT `//` on the oracle side is the same exact floor. The
+    * per-term BIGINT products o·T cap out later (o·T ≤ s·T ≈ 9·10¹⁸
+    * at s ≈ 10⁶, T ≈ 10¹³); shard sources before that point. */
   def sourceUnigramTvd(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("source"),
       explode(split(col("text"), " ")).as("term"))
@@ -55,8 +60,12 @@ object CorpusStats {
       .agg(sum(abs(col("o") * col("t") - col("c") * col("s"))).as("obs"),
         sum(col("c")).as("cobs"))
       .select(col("source"), col("s").as("n_tokens"),
-        expr("(obs + s * (t - cobs)) * 10000 div (2 * s * t)")
-          .as("tvd_x1e4"))
+        expr("""(cast(obs as decimal(38,0))
+              + cast(s as decimal(38,0)) * (cast(t as decimal(38,0))
+                  - cast(cobs as decimal(38,0))))
+            * 10000
+          div (2 * cast(s as decimal(38,0)) * cast(t as decimal(38,0)))""")
+          .cast("long").as("tvd_x1e4"))
       .orderBy(col("source"))
   }
 }

@@ -136,8 +136,15 @@ object Fusion {
     * doc. The corpus never re-scans. */
   def snippets(docs: DataFrame, ranked: DataFrame, terms: Seq[String],
                width: Int): DataFrame = {
-    val cand = docs.join(broadcast(ranked.select(col("doc_id"), col("rank"))),
-      Seq("doc_id"))
+    // ONE corpus pass: the semi-join result (≤N rows, text included)
+    // is materialized and serves both the hit extraction and the final
+    // snippet slice — without the checkpoint the text re-join at the
+    // end would re-scan the corpus for N rows of output
+    val cand = docs
+      .join(broadcast(ranked.select(col("doc_id"), col("rank"))),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("rank"), col("text"))
+      .localCheckpoint()
     val hits = cand
       .select(col("doc_id"), col("rank"),
         posexplode(split(col("text"), " ")))
@@ -154,7 +161,7 @@ object Fusion {
       .partitionBy(col("doc_id"))
       .orderBy(col("n_hits").desc, col("st").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(cand.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("rank"), col("st").as("win_start"),
         col("n_hits"),
         array_join(slice(split(col("text"), " "),

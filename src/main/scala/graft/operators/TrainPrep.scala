@@ -308,8 +308,17 @@ object TrainPrep {
   private def bm25Scores(postings: DataFrame, lens: DataFrame,
                          terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
+    bm25KernelFrom(postings.filter(col("term").isin(terms: _*)), lens)
+  }
+
+  /** The determinism-critical rational BM25 kernel over an ALREADY
+    * term-filtered posting frame — the single definition behind the
+    * literal-list path ([[bm25Scores]]) and the terms-frame path
+    * ([[bm25ScoresByFrame]]), so a constant tweak cannot diverge the
+    * two (the oracle side has the same single definition in
+    * QueriesRetrieve.Bm25SqlKernel). */
+  private def bm25KernelFrom(p: DataFrame, lens: DataFrame): DataFrame = {
     val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-    val p = postings.filter(col("term").isin(terms: _*))
     val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idfNum = (lit(2L) * (col("nd") - col("df")) + 1L).cast("double")
     val idfDen = (lit(2L) * col("df") + 1L).cast("double")
@@ -417,26 +426,14 @@ object TrainPrep {
     * DataFrame instead of a literal list — the shape data-DEPENDENT
     * queries need (PRF expansion, query logs): the term set joins in
     * by broadcast semi-join, everything downstream is the same
-    * rational kernel. */
+    * rational kernel ([[bm25KernelFrom]] — one kernel, two term
+    * filters). */
   private def bm25ScoresByFrame(postings: DataFrame, lens: DataFrame,
-                                termsDf: DataFrame): DataFrame = {
-    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-    val p = postings.join(broadcast(termsDf.select(col("term")).distinct()),
-      Seq("term"), "left_semi")
-    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idfNum = (lit(2L) * (col("nd") - col("df")) + 1L).cast("double")
-    val idfDen = (lit(2L) * col("df") + 1L).cast("double")
-    val tfNum = (lit(22L) * col("tf_doc") * col("tt")).cast("double")
-    val tfDen = (lit(10L) * col("tf_doc") * col("tt") +
-      lit(3L) * col("tt") + lit(9L) * col("dl") * col("nd")).cast("double")
-    p.join(broadcast(dfs), "term")
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor((idfNum / idfDen) * (tfNum / tfDen) * lit(1e6)).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_fp"))
-  }
+                                termsDf: DataFrame): DataFrame =
+    bm25KernelFrom(
+      postings.join(broadcast(termsDf.select(col("term")).distinct()),
+        Seq("term"), "left_semi"),
+      lens)
 
   /** Pseudo-relevance-feedback query expansion (the Rocchio/RM3
     * family, fully relational — the data-dependent expansion terms
@@ -451,14 +448,23 @@ object TrainPrep {
     * |Q|+nExpand final terms); the corpus is touched by exactly the
     * two posting reads. */
   def prfExpandedRank(docs: DataFrame, terms: Seq[String], fbK: Int,
-                      nExpand: Int, topK: Int): DataFrame = {
-    // four consumers read the posting frame (feedback rank, feedback
-    // df, corpus df, re-rank): materialize the corpus-sized build once
-    // — the in-process analog of running PRF against the stored index
-    // (bm25RankFromTable + writeSearchIndex), which is the 100 TB path
-    val post = termDocs(docs).localCheckpoint()
-    val lens = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+                      nExpand: Int, topK: Int): DataFrame =
+    prfExpandedRankFrom(termDocs(docs),
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("dl")),
+      terms, fbK, nExpand, topK)
+
+  /** [[prfExpandedRank]] over a standing (term, doc_id, tf_doc)
+    * posting frame + doc-length table — the artifact path: four
+    * consumers read the postings (feedback rank, feedback df, corpus
+    * df, re-rank), so callers hand in a MATERIALIZED frame (a
+    * bucketed posting table, StreamingIndex merge-on-read, or a
+    * session-cached checkpoint as q148 does via SharedGrams) rather
+    * than this method checkpointing per invocation — repeated calls
+    * must not accumulate block-manager copies. */
+  def prfExpandedRankFrom(post: DataFrame, lens: DataFrame,
+                          terms: Seq[String], fbK: Int,
+                          nExpand: Int, topK: Int): DataFrame = {
     val fbDocs = bm25From(post, lens, terms, fbK).select(col("doc_id"))
     val dfF = post.join(broadcast(fbDocs), Seq("doc_id"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("dff"))
@@ -470,7 +476,7 @@ object TrainPrep {
       .orderBy(col("escore").desc, col("term").asc)
       .limit(nExpand)
     val allTerms = expansion.select(col("term"))
-      .union(docs.sparkSession.createDataset(terms)(
+      .union(post.sparkSession.createDataset(terms)(
         org.apache.spark.sql.Encoders.STRING).toDF("term"))
       .distinct()
     bm25ScoresByFrame(post, lens, allTerms)
