@@ -939,6 +939,130 @@ object QueriesRetrieve {
       FROM best b JOIN tk ON b.doc_id = tk.doc_id
       ORDER BY b.rank"""))
 
+  /** RETRIEVAL EVALUATION HARNESS: score the BM25 top-10 against
+    * conjunctive pseudo-qrels (docs containing EVERY query term =
+    * relevant) — precision@10, recall@10, and MRR as integer ppm.
+    * The lexical complement of q102's ANN recall harness; one census
+    * row whatever the corpus size. */
+  private val q157 = Q(
+    "q157_retrieval_eval",
+    (s, dir) => {
+      val (post, lens) = SharedGrams.postingPair(s, dir)
+      val rel = TrainPrep.indexLookupAndFromPostings(post, QueryTerms)
+        .select(col("doc_id")).distinct()
+      val ranked = Fusion.rankOf(
+        TrainPrep.bm25RankFromPair(post, lens, QueryTerms, 10),
+        "score_fp")
+      val hits = ranked.join(rel, Seq("doc_id"))
+        .agg(count(lit(1)).as("hits10"),
+          min(col("rank")).as("first_rank"))
+      val nrel = rel.agg(count(lit(1)).as("n_relevant"))
+      hits.crossJoin(broadcast(nrel))
+        .select(col("n_relevant"), col("hits10"),
+          expr("hits10 * 1000000 div 10").as("p10_ppm"),
+          when(col("n_relevant") === 0, 0L)
+            .otherwise(expr("hits10 * 1000000 div n_relevant"))
+            .as("recall_ppm"),
+          when(col("hits10") === 0, 0L)
+            .otherwise(expr("1000000 div first_rank")).as("mrr_x1e6"))
+    },
+    Some(s"""WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt
+        FROM lens),
+      toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      p1 AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term IN ('query', 'window', 'scan') GROUP BY 1, 2),
+      d_p1 AS (SELECT term, COUNT(*) AS df FROM p1 GROUP BY 1),
+      ${Bm25SqlKernel("p1", "b1")},
+      ranked AS (SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score_fp DESC, doc_id ASC) AS rank
+        FROM b1 QUALIFY rank <= 10),
+      rel AS (SELECT doc_id FROM p1 GROUP BY 1
+        HAVING COUNT(DISTINCT term) = 3),
+      h AS (SELECT COUNT(*) AS hits10, MIN(rank) AS first_rank
+        FROM ranked JOIN rel USING (doc_id)),
+      nr AS (SELECT COUNT(*) AS n_relevant FROM rel)
+      SELECT CAST(n_relevant AS BIGINT) AS n_relevant,
+        CAST(hits10 AS BIGINT) AS hits10,
+        CAST(hits10 * 1000000 // 10 AS BIGINT) AS p10_ppm,
+        CAST(CASE WHEN n_relevant = 0 THEN 0
+          ELSE hits10 * 1000000 // n_relevant END AS BIGINT)
+          AS recall_ppm,
+        CAST(CASE WHEN hits10 = 0 THEN 0
+          ELSE 1000000 // first_rank END AS BIGINT) AS mrr_x1e6
+      FROM h CROSS JOIN nr"""))
+
+  /** CASCADE RERANKING: the classic two-stage retrieval — cheap
+    * lexical BM25 narrows the corpus to 100 candidates, the exact
+    * decimal cosine kernel (q20's engine) reranks ONLY those to a
+    * top-10. The candidate restriction is a broadcast semi-join, so
+    * the expensive stage never sees the corpus. */
+  private val q158 = Q(
+    "q158_cascade_rerank",
+    (s, dir) => {
+      val (post, lens) = SharedGrams.postingPair(s, dir)
+      val lexTop = Fusion.rankOf(
+        TrainPrep.bm25RankFromPair(post, lens, QueryTerms, 100),
+        "score_fp")
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val cand = e.join(
+        broadcast(lexTop.select(col("doc_id").as("id"))),
+        Seq("id"), "left_semi")
+      Similarity.cosineTopKFast(cand, e.filter(col("id") === 0), 10)
+        .select(col("vec_id").as("doc_id"),
+          col("rnk").cast("long").as("sem_rank"))
+        .join(lexTop.withColumnRenamed("rank", "lex_rank"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"))
+        .orderBy(col("sem_rank"))
+    },
+    Some(s"""WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt
+        FROM lens),
+      toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+      p1 AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term IN ('query', 'window', 'scan') GROUP BY 1, 2),
+      d_p1 AS (SELECT term, COUNT(*) AS df FROM p1 GROUP BY 1),
+      ${Bm25SqlKernel("p1", "b1")},
+      lex AS (SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
+        FROM b1 QUALIFY lex_rank <= 100),
+      cev AS (
+        SELECT e.vec_id, t.i,
+          CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) AS a
+        FROM embeddings e JOIN lex ON e.vec_id = lex.doc_id,
+          UNNEST(range(1, len(e.embedding)+1)) AS t(i)
+        WHERE e.vec_id <> 0),
+      qev AS (SELECT vec_id, i,
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
+        WHERE vec_id = 0),
+      norms AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM cev GROUP BY 1),
+      nq AS (SELECT SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16)))
+          AS DOUBLE)) AS nrm FROM qev),
+      dots AS (SELECT c.vec_id,
+          CAST(SUM(CAST(q.a*c.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM qev q JOIN cev c ON q.i = c.i GROUP BY 1),
+      cos AS (SELECT dots.vec_id,
+          dot / (nq.nrm * ne.nrm) AS cosim
+        FROM dots JOIN norms ne ON dots.vec_id = ne.vec_id
+        CROSS JOIN nq),
+      sem AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+          ORDER BY cosim DESC, vec_id ASC) AS sem_rank
+        FROM cos QUALIFY sem_rank <= 10)
+      SELECT sem.doc_id, CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+        CAST(sem.sem_rank AS BIGINT) AS sem_rank
+      FROM sem JOIN lex ON sem.doc_id = lex.doc_id
+      ORDER BY sem_rank"""))
+
   val list: Seq[Q] = Seq(q122, q123, q124, q125, q126, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q148, q149)
+    q131, q132, q133, q134, q135, q136, q137, q148, q149, q157, q158)
 }

@@ -188,6 +188,12 @@ object TrainPrep {
   def indexLookupAnd(docs: DataFrame, terms: Seq[String]): DataFrame =
     lookupAnd(termDocs(docs), terms)
 
+  /** [[indexLookupAnd]] over a standing posting frame (the artifact
+    * path — a session-cached checkpoint or a bucketed table read). */
+  def indexLookupAndFromPostings(post: DataFrame,
+                                 terms: Seq[String]): DataFrame =
+    lookupAnd(post, terms)
+
   /** The conjunctive intersection over any (term, doc_id, tf_doc)
     * posting frame — shared by the from-text and from-table lookups so
     * the tf naming / join semantics can't drift between them. */
@@ -267,6 +273,14 @@ object TrainPrep {
     bm25From(postings,
       postings.groupBy(col("doc_id")).agg(sum(col("tf_doc")).as("dl")),
       terms, topK)
+
+  /** [[bm25Rank]] over a standing (postings, doc-lengths) PAIR — the
+    * artifact path when the lengths side table already exists (e.g.
+    * SharedGrams.postingPair or writeSearchIndex's `_doclens`),
+    * skipping [[bm25RankFromPostings]]' postings-wide length agg. */
+  def bm25RankFromPair(postings: DataFrame, lens: DataFrame,
+                       terms: Seq[String], topK: Int): DataFrame =
+    bm25From(postings, lens, terms, topK)
 
   /** Persist the full search index: the term-bucketed posting table
     * (`<base>_postings`) plus the doc-length side table
