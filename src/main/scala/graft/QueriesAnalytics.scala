@@ -636,6 +636,111 @@ object QueriesAnalytics {
           AS BIGINT) AS share_ppm
       FROM c ORDER BY event_type, hod"""))
 
+  /** The two-proportion z-statistic combiner, shared VERBATIM between
+    * the Spark expr and the oracle SQL (the CorrExpr discipline):
+    * expects BIGINT columns ua/ca/ub/cb; `/` on integers is true
+    * division in both engines, SQRT is correctly-rounded IEEE. */
+  private val ZExpr: String =
+    "CASE WHEN ca + cb = 0 OR ca + cb = ua + ub THEN 0 " +
+      "ELSE CAST(FLOOR(((cb/ub - ca/ua) / SQRT((ca+cb)/(ua+ub) " +
+      "* (1 - (ca+cb)/(ua+ub)) * (1e0/ua + 1e0/ub))) * 1000000e0) " +
+      "AS BIGINT) END"
+
+  /** A/B-TEST LIFT ANALYSIS: users deterministically armed by md5
+    * nibble parity (the q41 split machinery), conversion = any
+    * HIGH-VALUE purchase (value > 180 — plain purchases convert every
+    * user at every SF, which degenerates the variance), lift in exact
+    * integer ppm, and the two-proportion z-statistic ×10⁶ via the
+    * shared-verbatim IEEE combiner (zero-variance guarded on both
+    * sides). One user-grain agg then a 2-row census. */
+  private val q159 = Q(
+    "q159_ab_lift",
+    (s, dir) => {
+      val arm = when(
+        substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+        .otherwise("B")
+      val users = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 180.0, 1L).otherwise(0L)).as("converted"))
+        .select(arm.as("arm"), col("converted"))
+      val byArm = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      val a = byArm.filter(col("arm") === "A")
+        .select(col("n_users").as("ua"), col("n_conv").as("ca"))
+      val b = byArm.filter(col("arm") === "B")
+        .select(col("n_users").as("ub"), col("n_conv").as("cb"))
+      a.crossJoin(broadcast(b))
+        .select(col("ua"), col("ca"), col("ub"), col("cb"),
+          (expr("cb * 1000000 div ub") - expr("ca * 1000000 div ua"))
+            .as("lift_ppm"),
+          expr(ZExpr).as("z_x1e6"))
+    },
+    Some(s"""WITH u AS (SELECT user_id,
+          CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1)
+            IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+            AS arm,
+          MAX(CASE WHEN event_type = 'purchase' AND value > 180
+            THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY 1, 2),
+      s2 AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(converted) AS BIGINT) AS n_conv
+        FROM u GROUP BY 1),
+      a AS (SELECT n_users AS ua, n_conv AS ca FROM s2 WHERE arm = 'A'),
+      b AS (SELECT n_users AS ub, n_conv AS cb FROM s2 WHERE arm = 'B')
+      SELECT ua, ca, ub, cb,
+        CAST(cb * 1000000 // ub - ca * 1000000 // ua AS BIGINT)
+          AS lift_ppm,
+        $ZExpr AS z_x1e6
+      FROM a CROSS JOIN b"""))
+
+  /** QUALITY-vs-DUPLICATION CALIBRATION: the q23 quality score
+    * bucketed (⌊q·10⌋) against the exact-dup verdict — does the
+    * quality signal actually separate duplicated boilerplate? The
+    * cross-layer diagnostic a curation pipeline runs before trusting
+    * either filter. One doc-grain pass + an 11-row census. */
+  private val q160 = Q(
+    "q160_quality_dup_calibration",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        md5(col("text")).as("h"),
+        floor(TextAnalysis.qualityScore(col("text")) * 10).cast("long")
+          .as("bucket"))
+      val dups = d.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h"), lit(1L).as("is_dup"))
+      d.join(dups, Seq("h"), "left")
+        .na.fill(0L, Seq("is_dup"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"))
+        .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val stopList = TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH scored AS (
+        SELECT doc_id, md5(text) AS h,
+          CAST(FLOOR((
+            LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+            (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+               / len(string_split(text, ' '))) * 0.3 +
+            (1.0 - LEAST(1.0,
+              len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2
+          ) * 10) AS BIGINT) AS bucket
+        FROM documents),
+      dups AS (SELECT h FROM scored GROUP BY h HAVING COUNT(*) >= 2)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN dups.h IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dup,
+        CAST(SUM(CASE WHEN dups.h IS NOT NULL THEN 1 ELSE 0 END)
+          * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+      FROM scored LEFT JOIN dups ON scored.h = dups.h
+      GROUP BY 1 ORDER BY bucket"""
+    })
+
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147, q150, q151, q152, q153, q154, q155, q156)
+    q145, q146, q147, q150, q151, q152, q153, q154, q155, q156,
+    q159, q160)
 }
