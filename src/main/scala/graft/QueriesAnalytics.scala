@@ -740,7 +740,82 @@ object QueriesAnalytics {
       GROUP BY 1 ORDER BY bucket"""
     })
 
+  /** DECONTAMINATION CROSSTAB: the union report a real
+    * decontamination pass ships — every train doc flagged by BOTH
+    * screens (exact md5 hit against the held-out set, ≥1 shared word
+    * 8-gram via Curation.contaminatedDocs), censused by flag
+    * combination. Shows what n-gram screening catches that exact
+    * hashing misses (the GPT-3-appendix lesson). Held-out set =
+    * doc_id % 101 == 0 (the q118 target convention); contamination is
+    * INJECTED q56-style so every cell populates at every SF — every
+    * 13th doc becomes one canonical verbatim passage (doc 0 puts it
+    * in the held-out set ⇒ exact+ngram hits), every 11th appends a
+    * benchmark phrase (ngram-only hits). */
+  private val q161 = Q(
+    "q161_decontamination_report",
+    (s, dir) => {
+      val txt = when(col("doc_id") % 13 === 0,
+        lit("the exact duplicated benchmark passage appears verbatim " +
+          "in this corpus"))
+        .when(col("doc_id") % 11 === 0,
+          concat_ws(" ", col("text"),
+            lit("what is the capital of france")))
+        .otherwise(col("text"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), txt.as("text"))
+      val test = docs.filter(col("doc_id") % 101 === 0)
+      val train = docs.filter(col("doc_id") % 101 =!= 0)
+      val exactHit = train
+        .join(test.select(md5(col("text")).as("h")).distinct(),
+          md5(col("text")) === col("h"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("exact_hit"))
+      val ngramHit = graft.operators.Curation
+        .contaminatedDocs(train, test, "doc_id", "text", n = 8)
+        .select(col("doc_id"), lit(1L).as("ngram_hit"))
+      train.select(col("doc_id"))
+        .join(exactHit, Seq("doc_id"), "left")
+        .join(ngramHit, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("exact_hit", "ngram_hit"))
+        .groupBy(col("exact_hit"), col("ngram_hit"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("exact_hit"), col("ngram_hit"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0
+             THEN 'the exact duplicated benchmark passage appears verbatim in this corpus'
+             WHEN doc_id % 11 = 0
+             THEN text || ' what is the capital of france'
+             ELSE text END AS text
+        FROM documents),
+      test AS (SELECT * FROM d WHERE doc_id % 101 = 0),
+      train AS (SELECT * FROM d WHERE doc_id % 101 <> 0),
+      th AS (SELECT DISTINCT md5(text) AS h FROM test),
+      eh AS (SELECT DISTINCT t.doc_id FROM train t
+        JOIN th ON md5(t.text) = th.h),
+      tg AS (SELECT DISTINCT g FROM (
+        SELECT UNNEST(list_transform(range(1, len(ts)-6),
+          i -> array_to_string(
+            list_slice(ts, CAST(i AS INT), CAST(i AS INT)+7), ' '))) AS g
+        FROM (SELECT string_split(text,' ') AS ts FROM test)
+        WHERE len(ts) >= 8)),
+      ng AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, UNNEST(list_transform(range(1, len(ts)-6),
+          i -> array_to_string(
+            list_slice(ts, CAST(i AS INT), CAST(i AS INT)+7), ' '))) AS g
+        FROM (SELECT doc_id, string_split(text,' ') AS ts FROM train)
+        WHERE len(ts) >= 8) x JOIN tg USING (g)),
+      f AS (SELECT t.doc_id,
+          CASE WHEN eh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_hit,
+          CASE WHEN ng.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ngram_hit
+        FROM train t
+        LEFT JOIN eh ON t.doc_id = eh.doc_id
+        LEFT JOIN ng ON t.doc_id = ng.doc_id)
+      SELECT CAST(exact_hit AS BIGINT) AS exact_hit,
+        CAST(ngram_hit AS BIGINT) AS ngram_hit,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM f GROUP BY 1, 2 ORDER BY exact_hit, ngram_hit"""))
+
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q150, q151, q152, q153, q154, q155, q156,
-    q159, q160)
+    q159, q160, q161)
 }
