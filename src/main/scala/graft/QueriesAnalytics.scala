@@ -815,7 +815,34 @@ object QueriesAnalytics {
         CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM f GROUP BY 1, 2 ORDER BY exact_hit, ngram_hit"""))
 
+  /** K-ANONYMITY AUDIT (privacy companion to q43 redaction / q49
+    * anonymization): customers grouped by the quasi-identifier pair
+    * (nation, market segment); a group smaller than k=5 re-identifies
+    * its members. One-row census: group count, risky groups, exposed
+    * rows, extremes — the release-gate readout before publishing a
+    * "de-identified" table. One hash-agg + a 1-row rollup. */
+  private val q162 = Q(
+    "q162_k_anonymity",
+    (s, dir) => Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+          .as("n_exposed_rows"),
+        min(col("sz")).as("min_group"), max(col("sz")).as("max_group")),
+    Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        FROM customer GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_risky_groups,
+        CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+          AS n_exposed_rows,
+        CAST(MIN(sz) AS BIGINT) AS min_group,
+        CAST(MAX(sz) AS BIGINT) AS max_group
+      FROM g"""))
+
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q150, q151, q152, q153, q154, q155, q156,
-    q159, q160, q161)
+    q159, q160, q161, q162)
 }
