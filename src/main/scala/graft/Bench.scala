@@ -8,9 +8,9 @@ import org.apache.spark.sql.SparkSession
   * all land there), then `SPARK_GRAFT_BENCH_PASSES` (default 3) timed
   * passes over all queries; the reported per-query time is the MINIMUM
   * across passes and "total" is the sum of those minima. The host VM
-  * freezes for tens of seconds at random (host-level CPU throttle — see
-  * .claude/skills/verify/SKILL.md); interleaved passes + min recover the
-  * steady-state number instead of charging a random query for the freeze.
+  * occasionally freezes for tens of seconds under host-level CPU
+  * throttle; interleaved passes + min recover the steady-state number
+  * instead of charging a random query for the freeze.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
