@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schema, partition sizing, batched
   * per-partition execution (the JVM shape of a pandas-UDF/mapInPandas
-  * stage), deterministic outputs — while the actual codec calls are
-  * STUBBED behind [[Codec]] (this container has no image/audio libs):
-  * `StubCodec` derives deterministic fake features from the bytes so the
-  * pipeline is testable end-to-end. Swapping in a real codec changes no
-  * plan shape.
+  * stage), deterministic outputs. The IMAGE leg is real end-to-end:
+  * [[ImageIo]] pixel-decodes PNG/GIF/BMP via the JDK's `javax.imageio`
+  * (deterministic BT.601 gray conversion), feeding the same GRAY8
+  * resize/aHash kernels the synthetic raster format uses. Audio/video
+  * decode stays behind the [[Codec]] seam (`StubCodec` derives
+  * deterministic fake features — no audio/video libs ship with the
+  * JDK); swapping in a real codec changes no plan shape.
   *
   * Scale notes: payloads never pass through a shuffle in these operators
   * (mapPartitions is narrow); metadata-only queries project away the
@@ -233,15 +235,103 @@ object Multimodal {
     out
   }
 
+  /** Real image pixel decode via the JDK's `javax.imageio` (the PNG /
+    * GIF / BMP readers ship with every JDK — no external jar). Decoded
+    * pixels are converted to GRAY8 with integer BT.601 luma
+    * (⌊(299·r + 587·g + 114·b) / 1000⌋) instead of the platform ICC
+    * colorspace path, so the raster is deterministic across JDK
+    * implementations — and for gray PNGs (r==g==b==v) the luma is
+    * exactly v, making the decoded raster bit-identical to the raw
+    * GRAY8 synthetic format. This closes the codec seam: PNG payloads
+    * take the real-decode path; raw GRAY8 rasters and garbage fall
+    * back to the byte-raster interpretation, so every operator stays
+    * total on mixed inputs. */
+  object ImageIo {
+    javax.imageio.ImageIO.setUseCache(false) // never spill decode temp files
+
+    /** Decode a real image container to (GRAY8 raster, width, height).
+      * None when the payload is not a decodable image (never throws).
+      * Header-sniffs via [[ImageHeaders]] before invoking ImageIO so
+      * non-image payloads skip the reader-discovery cost entirely. */
+    def decodeGray8(bytes: Array[Byte]): Option[(Array[Byte], Int, Int)] = {
+      if (bytes == null || ImageHeaders.dims(bytes).isEmpty) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+              val b = p & 0xff
+              out(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((out, w, h))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** (GRAY8 raster, width, height) for ANY payload: real decode when
+      * the bytes are a decodable image (decoded dims win over claimed
+      * metadata dims — metadata may lie), raw byte-raster view at the
+      * claimed dims otherwise. */
+    def grayOf(payload: Array[Byte], claimedW: Int, claimedH: Int)
+        : (Array[Byte], Int, Int) =
+      decodeGray8(payload).getOrElse((payload, claimedW, claimedH))
+
+    /** Seam-compatible resample kernel (the [[resizePayloads]] default):
+      * decode-then-subsample for real images, byte-raster subsample
+      * otherwise. */
+    def resample(payload: Array[Byte], srcW: Int, srcH: Int,
+                 outW: Int, outH: Int): Array[Byte] = {
+      val (gray, w, h) = grayOf(payload, srcW, srcH)
+      nearestNeighborGray8(gray, w, h, outW, outH)
+    }
+  }
+
+  /** Codec with the real pixel path: image rows that decode get
+    * feature = [width, height, 1 (parsed flag), mean gray]; image rows
+    * with only a recognized header degrade to [[ImageHeaderCodec]]
+    * semantics; everything else falls back to [[StubCodec]]. */
+  object ImageIoCodec extends Codec {
+    def decodeFeature(kind: String, payload: Array[Byte],
+                      dim: Int): Array[Float] =
+      if (kind == "image") ImageIo.decodeGray8(payload) match {
+        case Some((gray, w, h)) =>
+          val out = new Array[Float](dim)
+          if (dim > 0) out(0) = w.toFloat
+          if (dim > 1) out(1) = h.toFloat
+          if (dim > 2) out(2) = 1f
+          if (dim > 3 && gray.nonEmpty) {
+            var s = 0L; var i = 0
+            while (i < gray.length) { s += gray(i) & 0xff; i += 1 }
+            out(3) = (s / gray.length).toFloat // integer mean gray
+          }
+          out
+        case None => ImageHeaderCodec.decodeFeature(kind, payload, dim)
+      } else StubCodec.decodeFeature(kind, payload, dim)
+  }
+
   /** Pixel-resize pass: per-partition batched map that carries each
     * image payload plus its [[resizePlan]] target through `resample`
     * (payload, srcW, srcH, outW, outH) ⇒ resized bytes. The default
-    * kernel is [[nearestNeighborGray8]] — real pixel subsampling over
-    * the GRAY8 raster format, not a truncation fake; production codecs
-    * swap in through the same seam. Narrow (payloads never shuffle). */
+    * kernel is [[ImageIo.resample]] — REAL pixel decode (PNG/GIF/BMP
+    * via the JDK's ImageIO) with deterministic BT.601 gray conversion,
+    * falling back to the raw GRAY8 byte-raster interpretation for
+    * non-image payloads. Narrow (payloads never shuffle). */
   def resizePayloads(media: DataFrame, maxSide: Int,
                      resample: (Array[Byte], Int, Int, Int, Int) => Array[Byte] =
-                       nearestNeighborGray8)
+                       ImageIo.resample)
       : DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -277,7 +367,10 @@ object Multimodal {
   }
 
   /** Adds a `phash` column (aHash of the payload) to image rows —
-    * narrow per-partition pass, payloads never shuffle. */
+    * narrow per-partition pass, payloads never shuffle. Real image
+    * containers are pixel-decoded first ([[ImageIo.grayOf]]), so a PNG
+    * and the raw GRAY8 raster of the same gray pixels hash
+    * identically (spec-asserted). */
   def withAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -287,7 +380,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, payload, w, h) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          (id, aHash64(bytes, w, h))
+          val (gray, gw, gh) = ImageIo.grayOf(bytes, w, h)
+          (id, aHash64(gray, gw, gh))
         }
       }
       .toDF("media_id", "phash")

@@ -172,4 +172,84 @@ class MultimodalSpec extends SparkSpec {
     // dims come from the plan; bytes past payload end read as 0
     assert(got.toSeq == Seq((16, 8, 128)))
   }
+
+  // real PNG encode for the ImageIo decode tests: RGB pixels r=g=b=v(x,y)
+  // (TYPE_INT_RGB round-trips sRGB values exactly through PNG, so the
+  // BT.601 luma of (v,v,v) is exactly v — no colorspace surprises)
+  private def grayAsRgbPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIo.decodeGray8: real PNG pixel decode, exact values and dims") {
+    val png = grayAsRgbPng(8, 4, (x, y) => 16 * y + x)
+    val Some((gray, w, h)) = Multimodal.ImageIo.decodeGray8(png)
+    assert((w, h) == (8, 4))
+    assert(gray.toSeq == Array.tabulate(32)(i => (16 * (i / 8) + i % 8).toByte).toSeq)
+    // non-image payloads (raw rasters, garbage, header-only) decode to None
+    assert(Multimodal.ImageIo.decodeGray8(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.ImageIo.decodeGray8(pngHeader(640, 480)).isEmpty)
+    assert(Multimodal.ImageIo.decodeGray8(null).isEmpty)
+  }
+
+  test("ImageIo.decodeGray8: BT.601 integer luma on colored pixels") {
+    val img = new java.awt.image.BufferedImage(
+      3, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // pure red   → ⌊255·299/1000⌋ = 76
+    img.setRGB(1, 0, 0x00ff00) // pure green → ⌊255·587/1000⌋ = 149
+    img.setRGB(2, 0, 0x0000ff) // pure blue  → ⌊255·114/1000⌋ = 29
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((gray, _, _)) = Multimodal.ImageIo.decodeGray8(bos.toByteArray)
+    assert(gray.toSeq == Seq(76.toByte, 149.toByte, 29.toByte))
+  }
+
+  test("resizePayloads default kernel decodes real PNGs (decoded dims win)") {
+    val srcW = 8; val srcH = 4
+    val png = grayAsRgbPng(srcW, srcH, (x, y) => 16 * y + x)
+    // metadata claims the true dims (drives the out_w/out_h plan); the
+    // pixels themselves come from the real decode, not a byte-raster view
+    val media = Seq((1L, "image", png, srcW, srcH))
+      .toDF("media_id", "kind", "payload", "width", "height")
+    val got = Multimodal.resizePayloads(media, maxSide = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq))
+    // same expected pixels as the raw-raster test: src(2y, 2x) = 16·2y + 2x
+    val want = for (y <- 0 until 2; x <- 0 until 4)
+      yield (16 * (2 * y) + 2 * x).toByte
+    assert(got.toSeq == Seq((1L, 4, 2, want)))
+  }
+
+  test("withAHash: a PNG and its raw GRAY8 raster twin hash identically") {
+    // left-dark / right-bright pattern at 16×16
+    def v(x: Int, y: Int): Int = if (x >= 8) 200 else 0
+    val png = grayAsRgbPng(16, 16, v)
+    val raster = Array.tabulate(256)(i => v(i % 16, i / 16).toByte)
+    val media = Seq(
+      (1L, "image", png, 16, 16),
+      (2L, "image", raster, 16, 16)).toDF(
+      "media_id", "kind", "payload", "width", "height")
+    val pairs = Multimodal.nearDupPairsByAHash(media, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0))) // hamming 0: bit-identical hashes
+  }
+
+  test("ImageIoCodec: pixel features for real PNGs, graceful degradation") {
+    val png = grayAsRgbPng(4, 2, (_, _) => 100)
+    val f = Multimodal.ImageIoCodec.decodeFeature("image", png, 4)
+    assert(f.toSeq == Seq(4f, 2f, 1f, 100f)) // w, h, parsed, mean gray
+    // header-only payload → ImageHeaderCodec semantics (dims, no mean)
+    assert(Multimodal.ImageIoCodec.decodeFeature("image", pngHeader(640, 480), 4).toSeq ==
+      Multimodal.ImageHeaderCodec.decodeFeature("image", pngHeader(640, 480), 4).toSeq)
+    // non-image kinds → stub
+    assert(Multimodal.ImageIoCodec.decodeFeature("audio", png, 4).toSeq ==
+      Multimodal.StubCodec.decodeFeature("audio", png, 4).toSeq)
+  }
 }
