@@ -178,20 +178,64 @@ object QueriesMore {
       WHERE dot / (na.nrm * nb.nrm) >= 0.3
       ORDER BY va, vb"""))
 
-  /** Approximate sketches: HLL distinct + approx median. No oracle —
-    * sketch implementations are engine-specific (driver records the
-    * weaker rows-only check, per contract). */
-  private val q35 = Q(
-    "q35_approx_sketches",
-    (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
+  /** Per-type summary — users NDV + median of value — in two regimes
+    * (the q73/profileApprox pattern). `exact = true` is the ORACLED
+    * registered query: exact COUNT(DISTINCT) plus the q39 discrete
+    * lower-median kernel (rank filter — no interpolation-formula
+    * divergence between engines). `exact = false` is the production
+    * sketch variant [[sketchApprox]]: HLL (rsd 2%) + percentile_approx
+    * in ONE hash aggregate — no Expand, no Window, the shape that
+    * holds at 100 TB (per-group exact medians serialize on the group
+    * count; sketches don't). PlanShapeSpec pins the approx plan;
+    * SketchTwinSpec bounds its estimates against this exact twin. */
+  private[graft] def sketchSummary(s: SparkSession, dir: String,
+                                   exact: Boolean): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("value"),
+        col("event_id"))
+    if (exact) {
+      val ndv = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val med = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
+        .select(col("event_type"), col("value").as("median_lo"))
+      ndv.join(med, "event_type").orderBy(col("event_type"))
+    } else
+      ev.groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("users"),
           percentile_approx(col("value"), lit(0.5), lit(1000))
-            .as("approx_median"))
-        .orderBy(col("event_type")),
-    None)
+            .as("median_lo"))
+        .orderBy(col("event_type"))
+  }
+
+  /** Production sketch summary: engine-specific estimates, so no SQL
+    * oracle exists BY CONSTRUCTION — q35 is the exact twin whose hash
+    * match anchors the shared scan/grouping skeleton. */
+  private[graft] def sketchApprox(s: SparkSession, dir: String): DataFrame =
+    sketchSummary(s, dir, exact = false)
+
+  private val q35 = Q(
+    "q35_sketch_exact_twin",
+    (s, dir) => sketchSummary(s, dir, exact = true),
+    Some("""WITH med AS (
+        SELECT event_type, value AS median_lo FROM (
+          SELECT event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events) t
+        WHERE rn = CAST(FLOOR((cnt + 1) / 2) AS INT)),
+      ndv AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS users
+        FROM events GROUP BY 1)
+      SELECT ndv.event_type, users, median_lo
+      FROM ndv JOIN med USING (event_type)
+      ORDER BY event_type"""))
 
   /** Salted two-stage aggregation — identical results to a plain groupBy
     * (which is exactly what the oracle runs); only the shuffle layout

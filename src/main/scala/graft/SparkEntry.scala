@@ -10,13 +10,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables.
     *
-    * PERMANENTLY rows-only (BY DESIGN, not an oversight — do not
-    * re-litigate per round): q35_approx_sketches. Its HLL / approx
-    * -median estimates are engine-specific; no exact SQL twin exists,
-    * so the driver records the weaker rows>0 check and correct_pct
-    * tops out at registered−1. Every other registered query carries
-    * oracle SQL. */
+    * EVERY registered query carries oracle SQL. Engine-specific
+    * estimators (HLL NDV, percentile_approx, t-digest) follow the
+    * exact-twin pattern: the registered query is an exact oracled
+    * variant sharing the scan/grouping skeleton (q35, q73), and the
+    * approx production variant is plan-guarded in PlanShapeSpec plus
+    * error-bounded against the twin in its spec. */
   def oracleSql: Map[String, String] = Queries.oracle
 }

@@ -158,6 +158,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("production sketch summary: one scan, no Expand, no Window") {
+    // q35's oracled exact twin pays exact-NDV + a per-group rank
+    // window; the production path must be a single hash aggregate of
+    // mergeable sketches (the 100 TB shape)
+    val p = planOf(QueriesMore.sketchApprox(spark, sf()))
+    assert(!p.contains("Expand"), s"HLL summary must not Expand:\n$p")
+    assert(!p.contains("Window"), s"sketch summary must not Window:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"expected one scan:\n$p")
+  }
+
   test("production profile (approx NDV) plans with ONE scan and NO Expand") {
     // the q73 oracle twin needs exact NDV and pays the Expand ×6 row
     // blowup; the production ColumnProfile path must not
