@@ -69,8 +69,13 @@ object Bench {
     // a filtered profiling run is NOT a full-suite result: mark the
     // JSON line and never let it clobber the round-evidence file
     val filteredTag = if (only.isDefined) ""","filtered":true""" else ""
+    // key order matters: the per-query dict goes FIRST and the headline
+    // totals LAST, so a consumer that captures only the tail of a long
+    // line still sees n_queries/errors/total even when the dict is
+    // truncated mid-entry (162 queries ≈ 4 KB; full-line JSON is also
+    // persisted to BENCH_LOCAL.json as the truncation-proof record)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs$filteredTag,"sf":"$sfDir"}"""
+      s"""{"queries":$qs$filteredTag,"sf":"$sfDir","n_queries":${best.size},"errors":$errs,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // stop Spark BEFORE printing so the JSON line is the last stdout line
     // ahead of sbt's [success] banner — keeps it inside the driver's tail
     // window; also persist to a file as a truncation-proof fallback.

@@ -279,6 +279,47 @@ object QueriesAnalytics {
       SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
       FROM deg GROUP BY 1 ORDER BY degree"""))
 
+  /** K-CORE PEEL CENSUS of the shared-gram similarity graph
+    * (Graphs.kCoreCensus over SharedGrams.gramEdges): three rounds of
+    * deleting degree-<2 nodes, reporting (round, n_nodes, n_edges).
+    * The dedup-cluster density readout — nodes surviving the 2-core
+    * sit in multi-document template families (worth clustering);
+    * peeled nodes were pendant chance collisions. Census-sized output
+    * at any corpus size; the oracle unrolls the same three peels as
+    * chained CTEs. */
+  private val q163 = Q(
+    "q163_kcore_census",
+    (s, dir) => graft.operators.Graphs.kCoreCensus(
+      SharedGrams.gramEdges(s, dir), k = 2, rounds = 3)
+      .orderBy(col("round")),
+    Some(s"""$GramEdgesSql,
+      d0 AS (SELECT v, d FROM deg),
+      k0 AS (SELECT v FROM d0 WHERE d >= 2),
+      e1 AS (SELECT x, y FROM pairs
+        WHERE x IN (SELECT v FROM k0) AND y IN (SELECT v FROM k0)),
+      d1 AS (SELECT v, COUNT(*) AS d FROM (
+        SELECT x AS v FROM e1 UNION ALL SELECT y FROM e1) GROUP BY 1),
+      k1 AS (SELECT v FROM d1 WHERE d >= 2),
+      e2 AS (SELECT x, y FROM e1
+        WHERE x IN (SELECT v FROM k1) AND y IN (SELECT v FROM k1)),
+      d2 AS (SELECT v, COUNT(*) AS d FROM (
+        SELECT x AS v FROM e2 UNION ALL SELECT y FROM e2) GROUP BY 1),
+      k2 AS (SELECT v FROM d2 WHERE d >= 2),
+      e3 AS (SELECT x, y FROM e2
+        WHERE x IN (SELECT v FROM k2) AND y IN (SELECT v FROM k2)),
+      d3 AS (SELECT v, COUNT(*) AS d FROM (
+        SELECT x AS v FROM e3 UNION ALL SELECT y FROM e3) GROUP BY 1)
+      SELECT CAST(0 AS INT) AS round,
+        (SELECT COUNT(*) FROM d0) AS n_nodes,
+        (SELECT COUNT(*) FROM pairs) AS n_edges
+      UNION ALL SELECT CAST(1 AS INT),
+        (SELECT COUNT(*) FROM d1), (SELECT COUNT(*) FROM e1)
+      UNION ALL SELECT CAST(2 AS INT),
+        (SELECT COUNT(*) FROM d2), (SELECT COUNT(*) FROM e2)
+      UNION ALL SELECT CAST(3 AS INT),
+        (SELECT COUNT(*) FROM d3), (SELECT COUNT(*) FROM e3)
+      ORDER BY round"""))
+
   /** GROUPED PEARSON CORRELATION MATRIX over lineitem
     * (quantity↔extendedprice, quantity↔discount per returnflag):
     * sufficient statistics as EXACT decimal sums in one pass (the
@@ -844,5 +885,5 @@ object QueriesAnalytics {
 
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q150, q151, q152, q153, q154, q155, q156,
-    q159, q160, q161, q162)
+    q159, q160, q161, q162, q163)
 }

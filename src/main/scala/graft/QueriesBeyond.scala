@@ -117,6 +117,48 @@ object QueriesBeyond {
       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
       ORDER BY da, db"""))
 
+  /** Exact n-gram CONTAINMENT (Dedup.containmentPairs) — the excerpt
+    * detector Jaccard structurally misses: a 60-char excerpt of a long
+    * doc has overlap ≈ 1 but Jaccard ≈ |A|/|B|, under every near-dup
+    * threshold. Excerpt rows are INJECTED (q56's contamination
+    * discipline: every doc_id % 7 == 0 contributes substr(text,11,60)
+    * as doc_id+100000) so the high-containment regime populates at
+    * every SF; both engines perform the identical injection. Scores
+    * are single IEEE divides of exact ints — hash-exact. */
+  private val q165 = Q(
+    "q165_containment_pairs",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val excerpts = base
+        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 80)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          substring(col("text"), 11, 60).as("text"))
+      Dedup.containmentPairs(base.union(excerpts), "doc_id", "text",
+          n = 5, threshold = 0.9)
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 100000, substr(text, 11, 60) FROM documents
+        WHERE doc_id < 100 AND doc_id % 7 = 0 AND length(text) >= 80),
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM corpus, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, i,
+        CAST(i AS DOUBLE) / sa.sz AS cont_ab,
+        CAST(i AS DOUBLE) / sb.sz AS cont_ba,
+        CAST(i AS DOUBLE) / least(sa.sz, sb.sz) AS overlap
+      FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+      ORDER BY da, db"""))
+
   /** Brute-force cosine top-5 for 8 query vectors. The decimal dot-product
     * kernel keeps scores deterministic across partitionings; raw cosines
     * are still excluded from the output because Spark's double→decimal
@@ -378,5 +420,5 @@ object QueriesBeyond {
 
   val list: Seq[Q] = Seq(
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q82,
-    q96)
+    q96, q165)
 }

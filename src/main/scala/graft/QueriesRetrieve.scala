@@ -821,6 +821,74 @@ object QueriesRetrieve {
       FROM kept JOIN documents d USING (doc_id)
       GROUP BY 1 ORDER BY source"""))
 
+  /** CURRICULUM STAGE ASSIGNMENT: the whole corpus ordered by quality
+    * (q23's score, ×10⁶ fixed point; floor of engine-identical doubles
+    * — the q160 discipline) and cut into 4 equal-rank stages,
+    * easy-to-hard. Rank comes from the q137 kernel — composite
+    * inverted-score sort key + the two-phase range-partitioned prefix
+    * count (WeightedSample.withCumWeight, unit weights) — so there is
+    * NO global window at any size; stage = (rank−1)·4 div n. Census
+    * per stage: docs, tokens, score span — the readout a trainer's
+    * data loader consumes. */
+  private val q166 = Q(
+    "q166_curriculum_stages",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        floor(TextAnalysis.qualityScore(col("text")) * 1000000)
+          .cast("long").as("score_fp"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      // weights sum to 1 so score_fp ∈ [0, 10⁶]; out-of-range must
+      // fail loudly, not silently mis-rank (q137's guard convention)
+      val guarded = when(col("score_fp").between(0L, 999999999999999L),
+        col("score_fp"))
+        .otherwise(raise_error(concat(
+          lit("q166: score_fp outside the sort-key range: "),
+          col("score_fp").cast("string"))).cast("long"))
+      val keyed = scored.select(col("doc_id"), col("score_fp"),
+        col("tokens"),
+        concat(
+          lpad((lit(1000000000000000L) - guarded).cast("string"), 16, "0"),
+          lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
+        lit(1L).as("one"))
+        .localCheckpoint() // count + withCumWeight read one lineage
+      val n = keyed.count()
+      graft.operators.WeightedSample.withCumWeight(keyed, "k", "one")
+        .select(col("score_fp"), col("tokens"),
+          expr(s"CAST((cum - 1) * 4 div $n AS BIGINT)").as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("sum_tokens"),
+          min(col("score_fp")).as("min_score_fp"),
+          max(col("score_fp")).as("max_score_fp"))
+        .orderBy(col("stage"))
+    },
+    Some {
+      val stopList = TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH scored AS (
+        SELECT doc_id,
+          CAST(FLOOR((
+            LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+            (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+               / len(string_split(text, ' '))) * 0.3 +
+            (1.0 - LEAST(1.0,
+              len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2
+          ) * 1000000) AS BIGINT) AS score_fp,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents),
+      ranked AS (
+        SELECT score_fp, tokens,
+          ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rnk,
+          COUNT(*) OVER () AS n
+        FROM scored)
+      SELECT CAST((rnk - 1) * 4 // n AS BIGINT) AS stage,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        CAST(MIN(score_fp) AS BIGINT) AS min_score_fp,
+        CAST(MAX(score_fp) AS BIGINT) AS max_score_fp
+      FROM ranked GROUP BY 1 ORDER BY stage"""
+    })
+
   /** The rational BM25 kernel as oracle-SQL text, parameterized on
     * the posting CTE name — q148 needs it twice (feedback pass +
     * expanded pass), q149 once; one definition keeps the three
@@ -1064,5 +1132,6 @@ object QueriesRetrieve {
       ORDER BY sem_rank"""))
 
   val list: Seq[Q] = Seq(q122, q123, q124, q125, q126, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q148, q149, q157, q158)
+    q131, q132, q133, q134, q135, q136, q137, q148, q149, q157, q158,
+    q166)
 }

@@ -747,6 +747,74 @@ object QueriesSample {
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start"""))
 
+  /** DUPLICATED-SPAN REMOVAL (ExactSubstring.removeSpans ∘ dupSpans):
+    * the cleaned-corpus rewrite — q86's maximal duplicated spans
+    * spliced OUT of every affected document (the
+    * remove-every-occurrence boilerplate mode; span policy is the
+    * caller's selection). Output hash-pins the actual spliced STRING
+    * cross-engine (md5 of clean text), not just the census numbers —
+    * both engines rebuild the text as ordered gap concatenation.
+    * Splice work is per-row after one doc-keyed span aggregation. */
+  private val q164 = Q(
+    "q164_span_removal",
+    (s, dir) => {
+      val spans = graft.operators.ExactSubstring
+        .dupSpansFromGrams(SharedGrams.grams(s, dir),
+          Tables.documents(s, dir), "doc_id", "text", minLen = 20)
+      graft.operators.ExactSubstring
+        .removeSpans(Tables.documents(s, dir), spans, "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          col("removed_chars"), col("n_spans"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+          substr(text, CAST(i AS INT), 20) AS gram
+        FROM documents, LATERAL (SELECT UNNEST(range(1, len(text) - 18)) AS i) t
+        WHERE len(text) >= 20),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+      brk AS (
+        SELECT doc_id, pos,
+          CASE WHEN LAG(pos) OVER w IS NULL OR pos > LAG(pos) OVER w + 20
+               THEN 1 ELSE 0 END AS b
+        FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      isl AS (
+        SELECT doc_id, pos,
+          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk),
+      sp AS (
+        SELECT doc_id, MIN(pos) AS span_start,
+          MAX(pos) + 20 - MIN(pos) AS span_len
+        FROM isl GROUP BY doc_id, island),
+      sp2 AS (
+        SELECT doc_id, span_start, span_len,
+          COALESCE(LAG(span_start + span_len) OVER (
+            PARTITION BY doc_id ORDER BY span_start), 1) AS gs
+        FROM sp),
+      heads AS (
+        SELECT s.doc_id,
+          COALESCE(string_agg(
+            substr(d.text, CAST(s.gs AS INT),
+              CAST(greatest(0, s.span_start - s.gs) AS INT)),
+            '' ORDER BY s.span_start), '') AS head,
+          MAX(s.span_start + s.span_len) AS tail_from,
+          CAST(SUM(s.span_len) AS BIGINT) AS removed_chars,
+          CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM sp2 s JOIN documents d USING (doc_id)
+        GROUP BY s.doc_id)
+      SELECT h.doc_id,
+        md5(h.head || substr(d.text, CAST(h.tail_from AS INT), 1000000000))
+          AS clean_md5,
+        CAST(length(h.head ||
+          substr(d.text, CAST(h.tail_from AS INT), 1000000000)) AS BIGINT)
+          AS clean_len,
+        h.removed_chars, h.n_spans
+      FROM heads h JOIN documents d USING (doc_id)
+      ORDER BY h.doc_id"""))
+
   /** Distributed suffix-array ranks (operators/SuffixArray.scala):
     * prefix-doubling dense ranks of every 32-bounded suffix, on a
     * deterministic 10% document slice (the slice scales WITH sf; the
@@ -1287,5 +1355,5 @@ object QueriesSample {
 
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q97, q99)
+    q90, q91, q92, q93, q94, q95, q97, q99, q164)
 }

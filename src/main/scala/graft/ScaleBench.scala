@@ -17,6 +17,10 @@ import graft.operators.{BloomDedup, Curation, Dedup}
   * exactly, every 89th appends one word to it (near-dup).
   *
   *   sbt "runMain graft.ScaleBench [nDocs]"
+  *
+  * `SPARK_GRAFT_SCALE_ONLY=stage1,stage2` restricts the run to the
+  * named stages (skipped stages report -1) — how the 10M-doc decade
+  * points are measured without paying for the full suite at 10×.
   */
 object ScaleBench {
 
@@ -55,19 +59,30 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def want(names: String*): Boolean = only.forall(o => names.exists(o))
     val acc = new StringBuilder("{")
+    def timedL(name: String)(f: => Long): Long =
+      if (want(name)) timed(name, acc)(f) else -1L
     try {
       // materialize the synthetic corpus to parquet once: operator
       // timings then measure the operators against a real scan, not
-      // the 60-md5-per-row generator re-running inside every stage
-      val tmp = java.nio.file.Files.createTempDirectory("graft-scale")
-        .resolve("docs").toString
-      timed("generate", acc) {
-        corpus(spark, n).write.mode("overwrite").parquet(tmp)
-      }
+      // the 60-md5-per-row generator re-running inside every stage.
+      // SPARK_GRAFT_SCALE_DOCS reuses a prior run's parquet (stage
+      // iteration at 10M docs shouldn't re-pay the generate)
+      val tmp = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", {
+        val t = java.nio.file.Files.createTempDirectory("graft-scale")
+          .resolve("docs").toString
+        timed("generate", acc) {
+          corpus(spark, n).write.mode("overwrite").parquet(t)
+        }
+        t
+      })
       val docs = spark.read.parquet(tmp)
 
-      val dupGroups = timed("exact_dedup", acc) {
+      val dupGroups = timedL("exact_dedup") {
         docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
           .filter(col("c") > 1).count()
       }
@@ -77,29 +92,34 @@ object ScaleBench {
       // (first measured run of this file: 612 s + 721 s at 1M docs;
       // with the checkpoint + the per-family md5 hoist in
       // lshBandKeysNarrow both collapse to seconds)
-      val banded = timed("band_table", acc) {
+      val lshWanted = want("band_table", "star_edges",
+        "connected_components", "incremental_lsh")
+      val banded: DataFrame = if (lshWanted) timed("band_table", acc) {
         val b = Dedup.lshBandKeysNarrow(docs, "doc_id", "text", 5, 8, 2)
           .toDF("doc_id", "bk").localCheckpoint()
         b.count()
         b
-      }
-      val edges = timed("star_edges", acc) {
-        Dedup.lshStarEdgesFrom(banded, "doc_id").count()
-      }
-      val comps = timed("connected_components", acc) {
-        Dedup.connectedComponents(Dedup.lshStarEdgesFrom(banded, "doc_id"))
-          .select(col("component")).distinct().count()
-      }
+      } else null
+      val edges = if (banded != null && want("star_edges"))
+        timed("star_edges", acc) {
+          Dedup.lshStarEdgesFrom(banded, "doc_id").count()
+        } else -1L
+      val comps = if (banded != null && want("connected_components"))
+        timed("connected_components", acc) {
+          Dedup.connectedComponents(Dedup.lshStarEdgesFrom(banded, "doc_id"))
+            .select(col("component")).distinct().count()
+        } else -1L
       // incremental crawl: 10% arrives as a new batch against the
       // stored index (filtered views of the one band table — the
       // probe cost, not the signature cost, is what's measured)
-      val incPairs = timed("incremental_lsh", acc) {
-        Dedup.incrementalCandidatePairs(
-          banded.filter(col("doc_id") % 10 =!= 0),
-          banded.filter(col("doc_id") % 10 === 0), "doc_id").count()
-      }
-      banded.unpersist()
-      val chunkKept = timed("chunk_dedup", acc) {
+      val incPairs = if (banded != null && want("incremental_lsh"))
+        timed("incremental_lsh", acc) {
+          Dedup.incrementalCandidatePairs(
+            banded.filter(col("doc_id") % 10 =!= 0),
+            banded.filter(col("doc_id") % 10 === 0), "doc_id").count()
+        } else -1L
+      if (banded != null) banded.unpersist()
+      val chunkKept = timedL("chunk_dedup") {
         val chunks = docs.select(col("doc_id"),
           posexplode(graft.operators.TextAnalysis.wordChunks(col("text"), 20)))
           .select(col("doc_id"), col("pos").cast("long").as("idx"),
@@ -108,7 +128,7 @@ object ScaleBench {
           .agg(min(col("doc_id") * 100000L + col("idx")).as("keep"))
           .count()
       }
-      val bloomConfirmed = timed("bloom_prefilter", acc) {
+      val bloomConfirmed = timedL("bloom_prefilter") {
         val hist = docs.filter(col("doc_id") % 2 === 0)
           .select(md5(col("text")).as("h")).distinct()
         val bf = BloomDedup.buildFilter(hist, col("h"),
@@ -118,20 +138,20 @@ object ScaleBench {
         inc.filter(BloomDedup.mightContain(bf, col("h")))
           .join(hist, Seq("h"), "left_semi").count()
       }
-      val boiler = timed("boilerplate_ngrams", acc) {
+      val boiler = timedL("boilerplate_ngrams") {
         Curation.boilerplateDocs(docs, "doc_id", "text", 8, 3).count()
       }
       // round-4 operators at the same synthetic scale
-      val spans = timed("exact_dup_spans", acc) {
+      val spans = timedL("exact_dup_spans") {
         graft.operators.ExactSubstring
           .dupSpans(docs, "doc_id", "text", 20).count()
       }
-      val saRows = timed("suffix_ranks_2pct", acc) {
+      val saRows = timedL("suffix_ranks_2pct") {
         graft.operators.SuffixArray.suffixRanks(
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
           maxLen = 32, startLen = 8).count()
       }
-      val audited = timed("validate_audit", acc) {
+      val audited = timedL("validate_audit") {
         graft.operators.Validate.audit(docs, Seq(
           graft.operators.Validate.NotNull("text"),
           graft.operators.Validate.Matches("text", "^[0-9a-f]"),
@@ -144,13 +164,13 @@ object ScaleBench {
           cast(conv(substring(md5(concat(cast(id as string), ':', i)), 1, 8),
             16, 10) as float) / 2147483648.0f - 1.0f)""").as("embedding"))
       val bits = graft.operators.Similarity.bucketBitsFor(nEmb, 16)
-      val pairs = timed("cosine_neardup", acc) {
+      val pairs = timedL("cosine_neardup") {
         graft.operators.Similarity
           .cosineNearDupPairs(emb, bits, threshold = 0.8).count()
       }
       // PQ compression of the same embeddings: production double
       // kernel, 4 subspaces of 4 dims, 64-centroid stride codebook
-      val pqCodes = timed("pq_encode", acc) {
+      val pqCodes = timedL("pq_encode") {
         val vecs = emb.select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("v"))
         val cb = graft.operators.ProductQuant.codebookByStride(
@@ -160,9 +180,10 @@ object ScaleBench {
       }
       // BPE on the synthetic corpus's word-frequency table (vocab is
       // md5-word-sized; the corpus collapse is the dominant cost)
-      val bpeRounds = timed("bpe_train_3", acc) {
+      val bpeRounds = timedL("bpe_train_3") {
         graft.operators.BpeTrain.merges(
           graft.operators.BpeTrain.wordFreqs(docs, "text"), rounds = 3).size
+          .toLong
       }
       // round-5 operators at the same synthetic scale: the inverted
       // index + BM25 read (dominant cost = the 60M-posting-row build),
@@ -171,27 +192,27 @@ object ScaleBench {
       // and SemDeDup keep-first on a 2% slice (k must grow with N for
       // the full corpus — the slice keeps per-cluster pair counts at
       // the bounded size real SemDeDup maintains via k ≈ N/10⁴)
-      val queryTerms = docs.filter(col("doc_id") === 0)
+      lazy val queryTerms = docs.filter(col("doc_id") === 0)
         .select(split(col("text"), " ")).collect()(0)
         .getSeq[String](0).take(3)
-      val bm25Hits = timed("bm25_rank", acc) {
+      val bm25Hits = timedL("bm25_rank") {
         graft.operators.TrainPrep.bm25Rank(docs, queryTerms, 10).count()
       }
-      val shardCount = timed("token_shards", acc) {
+      val shardCount = timedL("token_shards") {
         graft.operators.TrainPrep.tokenBalancedShards(docs, 64)
           .select(col("shard")).distinct().count()
       }
-      val dsirDocs = timed("dsir_score", acc) {
+      val dsirDocs = timedL("dsir_score") {
         val w = graft.operators.Dsir.importanceWeights(
           docs, docs.filter(col("doc_id") % 101 === 0))
         graft.operators.Dsir.scoreDocs(docs, w).count()
       }
       val emb2 = emb.select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("v"))
-      val kmeansN = timed("kmeans_k8_i2", acc) {
+      val kmeansN = timedL("kmeans_k8_i2") {
         graft.operators.KMeansCluster.lloyd(emb2, k = 8, iters = 2).count()
       }
-      val semKept = timed("semdedup_2pct", acc) {
+      val semKept = timedL("semdedup_2pct") {
         // renumber the sliced ids densely so lloyd's id<k seed read
         // finds k seeds (ids stay 0,50,100,… otherwise — only id 0
         // would qualify and the whole slice degenerates to 1 cluster,
@@ -206,13 +227,13 @@ object ScaleBench {
       // bucket census, hybrid RRF fusion (BM25 top-50 over the corpus
       // ∪ cosine top-50 over the synthetic embeddings), and
       // contrastive pair mining with synthetic labels
-      val rpBuckets = timed("projected_lsh", acc) {
+      val rpBuckets = timedL("projected_lsh") {
         graft.operators.RandomProjection.packSignBuckets(
             graft.operators.RandomProjection
               .projectFpInline(emb2, dims = 16, outDims = 8))
           .groupBy(col("bucket")).count().count()
       }
-      val fusedHits = timed("rrf_fusion", acc) {
+      val fusedHits = timedL("rrf_fusion") {
         val lex = graft.operators.Fusion.rankOf(
           graft.operators.TrainPrep.bm25Rank(docs, queryTerms, 50),
           "score_fp")
@@ -222,7 +243,7 @@ object ScaleBench {
             col("rnk").cast("long").as("rank"))
         graft.operators.Fusion.rrf(Seq(lex, sem), 60, 20).count()
       }
-      val minedPairs = timed("mine_pairs", acc) {
+      val minedPairs = timedL("mine_pairs") {
         val lab = emb2.withColumn("label", pmod(col("id"), lit(10L)))
         graft.operators.Similarity
           .minePairs(lab, lab.filter(col("id") < 4), 3).count()
@@ -231,7 +252,9 @@ object ScaleBench {
       // scale. Events: n rows over n/1000 users spread across ~90 days
       // by a Knuth multiplicative hash — sessions stay bounded, every
       // user partition holds ~1000 events.
-      val ev = spark.range(n).select(
+      val evWanted = want("session_paths", "transitions", "attribution",
+        "rate_anomaly", "streaming_sessions")
+      val ev: DataFrame = if (evWanted) spark.range(n).select(
         col("id").as("event_id"),
         pmod(col("id"), lit(math.max(1L, n / 1000))).as("user_id"),
         element_at(
@@ -240,27 +263,27 @@ object ScaleBench {
           (pmod(col("id"), lit(5L)) + 1).cast("int")).as("event_type"),
         pmod(col("id") * 2654435761L, lit(7776000000L)).as("ms"),
         (pmod(col("id"), lit(10000L)).cast("double") / 100.0).as("value"))
-        .localCheckpoint()
-      val pathRows = timed("session_paths", acc) {
+        .localCheckpoint() else null
+      val pathRows = timedL("session_paths") {
         graft.operators.EventAnalytics
           .sessionPaths(ev, 1800000L, 8, 20).count()
       }
-      val transRows = timed("transitions", acc) {
+      val transRows = timedL("transitions") {
         graft.operators.EventAnalytics
           .transitionCensus(ev, 1800000L).count()
       }
-      val attrRows = timed("attribution", acc) {
+      val attrRows = timedL("attribution") {
         graft.operators.EventAnalytics.lastTouchAttribution(
           ev, Seq("view", "click"), "purchase", 604800000L).count()
       }
-      val anomRows = timed("rate_anomaly", acc) {
+      val anomRows = timedL("rate_anomaly") {
         graft.operators.EventAnalytics.rateAnomalies(ev).count()
       }
       // gopher census (scan-fused array rules) + source TVD over the
       // OPEN md5 vocabulary (~60 distinct terms per doc — the case the
       // closed-form missing-mass rewrite exists for: no vocab-sized
       // broadcast, one term-keyed shuffle join)
-      val gopherKept = timed("gopher_census", acc) {
+      val gopherKept = timedL("gopher_census") {
         val flags = graft.operators.TextAnalysis
           .gopherFlags(col("text"), 20, 80)
         docs.select(flags.map { case (nm, c) =>
@@ -269,15 +292,47 @@ object ScaleBench {
             col("r_stopwords") * col("r_repetition")).as("k"))
           .collect()(0).getLong(0)
       }
-      val tvdRows = timed("source_tvd_openvocab", acc) {
+      val tvdRows = timedL("source_tvd_openvocab") {
         graft.operators.CorpusStats.sourceUnigramTvd(
           docs.withColumn("source",
             pmod(col("doc_id"), lit(20L)).cast("string"))).count()
       }
-      ev.unpersist()
+      // streaming throughput point: the same n events through the
+      // flatMapGroupsWithState sessionizer as a real multi-micro-batch
+      // file stream (8 input files, 2 per trigger ⇒ 4 batches), parquet
+      // sink + checkpoint — the fault-tolerant configuration, not a
+      // memory-sink toy. State = one open session per user (n/1000
+      // keys). Reported as wall seconds; rows/s = n / that.
+      val streamClosed = if (ev != null && want("streaming_sessions")) {
+        val sdir = java.nio.file.Files.createTempDirectory("graft-stream")
+        val inDir = sdir.resolve("in").toString
+        val outDir = sdir.resolve("out").toString
+        ev.select(col("user_id").as("user"), col("ms"))
+          .repartition(8).write.parquet(inDir)
+        timed("streaming_sessions", acc) {
+          import spark.implicits._
+          val events = spark.readStream
+            .schema("user LONG, ms LONG")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(inDir)
+            .as[graft.streaming.StatefulSessions.Event]
+          val q = graft.streaming.StatefulSessions
+            .sessionize(events, gapMs = 1800000L)
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .outputMode("append")
+            .option("checkpointLocation", sdir.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          spark.read.parquet(outDir).count()
+        }
+      } else -1L
+      if (ev != null) ev.unpersist()
       acc.append(f""""path_rows":$pathRows,"trans_rows":$transRows,""" +
         f""""attr_rows":$attrRows,"anom_rows":$anomRows,""" +
-        f""""gopher_kept":$gopherKept,"tvd_rows":$tvdRows,""")
+        f""""gopher_kept":$gopherKept,"tvd_rows":$tvdRows,""" +
+        f""""stream_closed":$streamClosed,""")
       acc.append(f""""bm25_hits":$bm25Hits,"shards":$shardCount,""" +
         f""""dsir_docs":$dsirDocs,"kmeans_rows":$kmeansN,""" +
         f""""semdedup_kept":$semKept,"rp_buckets":$rpBuckets,""" +

@@ -267,6 +267,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram CONTAINMENT for all pairs within `docs` (same
+    * quadratic caveat as [[jaccardPairs]] — feed a bounded candidate
+    * set at scale). Containment c(a→b) = |A∩B| / |A| is the
+    * EXCERPT detector: a short document quoted verbatim inside a long
+    * one scores ≈ 1 while its Jaccard (union-normalized) collapses to
+    * ≈ |A|/|B| and slips under every near-dup threshold. Emits both
+    * directions plus the symmetric overlap coefficient
+    * max(c(a→b), c(b→a)) = i / min(|A|, |B|), thresholded on the
+    * overlap. All divisions are single IEEE divides of exact integers
+    * — correctly rounded in any engine, so the scores hash-match. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("da"), col("sh"))
+    val b = sh.select(col(idCol).as("db"), col("sh").as("sh2"))
+    val inter = a.join(b, col("sh") === col("sh2") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"), col("i"),
+        (col("i") / col("sza")).as("cont_ab"),
+        (col("i") / col("szb")).as("cont_ba"),
+        (col("i") / least(col("sza"), col("szb"))).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
   /** Connected components over an undirected pair list (a,b) — turns
     * near-dup candidate PAIRS into dedup CLUSTERS (component id = min
     * member id, so one canonical keeper per cluster).

@@ -85,4 +85,51 @@ object ExactSubstring {
       .select(col("doc_id"), col("run_start").as("span_start"),
         col("run_len").cast("long").as("span_len"))
   }
+
+  /** Splice the given spans OUT of each document's text — the rewrite
+    * step that turns span DETECTION into a cleaned corpus. `spans`
+    * carries (idCol, span_start, span_len) with 1-based, maximal,
+    * non-overlapping ranges per doc ([[dupSpans]]' output contract;
+    * which occurrences to excise — all, non-canonical, boilerplate-only
+    * — is the caller's span selection). Returns
+    * (idCol, clean_text, removed_chars, n_spans) for AFFECTED docs.
+    *
+    * Shape: one doc-keyed aggregation of the span list (bounded per
+    * group — maximal spans of length ≥ minLen cap the count at
+    * len/minLen), one equi-join back to the text, then a pure
+    * per-row `aggregate` fold that concatenates the inter-span gaps —
+    * the text itself never explodes and never shuffles past the one
+    * doc-keyed join. 100 TB-safe by the same argument as the span
+    * detector it composes with. */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(
+          col("span_start").cast("long").as("s"),
+          col("span_len").cast("long").as("l")))).as("sp"),
+        sum(col("span_len")).cast("long").as("removed_chars"),
+        count(lit(1)).as("n_spans"))
+    val t = col(textCol)
+    // fold state: gs = 1-based start of the next unremoved gap; acc =
+    // cleaned prefix so far. Each span appends the gap before it and
+    // advances gs past the span; the finish lambda appends the tail.
+    val spliced = aggregate(
+      col("sp"),
+      struct(lit(1L).as("gs"), lit("").as("acc")),
+      (st, s) => struct(
+        (s.getField("s") + s.getField("l")).as("gs"),
+        concat(st.getField("acc"),
+          t.substr(st.getField("gs").cast("int"),
+            greatest(lit(0),
+              (s.getField("s") - st.getField("gs")).cast("int"))))
+          .as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("gs").cast("int"),
+          greatest(lit(0),
+            length(t) - st.getField("gs").cast("int") + 1))))
+    docs.select(col(idCol), t).join(perDoc, Seq(idCol))
+      .select(col(idCol), spliced.as("clean_text"),
+        col("removed_chars"), col("n_spans"))
+  }
 }

@@ -44,6 +44,40 @@ object Graphs {
     * refinement is degree-ordered orientation (low-degree endpoint
     * first), which this census inherits for free if the caller
     * orients by degree instead of id. */
+  /** Fixed-round k-core peel census: round r+1 deletes every node
+    * whose degree in round r's graph is < k, together with its
+    * incident edges; rows (round, n_nodes, n_edges) for rounds 0..R
+    * (round 0 = the input graph, nodes counted as edge endpoints).
+    * The census readout is R+1 rows regardless of graph size.
+    *
+    * Scale: each round is one degree aggregation plus two semi-joins
+    * on the SHRINKING edge list — R small key-hashed shuffles, no
+    * all-pairs work anywhere; the per-round frame is localCheckpoint'd
+    * so lineage stays flat (the connectedComponents discipline). A
+    * fixed R (rather than peel-to-fixpoint) keeps the result
+    * deterministic AND SQL-replayable as unrolled CTEs; on power-law
+    * similarity graphs the census converges in a handful of rounds,
+    * and the monotone survivor counts tell the caller whether another
+    * round is worth scheduling. */
+  def kCoreCensus(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var e = pairs.select(col("x"), col("y")).localCheckpoint()
+    val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    def record(r: Int): Unit =
+      census += ((r, degrees(e).count(), e.count()))
+    record(0)
+    for (r <- 1 to rounds) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("v"))
+      e = e
+        .join(keep.select(col("v").as("x")), Seq("x"), "left_semi")
+        .join(keep.select(col("v").as("y")), Seq("y"), "left_semi")
+        .localCheckpoint()
+      record(r)
+    }
+    census.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
   def triangleCensus(pairs: DataFrame): DataFrame = {
     val e1 = pairs.select(col("x").as("a"), col("y").as("b"))
     val e2 = pairs.select(col("x").as("b"), col("y").as("c"))

@@ -21,9 +21,11 @@ import scala.jdk.CollectionConverters._
   *    (a crashed import replays the file — at-least-once into a
   *    transactional target = effectively exactly-once).
   *
-  * The statement executor is injectable (the reference talks to
-  * SQLite; this container ships no JDBC driver — production passes a
-  * JDBC-backed executor, specs record statements).
+  * The statement executor is injectable; [[jdbcExecutor]] is the real
+  * one (any `java.sql` driver — the reference talks to SQLite via
+  * `jdbc:sqlite:…`; SqlImportJdbcSpec proves the whole
+  * lock/retry/transaction/anti-dedup path against embedded Derby, the
+  * JDBC engine this container actually ships).
   */
 object SqlImport {
 
@@ -63,6 +65,37 @@ object SqlImport {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Real JDBC executor (the sql_importer.py:122-146 role): applies one
+    * file's statements as a SINGLE transaction via `java.sql`. Trailing
+    * `;` separators and inline transaction-control lines
+    * (`BEGIN TRANSACTION` / `COMMIT`, which [[SqlExport]] emits for
+    * script compatibility) are normalized away because the executor
+    * itself owns the transaction boundary — autoCommit off, commit on
+    * success, rollback on ANY failure: the all-or-nothing batch the
+    * reference gets from sqlite3's script transaction. Driver-agnostic
+    * (plain DriverManager): the reference targets `jdbc:sqlite:…`; no
+    * sqlite-jdbc jar exists in this container's offline caches (checked
+    * ~/.ivy2, coursier, /opt/spark/jars), so SqlImportJdbcSpec proves
+    * the path end-to-end against embedded Derby — the real JDBC engine
+    * Spark ships — and the sqlite URL remains the one untestable hop. */
+  def jdbcExecutor(url: String): Executor = stmts => {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        stmts.iterator
+          .map(_.trim.stripSuffix(";").trim)
+          .filter(s => s.nonEmpty &&
+            !s.equalsIgnoreCase("BEGIN TRANSACTION") &&
+            !s.equalsIgnoreCase("COMMIT"))
+          .foreach(st.execute)
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+      finally st.close()
+    } finally conn.close()
   }
 
   private def readLog(log: Path): Set[String] =

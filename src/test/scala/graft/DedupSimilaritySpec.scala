@@ -61,6 +61,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!j.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment flags an excerpt that Jaccard misses") {
+    val long = ("the quick brown fox jumps over the lazy dog while " * 6) +
+      "unique closing sentence of the long original document here"
+    val cdocs = Seq(
+      (10L, long),
+      (11L, long.substring(50, 100)), // verbatim excerpt of doc 10
+      (12L, "completely different content with no shared five grams ZQXJ"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(cdocs, "doc_id", "text", 5, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (contAb, contBa, overlap) = c((10L, 11L))
+    assert(overlap == 1.0 && contBa == 1.0) // excerpt fully contained
+    assert(contAb < 0.5)                    // but tiny vs the long doc
+    assert(!c.keySet.exists(p => p._1 == 12L || p._2 == 12L))
+    // the same pair is invisible to union-normalized Jaccard at the
+    // usual near-dup threshold — the reason containment exists
+    val j = Dedup.jaccardPairs(cdocs, "doc_id", "text", 5, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((10L, 11L)))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -63,4 +63,50 @@ class ExactSubstringSpec extends SparkSpec {
     val got = spans(docs, 20)
     assert(got.filter(_._1 == 1L) == Seq((1L, 1, 24L), (1L, 51, 24L)))
   }
+
+  private def cleaned(docs: Seq[(Long, String)],
+                      sp: Seq[(Long, Int, Long)]): Seq[(Long, String, Long, Long)] =
+    ExactSubstring.removeSpans(docs.toDF("doc_id", "text"),
+        sp.toDF("doc_id", "span_start", "span_len"), "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("removeSpans splices a middle span out exactly") {
+    val got = cleaned(Seq(1L -> "abcdeXYZfgh"), Seq((1L, 6, 3L)))
+    assert(got == Seq((1L, "abcdefgh", 3L, 1L)))
+  }
+
+  test("removeSpans handles multiple spans, span-at-end, full cover") {
+    val docs = Seq(
+      1L -> "AA1234BB5678CC", // two interior spans
+      2L -> "keepMEdropTAIL",  // span runs to the end: no tail piece
+      3L -> "gonecompletely",  // span covers the whole doc
+      4L -> "untouched doc")   // no spans: excluded from output
+    val sp = Seq(
+      (1L, 3, 4L), (1L, 9, 4L),
+      (2L, 7, 8L),
+      (3L, 1, 14L))
+    assert(cleaned(docs, sp) == Seq(
+      (1L, "AABBCC", 8L, 2L),
+      (2L, "keepME", 8L, 1L),
+      (3L, "", 14L, 1L)))
+  }
+
+  test("removeSpans ∘ dupSpans removes exactly the duplicated chars") {
+    // S duplicated across docs 1/2: the span is excised from BOTH
+    // (the remove-every-occurrence boilerplate mode q164 exercises)
+    val docs = Seq(
+      1L -> ("qwertyuiop" + S + "asdfghjklz"),
+      2L -> ("zxcvbnmlkj" + S + "poiuytrewq"))
+    val df = docs.toDF("doc_id", "text")
+    val sp = ExactSubstring.dupSpans(df, "doc_id", "text", 20)
+    val got = ExactSubstring.removeSpans(df, sp, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (1L, "qwertyuiopasdfghjklz"),
+      (2L, "zxcvbnmlkjpoiuytrewq")))
+  }
 }

@@ -32,6 +32,26 @@ class GraphCensusSpec extends SparkSpec {
     assert(r == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("kCoreCensus peels pendant tail one node per round, core stays") {
+    // triangle {1,2,3} + pendant chain 3-4-5: the 2-core is the
+    // triangle; peeling eats the chain one node per round
+    val g = pairs((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graphs.kCoreCensus(g, k = 2, rounds = 3)
+      .orderBy("round")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 5L, 5L), (1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
+  }
+
+  test("kCoreCensus on an all-pendant graph empties and stays empty") {
+    val star = pairs((1L, 2L), (1L, 3L)) // center degree 2, leaves 1
+    val got = Graphs.kCoreCensus(star, k = 2, rounds = 2)
+      .orderBy("round")
+      .as[(Int, Long, Long)].collect().toSeq
+    // round 1 drops the leaves; their edges vanish, so the center
+    // vanishes with them (nodes are counted as edge endpoints)
+    assert(got == Seq((0, 3L, 2L), (1, 0L, 0L), (2, 0L, 0L)))
+  }
+
   test("sharedGramEdges pairs docs on a common rare gram only") {
     val docs = Seq(
       (1L, "a b c d e f g h tail1"),
