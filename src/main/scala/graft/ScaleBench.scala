@@ -146,6 +146,14 @@ object ScaleBench {
         graft.operators.ExactSubstring
           .dupSpans(docs, "doc_id", "text", 20).count()
       }
+      // scratch-bounded variant for hosts whose disk cannot hold the
+      // one-shot gram shuffle (the 10M-doc regime on this VM):
+      // SPARK_GRAFT_SCALE_PASSES hash-sliced rounds, exact same spans
+      val spansSharded = timedL("exact_dup_spans_sharded") {
+        val p = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "4").toInt
+        graft.operators.ExactSubstring
+          .dupSpansSharded(docs, "doc_id", "text", 20, passes = p).count()
+      }
       val saRows = timedL("suffix_ranks_2pct") {
         graft.operators.SuffixArray.suffixRanks(
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
@@ -340,7 +348,8 @@ object ScaleBench {
       acc.append(f""""n_docs":$n,"dup_groups":$dupGroups,"star_edges":$edges,""" +
         f""""components":$comps,"chunk_groups":$chunkKept,""" +
         f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler,""" +
-        f""""dup_span_docs":$spans,"sa_positions":$saRows,""" +
+        f""""dup_span_docs":$spans,"dup_span_docs_sharded":$spansSharded,""" +
+        f""""sa_positions":$saRows,""" +
         f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs,""" +
         f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,"bpe_rounds":$bpeRounds}""")
       println(acc.toString)

@@ -59,20 +59,34 @@ object ExactSubstring {
                         textCol: String, minLen: Int,
                         windowFastPath: Boolean = true): DataFrame = {
     require(minLen >= 2, "minLen must be at least 2")
+    spansFromCandidates(
+      hashDupCandidates(grams, windowFastPath),
+      docs, idCol, textCol, minLen)
+  }
+
+  /** Stage-1 screen: positions whose 16-byte gram hash occurs ≥ 2
+    * times (window in-place count, or partial-agg + semi-join). */
+  private def hashDupCandidates(grams: DataFrame,
+                                windowFastPath: Boolean): DataFrame =
+    if (windowFastPath) {
+      val wh = Window.partitionBy(col("h"))
+      grams.withColumn("c", count(lit(1)).over(wh))
+        .filter(col("c") >= 2)
+        .select(col("doc_id"), col("pos"))
+    } else {
+      val dupH = grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
+      grams.join(dupH, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+    }
+
+  /** Stages 2-3: candidate-bounded literal-text confirm (discards md5
+    * collisions) + per-doc gaps-and-islands span merge. */
+  private def spansFromCandidates(cand: DataFrame, docs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  minLen: Int): DataFrame = {
     val d = docs.where(length(col(textCol)) >= minLen)
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-    val cand =
-      if (windowFastPath) {
-        val wh = Window.partitionBy(col("h"))
-        grams.withColumn("c", count(lit(1)).over(wh))
-          .filter(col("c") >= 2)
-          .select(col("doc_id"), col("pos"))
-      } else {
-        val dupH = grams.groupBy(col("h"))
-          .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
-        grams.join(dupH, Seq("h"), "left_semi")
-          .select(col("doc_id"), col("pos"))
-      }
     val withGram = cand.join(d, "doc_id")
       .select(col("doc_id"), col("pos"),
         expr(s"substring(_text, pos, $minLen)").as("gram"))
@@ -84,6 +98,41 @@ object ExactSubstring {
     DupSpans.islandRuns(confirmed, minLen)
       .select(col("doc_id"), col("run_start").as("span_start"),
         col("run_len").cast("long").as("span_len"))
+  }
+
+  /** [[dupSpans]] computed in `passes` hash-sliced rounds — the
+    * SCRATCH-BOUNDED execution plan. The single-shuffle form ships the
+    * ENTIRE gram table (≈ total characters × 28 B) through one
+    * exchange; at 10M synthetic docs that is ~10² GB of shuffle — more
+    * scratch than many single machines hold, and the measured failure
+    * mode of this operator's first 10M run (ENOSPC, then tmpfs OOM).
+    * Slicing the gram space by `pmod(hash(h), passes)` BEFORE the
+    * exchange divides the per-round shuffle footprint by `passes`
+    * while staying EXACT: gram equality implies hash equality, so no
+    * duplicated gram ever crosses slices and the union of per-round
+    * candidates is precisely the single-pass candidate set
+    * (spec-asserted). The price is re-running the narrow gram
+    * derivation once per round — CPU for scratch, the trade a
+    * disk-constrained deployment actually wants; with ample scratch,
+    * keep `dupSpans`. Each round's candidate positions (tiny: only
+    * duplicated positions survive) are localCheckpoint'd so the
+    * round's shuffle becomes unreferenced, and an explicit GC nudges
+    * the ContextCleaner to reap those files before the next round
+    * writes its own — peak scratch ≈ one slice, not the sum. */
+  def dupSpansSharded(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int, passes: Int,
+                      windowFastPath: Boolean = true): DataFrame = {
+    require(passes >= 1, "passes must be positive")
+    require(minLen >= 2, "minLen must be at least 2")
+    val slices = (0 until passes).map { p =>
+      val g = DupSpans.grams(docs, idCol, textCol, minLen)
+        .filter(pmod(hash(col("h")), lit(passes)) === p)
+      val cp = hashDupCandidates(g, windowFastPath).localCheckpoint()
+      if (passes > 1) System.gc() // let the cleaner reap this round's shuffle
+      cp
+    }
+    spansFromCandidates(slices.reduce(_ union _),
+      docs, idCol, textCol, minLen)
   }
 
   /** Splice the given spans OUT of each document's text — the rewrite

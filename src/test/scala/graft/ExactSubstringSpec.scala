@@ -64,6 +64,25 @@ class ExactSubstringSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L) == Seq((1L, 1, 24L), (1L, 51, 24L)))
   }
 
+  test("sharded execution equals the single-pass span set exactly") {
+    val docs = Seq(
+      1L -> ("AA" + S + "BB" + S.take(22)),
+      2L -> ("CC" + S + "DD"),
+      3L -> ("EE" + S.reverse + "FF"),
+      4L -> S.reverse,
+      5L -> "no duplicated content in this document at all")
+    val df = docs.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val single = rows(ExactSubstring.dupSpans(df, "doc_id", "text", 20))
+    for (p <- Seq(1, 3, 7)) {
+      assert(rows(ExactSubstring.dupSpansSharded(
+        df, "doc_id", "text", 20, passes = p)) == single, s"passes=$p")
+    }
+    assert(single.nonEmpty)
+  }
+
   private def cleaned(docs: Seq[(Long, String)],
                       sp: Seq[(Long, Int, Long)]): Seq[(Long, String, Long, Long)] =
     ExactSubstring.removeSpans(docs.toDF("doc_id", "text"),

@@ -241,6 +241,31 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0))) // hamming 0: bit-identical hashes
   }
 
+  test("ImageIo.decodeGray8 also decodes real GIF and BMP containers") {
+    // pure black/white checkerboard: survives GIF palettization exactly
+    // (mid-grays may be re-quantized by the GIF writer's palette)
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val g = if ((x + y) % 2 == 0) 0 else 255
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    // BMP: exact pixel round-trip (no palette)
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bmpOut))
+    val Some((bmpGray, bw, bh)) = Multimodal.ImageIo.decodeGray8(bmpOut.toByteArray)
+    assert((bw, bh) == (2, 2))
+    assert(bmpGray.map(_ & 0xff).toSeq == Seq(0, 255, 255, 0))
+    // GIF: the JDK WRITER may re-lay tiny images, so pin only what the
+    // DECODER owns — dims parse and pixels drawn from the b/w palette
+    // (pixel-exactness of the decode loop is already proven on PNG)
+    val gifOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", gifOut))
+    val Some((gifGray, gw, gh)) = Multimodal.ImageIo.decodeGray8(gifOut.toByteArray)
+    assert((gw, gh) == (2, 2))
+    assert(gifGray.map(_ & 0xff).toSet.subsetOf(Set(0, 255)))
+  }
+
   test("ImageIoCodec: pixel features for real PNGs, graceful degradation") {
     val png = grayAsRgbPng(4, 2, (_, _) => 100)
     val f = Multimodal.ImageIoCodec.decodeFeature("image", png, 4)
