@@ -883,7 +883,144 @@ object QueriesAnalytics {
         CAST(MAX(sz) AS BIGINT) AS max_group
       FROM g"""))
 
+  /** LABEL-PROPAGATION COMMUNITIES over the shared-gram similarity
+    * graph (Graphs.labelPropagation, 2 synchronous rounds,
+    * most-frequent-neighbor label with lowest-label ties): the
+    * community detector connected components is NOT — CC merges
+    * everything reachable, while frequency-argmax propagation keeps
+    * densely-connected template families distinct across weak chance
+    * -collision bridges. Readout: (label, community size) census,
+    * bounded by the rare-gram graph's node count at any corpus size;
+    * the oracle unrolls the two rounds as chained CTEs. */
+  private val q168 = Q(
+    "q168_lpa_communities",
+    (s, dir) => graft.operators.Graphs.labelPropagation(
+        SharedGrams.gramEdges(s, dir), rounds = 2)
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .orderBy(col("label")),
+    Some(s"""$GramEdgesSql,
+      adj AS (SELECT x AS v, y AS u FROM pairs
+        UNION ALL SELECT y AS v, x AS u FROM pairs),
+      l0 AS (SELECT DISTINCT v, v AS label FROM adj),
+      c1 AS (SELECT a.v, l.label, COUNT(*) AS c
+        FROM adj a JOIN l0 l ON l.v = a.u GROUP BY 1, 2),
+      l1 AS (SELECT v, label FROM (
+          SELECT v, label, ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY c DESC, label) AS rk FROM c1)
+        WHERE rk = 1),
+      c2 AS (SELECT a.v, l.label, COUNT(*) AS c
+        FROM adj a JOIN l1 l ON l.v = a.u GROUP BY 1, 2),
+      l2 AS (SELECT v, label FROM (
+          SELECT v, label, ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY c DESC, label) AS rk FROM c2)
+        WHERE rk = 1)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM l2 GROUP BY 1 ORDER BY label"""))
+
+  /** L-DIVERSITY AUDIT (the step after q162's k-anonymity: group SIZE
+    * alone doesn't protect when everyone in a group shares the same
+    * sensitive value): per quasi-identifier group (nation, market
+    * segment), the number of DISTINCT sensitive values — here the
+    * account-balance band — must reach l = 3. Bands are all-integer:
+    * exact cents (decimal-cast), +100000 offset so the band division
+    * never sees a negative (Spark `div` truncates toward zero while
+    * DuckDB `//` floors — they agree only on non-negatives). One-row
+    * release-gate census. */
+  private val q169 = Q(
+    "q169_l_diversity",
+    (s, dir) => Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          + 100000) div 200000""").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("band")).as("l"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_div_groups"),
+        sum(when(col("l") < 3, col("sz")).otherwise(0L))
+          .as("n_exposed_rows"),
+        min(col("l")).as("min_l"), max(col("l")).as("max_l")),
+    Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+        (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          + 100000) // 200000 AS band
+        FROM customer),
+      g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+          COUNT(DISTINCT band) AS l
+        FROM b GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_low_div_groups,
+        CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT)
+          AS n_exposed_rows,
+        CAST(MIN(l) AS BIGINT) AS min_l,
+        CAST(MAX(l) AS BIGINT) AS max_l
+      FROM g"""))
+
+  /** RESHARD MOVEMENT CENSUS — modulo vs rendezvous (highest-random-
+    * weight) shard assignment when the shard count grows 8 → 9: under
+    * `hash mod N` almost every document moves (~8/9), under rendezvous
+    * (owner = argmax over shards of md5(shard:doc)) only the documents
+    * whose new shard wins move (~1/9) — THE reason a 100 TB pipeline
+    * assigns storage shards by rendezvous/consistent hashing, as a
+    * measured 2-row census rather than folklore. Everything is per-row
+    * md5 arithmetic fused into the scan; the only agg is the 1-row
+    * total, read twice for the 2-row readout (bounded frame). */
+  private val q170 = Q(
+    "q170_reshard_movement",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val h = conv(substring(md5(concat(lit("shard:"), id)), 1, 8),
+        16, 10).cast("long")
+      def rv(n: Int) = array((0 until n).map(i =>
+        md5(concat(lit(s"rv$i:"), id))): _*)
+      val a8 = rv(8)
+      val a9 = rv(9)
+      val agg = Tables.documents(s, dir)
+        .select(
+          (pmod(h, lit(8)) =!= pmod(h, lit(9))).cast("long")
+            .as("mod_moved"),
+          (array_position(a8, array_max(a8)) =!=
+            array_position(a9, array_max(a9))).cast("long")
+            .as("rdv_moved"))
+        .agg(count(lit(1)).as("n"), sum(col("mod_moved")).as("mm"),
+          sum(col("rdv_moved")).as("rm"))
+        .localCheckpoint() // 1-row frame read twice below
+      agg.select(lit("modulo").as("scheme"), col("n").as("n_docs"),
+          col("mm").as("n_moved"),
+          expr("mm * 1000000 div n").as("moved_ppm"))
+        .union(agg.select(lit("rendezvous"), col("n"), col("rm"),
+          expr("rm * 1000000 div n")))
+        .orderBy(col("scheme"))
+    },
+    Some {
+      val l8 = (0 until 8)
+        .map(i => s"md5('rv$i:' || CAST(doc_id AS VARCHAR))")
+        .mkString("[", ", ", "]")
+      val l9 = (0 until 9)
+        .map(i => s"md5('rv$i:' || CAST(doc_id AS VARCHAR))")
+        .mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT
+          CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) AS hv,
+          $l8 AS a8,
+          $l9 AS a9
+        FROM documents),
+      m AS (SELECT
+          CASE WHEN hv % 8 <> hv % 9 THEN 1 ELSE 0 END AS mod_moved,
+          CASE WHEN list_position(a8, list_aggregate(a8, 'max'))
+                 <> list_position(a9, list_aggregate(a9, 'max'))
+               THEN 1 ELSE 0 END AS rdv_moved
+        FROM h),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(mod_moved) AS BIGINT) AS mm,
+          CAST(SUM(rdv_moved) AS BIGINT) AS rm FROM m)
+      SELECT 'modulo' AS scheme, n AS n_docs, mm AS n_moved,
+        mm * 1000000 // n AS moved_ppm FROM t
+      UNION ALL SELECT 'rendezvous', n, rm, rm * 1000000 // n FROM t
+      ORDER BY scheme"""
+    })
+
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q150, q151, q152, q153, q154, q155, q156,
-    q159, q160, q161, q162, q163)
+    q159, q160, q161, q162, q163, q168, q169, q170)
 }

@@ -860,7 +860,96 @@ object QueriesMore {
       FROM codes WHERE d <= 16
       GROUP BY 1 ORDER BY d"""))
 
+  /** MINHASH ESTIMATOR CALIBRATION over the LSH candidate pairs: for
+    * every banded candidate, the 8-component signature agreement
+    * (matches ∈ 0..8 — the MinHash Jaccard estimate in eighths)
+    * crossed with the EXACT 5-shingle Jaccard decile, as a
+    * (matches, decile) → pair-count census. The estimator-quality
+    * readout that tells a dedup operator whether its signature width
+    * is wide enough BEFORE trusting banding at corpus scale.
+    *
+    * Exactness/scale: the exact side is computed per candidate ROW
+    * with array expressions (array_intersect of distinct shingle
+    * sets) after two doc-keyed text joins — the O(corpus²) all-pairs
+    * Jaccard never runs, only the bounded candidate set pays the
+    * kernel. The decile is all-integer (i·10 div union), matches is
+    * an integer sum of equality flags — nothing floating anywhere.
+    * Signatures come from the same narrow band-table params as
+    * q17/q40 (n=5, k=8, 2 bands). */
+  private val q172 = Q(
+    "q172_minhash_calibration",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = SharedLsh.candidatePairs(s, dir)
+      val sig = graft.operators.Dedup
+        .minhashSignatures(docs, "doc_id", "text", 5, 8)
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+      val est = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (0 until 8).map(j =>
+            when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+            .reduce(_ + _).as("matches"))
+      val shA = array_distinct(
+        graft.operators.Dedup.charShingles(col("ta"), 5))
+      val shB = array_distinct(
+        graft.operators.Dedup.charShingles(col("tb"), 5))
+      est
+        .join(docs.select(col("doc_id").as("doc_a"),
+          col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("text").as("tb")), "doc_b")
+        .select(col("matches"),
+          size(array_intersect(shA, shB)).cast("long").as("i"),
+          (size(shA) + size(shB)).cast("long").as("ssum"))
+        .select(col("matches"),
+          expr("i * 10 div (ssum - i)").as("decile"))
+        .groupBy(col("matches"), col("decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("matches"), col("decile"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      val matches = (0 until 8)
+        .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT c.doc_a, c.doc_b, $matches AS matches
+        FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+                    JOIN sig b ON b.doc_id = c.doc_b),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM sh GROUP BY 1),
+      inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        GROUP BY 1, 2),
+      cal AS (SELECT e.matches,
+          COALESCE(i.i, 0) * 10
+            // (sa.sz + sb.sz - COALESCE(i.i, 0)) AS decile
+        FROM est e
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN sizes sa ON sa.doc_id = e.doc_a
+        JOIN sizes sb ON sb.doc_id = e.doc_b)
+      SELECT CAST(matches AS BIGINT) AS matches, decile,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM cal GROUP BY 1, 2 ORDER BY matches, decile"""
+    })
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54)
+    q52, q53, q54, q172)
 }

@@ -601,6 +601,214 @@ object QueriesPipeline {
         CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_rate
       FROM hits ORDER BY doc_id"""))
 
+  /** CHUNK-DEDUP DOCUMENT REBUILD (Curation.chunkDedupRebuild) — the
+    * cleanup step q60's census only counts: every 20-word chunk kept
+    * at its globally first occurrence, removed everywhere else, and
+    * each affected document re-assembled from its survivors in order.
+    * Same boilerplate injection as q60 (a 20-word template prepended
+    * to every 5th doc) so the removal path executes at every SF; the
+    * rebuilt STRING itself is hash-pinned cross-engine (the q164
+    * discipline — md5 of the reassembled text, not just counts). A
+    * doc that loses ALL chunks (an exact dup of an earlier doc)
+    * rebuilds to '' on both sides. */
+  private val q167 = Q(
+    "q167_chunk_dedup_rebuild",
+    (s, dir) => {
+      val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+        "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua yes"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat_ws(" ", lit(boiler), col("text")))
+            .otherwise(col("text")).as("txt"))
+      Curation.chunkDedupRebuild(docs, "doc_id", "txt", 20)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("new_text")).as("new_text_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN
+            'lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua yes'
+            || ' ' || text
+          ELSE text END AS txt
+        FROM documents),
+      toks AS (SELECT doc_id, string_split(txt, ' ') AS t FROM d),
+      chunks AS (
+        SELECT doc_id, i AS idx,
+          array_to_string(list_slice(t,
+            CAST(i * 20 + 1 AS INT), CAST(i * 20 + 20 AS INT)), ' ') AS ctext
+        FROM toks,
+          UNNEST(range(0, CAST(CEIL(len(t) / 20.0) AS BIGINT))) AS u(i)),
+      k AS (
+        SELECT doc_id, idx, ctext,
+          doc_id * 100000 + idx =
+            MIN(doc_id * 100000 + idx) OVER (PARTITION BY md5(ctext)) AS keep
+        FROM chunks),
+      r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          md5(COALESCE(
+            string_agg(ctext, ' ' ORDER BY idx) FILTER (WHERE keep),
+            '')) AS new_text_md5
+        FROM k GROUP BY 1)
+      SELECT doc_id, n_chunks, n_kept, new_text_md5 FROM r
+      WHERE n_kept < n_chunks ORDER BY doc_id"""))
+
+  /** DEDUP TOKEN-SAVINGS REPORT: what exact dedup (q16's md5 groups,
+    * keep-first) is WORTH, denominated in training tokens — per
+    * language: docs, total tokens, tokens surviving keep-first,
+    * tokens saved, docs dropped, and savings as integer ppm. The
+    * capacity-planning readout a pipeline owner reads before paying
+    * for the dedup pass. Keep-first is decided on md5(text) — only
+    * 16-byte hashes and token counts shuffle. */
+  private val q171 = Q(
+    "q171_dedup_token_savings",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+          md5(col("text")).as("h"))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(when(col("keep"), col("toks")).otherwise(0L))
+            .as("kept_tokens"),
+          sum(when(!col("keep"), col("toks")).otherwise(0L))
+            .as("saved_tokens"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("saved_ppm",
+          expr("saved_tokens * 1000000 div total_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+          md5(text) AS h
+        FROM documents),
+      k AS (SELECT lang, toks,
+          doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keep
+        FROM t),
+      g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS total_tokens,
+          CAST(SUM(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT)
+            AS kept_tokens,
+          CAST(SUM(CASE WHEN keep THEN 0 ELSE toks END) AS BIGINT)
+            AS saved_tokens,
+          CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_dropped
+        FROM k GROUP BY 1)
+      SELECT lang, n_docs, total_tokens, kept_tokens, saved_tokens,
+        n_dropped, saved_tokens * 1000000 // total_tokens AS saved_ppm
+      FROM g ORDER BY lang"""))
+
+  /** INCREMENTAL CHUNK DEDUP — the delta-vs-stored-index analog of
+    * q96 (LSH) and q127 (SemDeDup) at chunk granularity: the stored
+    * corpus (doc_id % 10 != 0) is reduced to a persisted index
+    * (chunk hash → min first-occurrence position) and the delta
+    * (doc_id % 10 == 0) is judged against least(stored index,
+    * delta-internal first occurrence) WITHOUT re-reading stored
+    * chunks. Because keep-first is a MIN and min is associative,
+    * the incremental verdicts equal from-scratch verdicts for every
+    * delta row REGARDLESS of id interleaving — and the oracle asserts
+    * exactly that: it computes the from-scratch keep over the whole
+    * corpus and restricts to delta docs. incremental == batch is a
+    * green gate row, not just a spec. Same q60/q167 boilerplate
+    * injection so stored↔delta collisions exist at every SF. */
+  private val q173 = Q(
+    "q173_incr_chunk_dedup",
+    (s, dir) => {
+      val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+        "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua yes"
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat_ws(" ", lit(boiler), col("text")))
+            .otherwise(col("text")).as("txt"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.wordChunks(col("txt"), 20)))
+        .select(col("doc_id"), col("pos").cast("long").as("idx"),
+          md5(col("col")).as("ch"))
+        .withColumn("packed", col("doc_id") * 100000L + col("idx"))
+      val index = chunks.filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("ch")).agg(min(col("packed")).as("stored_min"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ch"))
+      chunks.filter(col("doc_id") % 10 === 0)
+        .withColumn("delta_min", min(col("packed")).over(w))
+        .join(index, Seq("ch"), "left")
+        .withColumn("keep", col("packed") === least(
+          coalesce(col("stored_min"), lit(Long.MaxValue)),
+          col("delta_min")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN
+            'lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua yes'
+            || ' ' || text
+          ELSE text END AS txt
+        FROM documents),
+      toks AS (SELECT doc_id, string_split(txt, ' ') AS t FROM d),
+      chunks AS (
+        SELECT doc_id, i AS idx,
+          md5(array_to_string(list_slice(t,
+            CAST(i * 20 + 1 AS INT), CAST(i * 20 + 20 AS INT)), ' ')) AS ch
+        FROM toks,
+          UNNEST(range(0, CAST(CEIL(len(t) / 20.0) AS BIGINT))) AS u(i)),
+      k AS (
+        SELECT doc_id,
+          doc_id * 100000 + idx =
+            MIN(doc_id * 100000 + idx) OVER (PARTITION BY ch) AS keep
+        FROM chunks)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM k WHERE doc_id % 10 = 0
+      GROUP BY 1 ORDER BY doc_id"""))
+
+  /** TERM-FREQUENCY ZIPF CENSUS: vocabulary terms bucketed by the BIT
+    * LENGTH of their corpus frequency (the q155 `bin()`-length move —
+    * bucket b holds terms with tf ∈ [2^(b-1), 2^b)), with each
+    * bucket's term count and its ratio to the previous bucket in ppm.
+    * For a Zipf-distributed vocabulary the ratio is roughly constant
+    * across doubling buckets — the one-glance power-law readout that
+    * says whether tokenizer vocab sizing can trust the tail. Integer
+    * end to end; the window runs over the ≤64-row bucket census. */
+  private val q174 = Q(
+    "q174_zipf_census",
+    (s, dir) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .groupBy(length(bin(col("tf"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"))
+        .withColumn("ratio_prev_ppm",
+          coalesce(expr(
+            "n_terms * 1000000 div lag(n_terms, 1) OVER (ORDER BY bucket)"),
+            lit(0L)))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH tf AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        WHERE len(tok) > 0 GROUP BY 1),
+      b AS (SELECT CAST(len(bin(tf)) AS BIGINT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_terms,
+          CAST(SUM(tf) AS BIGINT) AS sum_tf
+        FROM tf GROUP BY 1)
+      SELECT bucket, n_terms, sum_tf,
+        COALESCE(n_terms * 1000000 //
+          LAG(n_terms, 1) OVER (ORDER BY bucket), 0) AS ratio_prev_ppm
+      FROM b ORDER BY bucket"""))
+
   val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q98)
+    q65, q66, q98, q167, q171, q173, q174)
 }

@@ -119,4 +119,50 @@ object Curation {
       floor(coalesce(sum(col(tokCol)).over(w), lit(0L)) / lit(budget.toDouble))
         .cast("long"))
   }
+
+  /** Chunk-level dedup with DOCUMENT REBUILD — the paragraph-dedup
+    * cleanup step (C4/FineWeb-style) that q60's census only counts:
+    * each n-word chunk is kept at its globally FIRST occurrence
+    * (lowest doc_id, then lowest chunk index) and removed everywhere
+    * else, and each affected document's text is re-assembled from its
+    * surviving chunks in order. Returns only documents that actually
+    * lost a chunk, as (doc_id, n_chunks, n_kept, new_text).
+    *
+    * Shuffle economy: the keep-first decision runs on (doc_id, idx,
+    * md5(chunk)) handles — 16-byte hashes, never chunk text — and
+    * comes back to each document as ONE bounded array of surviving
+    * chunk indices (doc-keyed join). The rebuild is then a per-row
+    * array expression: surviving token slices re-joined in place, so
+    * document text is read exactly once and never shuffles. The
+    * keep-first packing `doc_id * 100000 + idx` requires idx < 100000
+    * (a 2M-word doc at n=20) — guarded below. */
+  def chunkDedupRebuild(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    // the guard is woven into the value (q166's raise_error
+    // convention) so column pruning can never optimize it away
+    val guardedIdx = when(col("pos") < 100000, col("pos").cast("long"))
+      .otherwise(raise_error(lit(
+        "chunkDedupRebuild: chunk index overflows the keep-first packing"))
+        .cast("long"))
+    val handles = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.wordChunks(col(textCol), n)))
+      .select(col("doc_id"), guardedIdx.as("idx"), md5(col("col")).as("ch"))
+    val w = Window.partitionBy(col("ch"))
+    val packed = col("doc_id") * 100000L + col("idx")
+    val kept = handles
+      .withColumn("keep", packed === min(packed).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("keep"), col("idx"))))
+          .as("_keep_idxs"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(kept, "doc_id")
+      .where(col("n_kept") < col("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        array_join(transform(col("_keep_idxs"),
+          i => array_join(
+            slice(TextAnalysis.tokens(col("_text")),
+              (i * n + 1).cast("int"), lit(n)), " ")), " ").as("new_text"))
+  }
 }

@@ -78,6 +78,47 @@ object Graphs {
     census.toSeq.toDF("round", "n_nodes", "n_edges")
   }
 
+  /** Fixed-round synchronous LABEL PROPAGATION over oriented (x < y)
+    * distinct edges: label₀(v) = v; each round every node adopts the
+    * most frequent label among its NEIGHBORS, ties broken by lowest
+    * label — fully deterministic, so the result is SQL-replayable as
+    * unrolled CTEs. Returns (v, label) after `rounds` rounds.
+    *
+    * This is the community detector that connected components is NOT:
+    * CC (min-label to fixpoint) merges everything reachable, while
+    * frequency-argmax propagation lets densely-connected groups keep
+    * distinct labels across weak bridges — the readout that splits a
+    * template FAMILY from two families sharing one chance collision.
+    *
+    * Scale: each round is one equi-join of the (2·|E|)-row adjacency
+    * against the |V|-row label map, a (v, label) count, and a
+    * per-node argmax window — all keyed shuffles, no all-pairs work;
+    * per-round frames are localCheckpoint'd so lineage stays flat
+    * (the kCoreCensus discipline). Fixed `rounds` (not to-fixpoint)
+    * keeps it deterministic and bounded; synchronous LPA can
+    * oscillate on bipartite structures, which a census over two
+    * consecutive rounds exposes if it matters. */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    val adj = pairs.select(col("x").as("v"), col("y").as("u"))
+      .union(pairs.select(col("y").as("v"), col("x").as("u")))
+      .localCheckpoint()
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to rounds) {
+      val cnt = adj
+        .join(labels.select(col("v").as("u"), col("label")), Seq("u"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v"))
+        .orderBy(col("c").desc, col("label").asc)
+      labels = cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def triangleCensus(pairs: DataFrame): DataFrame = {
     val e1 = pairs.select(col("x").as("a"), col("y").as("b"))
     val e2 = pairs.select(col("x").as("b"), col("y").as("c"))

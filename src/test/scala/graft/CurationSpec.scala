@@ -99,6 +99,21 @@ class CurationSpec extends SparkSpec {
       ("B", 1L, 0L), ("B", 2L, 1L)))
   }
 
+  test("chunkDedupRebuild: keep-first removal, ordered rebuild, full-dup empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),  // owns both chunks -> untouched, absent
+      (2L, "a b c x y z"),  // loses chunk 0 to doc1 -> rebuilt "x y z"
+      (3L, "a b c d e f"),  // exact dup of doc1 -> loses ALL -> ""
+      (4L, "q r s")).toDF("doc_id", "text")
+    val got = Curation.chunkDedupRebuild(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, "")))
+  }
+
   test("q55/q56/q58 smoke on sf0.001: census totals are consistent") {
     val dir = sf()
     val q = Queries.all

@@ -79,4 +79,23 @@ class GraphCensusSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(d == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("labelPropagation: bridged triangles stay distinct where CC merges") {
+    // two triangles joined by one bridge edge 3-4: CC sees ONE
+    // component; 2-round frequency-argmax LPA keeps the sides apart
+    val g = pairs((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val labels = Graphs.labelPropagation(g, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // hand-computed synchronous rounds (argmax by count desc, label asc):
+    // r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    // r2: 1->1 2->1 3->1 4->4 5->3 6->3
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+    // the left triangle is one community; no left label leaks right
+    assert(Set(4L, 5L, 6L).map(labels) == Set(3L, 4L))
+    assert(graft.operators.Dedup.connectedComponents(
+      g.toDF("doc_a", "doc_b"))
+      .select("component").distinct().count() == 1L)
+  }
 }
