@@ -949,7 +949,92 @@ object QueriesMore {
       FROM cal GROUP BY 1, 2 ORDER BY matches, decile"""
     })
 
+  /** QUALITY-ARGMAX RETENTION over the near-dup clusters — q44's
+    * retention with the policy a curation pipeline actually wants:
+    * instead of keeping the LOWEST-ID member (arbitrary), keep the
+    * HIGHEST-QUALITY member (q23's score ×10⁶ fixed point, ties to
+    * the lower id). Per-language census of clustered docs compares
+    * the two policies directly: the summed keeper quality under
+    * argmax vs under keep-first — the measured value of the smarter
+    * policy. Argmax rides a packed BIGINT (score_fp·10⁷ + inverted
+    * id; id range guarded with raise_error, q166's convention) so
+    * the per-component window is a plain MAX. */
+  private val q175 = Q(
+    "q175_quality_retention",
+    (s, dir) => {
+      val score = floor(
+        graft.operators.TextAnalysis.qualityScore(col("text")) * 1000000)
+        .cast("long")
+      val guardedId = when(col("doc_id") < 9999999L, col("doc_id"))
+        .otherwise(raise_error(lit(
+          "q175: doc_id overflows the argmax packing")).cast("long"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), score.as("score_fp"),
+          (score * 10000000L + (lit(9999999L) - guardedId)).as("packed"))
+      val w = Window.partitionBy(col("component"))
+      docs.join(SharedLsh.components(s, dir), "doc_id")
+        .withColumn("keep_q", col("packed") === max(col("packed")).over(w))
+        .withColumn("keep_first", col("doc_id") === col("component"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("clustered_docs"),
+          sum(when(col("keep_q"), 1L).otherwise(0L)).as("kept"),
+          sum(when(col("keep_q"), col("score_fp")).otherwise(0L))
+            .as("quality_policy_score"),
+          sum(when(col("keep_first"), col("score_fp")).otherwise(0L))
+            .as("first_policy_score"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      val stopList = graft.operators.TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS (SELECT node AS doc_id, MIN(label) AS component
+                FROM walk GROUP BY 1),
+      scored AS (SELECT doc_id, lang,
+          CAST(FLOOR((
+            LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+            (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+               / len(string_split(text, ' '))) * 0.3 +
+            (1.0 - LEAST(1.0,
+              len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2
+          ) * 1000000) AS BIGINT) AS score_fp
+        FROM documents),
+      cl AS (SELECT s.doc_id, s.lang, s.score_fp, c.component,
+          s.score_fp * 10000000 + (9999999 - s.doc_id) AS packed
+        FROM scored s JOIN comps c ON c.doc_id = s.doc_id),
+      k AS (SELECT lang, doc_id, component, score_fp,
+          packed = MAX(packed) OVER (PARTITION BY component) AS keep_q
+        FROM cl)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS clustered_docs,
+        CAST(SUM(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        CAST(SUM(CASE WHEN keep_q THEN score_fp ELSE 0 END) AS BIGINT)
+          AS quality_policy_score,
+        CAST(SUM(CASE WHEN doc_id = component THEN score_fp ELSE 0 END)
+          AS BIGINT) AS first_policy_score
+      FROM k GROUP BY 1 ORDER BY lang"""
+    })
+
   val list: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q172)
+    q52, q53, q54, q172, q175)
 }

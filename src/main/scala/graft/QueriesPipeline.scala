@@ -809,6 +809,100 @@ object QueriesPipeline {
           LAG(n_terms, 1) OVER (ORDER BY bucket), 0) AS ratio_prev_ppm
       FROM b ORDER BY bucket"""))
 
+  /** CROSS-SOURCE SYNDICATION MATRIX: for every source pair, the
+    * number of distinct document texts they BOTH carry verbatim — the
+    * wire-story / mirror-site detector that tells a pipeline which
+    * source pairs double-count content before mixture weights are
+    * set. Injection (q56's discipline): every 13th doc becomes one
+    * fixed syndicated story so the cross-source regime populates at
+    * every SF. Join is on 16-byte text hashes after per-source
+    * distinct; output is ≤ C(|sources|, 2) rows at any corpus size. */
+  private val q176 = Q(
+    "q176_syndication_matrix",
+    (s, dir) => {
+      val txt = when(col("doc_id") % 13 === 0,
+        lit("syndicated wire story republished verbatim across outlets"))
+        .otherwise(col("text"))
+      val hs = Tables.documents(s, dir)
+        .select(md5(txt).as("h"), col("source"))
+        .distinct()
+      hs.select(col("h"), col("source").as("src_a"))
+        .join(hs.select(col("h"), col("source").as("src_b")), "h")
+        .where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""WITH d AS (
+        SELECT source,
+          md5(CASE WHEN doc_id % 13 = 0
+            THEN 'syndicated wire story republished verbatim across outlets'
+            ELSE text END) AS h
+        FROM documents),
+      hs AS (SELECT DISTINCT h, source FROM d)
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY src_a, src_b"""))
+
+  /** PER-SOURCE QUALITY-THRESHOLD CALIBRATION: exact discrete
+    * p25/median/p75 of the quality score (×10⁶ fixed point) per
+    * source — the table a filtering stage reads to set per-source
+    * cutoffs instead of one global one (sources differ; q23 showed
+    * the means differ). The q39 rank-filter kernel: one row_number
+    * window per source partition, rank formulas shared verbatim with
+    * the oracle, ties broken by doc_id, conditional-MAX readout —
+    * no sort beyond the per-source window at any size. */
+  private val q177 = Q(
+    "q177_quality_percentiles",
+    (s, dir) => {
+      val score = floor(TextAnalysis.qualityScore(col("text")) * 1000000)
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score_fp"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), score.as("score_fp"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(max(col("cnt")).as("n"),
+          max(when(col("rn") === expr("greatest(1, (cnt + 1) div 4)"),
+            col("score_fp"))).as("p25_fp"),
+          max(when(col("rn") === expr("(cnt + 1) div 2"),
+            col("score_fp"))).as("median_fp"),
+          max(when(col("rn") === expr("greatest(1, (3 * (cnt + 1)) div 4)"),
+            col("score_fp"))).as("p75_fp"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val stopList = TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH scored AS (
+        SELECT source, doc_id,
+          CAST(FLOOR((
+            LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+            (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+               / len(string_split(text, ' '))) * 0.3 +
+            (1.0 - LEAST(1.0,
+              len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2
+          ) * 1000000) AS BIGINT) AS score_fp
+        FROM documents),
+      r AS (SELECT source, score_fp,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY score_fp, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM scored)
+      SELECT source, CAST(MAX(cnt) AS BIGINT) AS n,
+        MAX(CASE WHEN rn = GREATEST(1, (cnt + 1) // 4)
+            THEN score_fp END) AS p25_fp,
+        MAX(CASE WHEN rn = (cnt + 1) // 2 THEN score_fp END) AS median_fp,
+        MAX(CASE WHEN rn = GREATEST(1, (3 * (cnt + 1)) // 4)
+            THEN score_fp END) AS p75_fp
+      FROM r GROUP BY 1 ORDER BY source"""
+    })
+
   val list: Seq[Q] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q98, q167, q171, q173, q174)
+    q65, q66, q98, q167, q171, q173, q174, q176, q177)
 }
