@@ -932,10 +932,14 @@ object QueriesMore {
                     JOIN sig b ON b.doc_id = c.doc_b),
       sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
         FROM sh GROUP BY 1),
+      cdocs AS (SELECT doc_a AS doc_id FROM cand
+        UNION SELECT doc_b FROM cand),
+      shc AS (SELECT s.doc_id, s.sh FROM sh s
+        JOIN cdocs USING (doc_id)),
       inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
         FROM cand c
-        JOIN sh x ON x.doc_id = c.doc_a
-        JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        JOIN shc x ON x.doc_id = c.doc_a
+        JOIN shc y ON y.doc_id = c.doc_b AND y.sh = x.sh
         GROUP BY 1, 2),
       cal AS (SELECT e.matches,
           COALESCE(i.i, 0) * 10

@@ -1353,7 +1353,79 @@ object QueriesSample {
       GROUP BY 1 ORDER BY doc_id"""
     })
 
+  /** EMBEDDING NORM HYGIENE CENSUS — the vector-table health check a
+    * similarity pipeline runs BEFORE trusting cosine anywhere: per
+    * label, the count of exactly-zero vectors (cosine undefined),
+    * low-norm vectors (‖x‖ < 0.1 — noise-dominated neighbors), and
+    * the squared-norm extremes. Norms are exact BIGINTs over the
+    * q126 fixed-point quantization (⌊x·10⁶⌋, the engine-portable
+    * float recipe), so the census hash-matches; the per-vector fold
+    * is a map-only array aggregate — nothing but the label census
+    * shuffles at any corpus size. */
+  private val q178 = Q(
+    "q178_embedding_hygiene",
+    (s, dir) => {
+      val vfp = transform(col("embedding"),
+        x => floor(x * lit(1e6)).cast("long"))
+      val sqn = aggregate(vfp, lit(0L), (a, x) => a + x * x)
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"), sqn.as("sqn"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("sqn") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("sqn") < 10000000000L, 1L).otherwise(0L))
+            .as("n_low_norm"),
+          min(col("sqn")).as("min_sqn"), max(col("sqn")).as("max_sqn"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH xq AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+            AS BIGINT) AS xfp
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      sq AS (SELECT vec_id, label,
+          CAST(SUM(xfp * xfp) AS BIGINT) AS sqn
+        FROM xq GROUP BY 1, 2)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(CASE WHEN sqn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        CAST(SUM(CASE WHEN sqn < 10000000000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_low_norm,
+        CAST(MIN(sqn) AS BIGINT) AS min_sqn,
+        CAST(MAX(sqn) AS BIGINT) AS max_sqn
+      FROM sq GROUP BY 1 ORDER BY label"""))
+
+  /** DEAD-DIMENSION CENSUS — q178's per-dimension companion: for each
+    * embedding dimension, the zero count, distinct-value count, and
+    * value extremes over the fixed-point grid. A dimension with
+    * n_distinct = 1 carries no information (dead projection head /
+    * all-zero feature); one with a tiny spread quantifies how much of
+    * the space the corpus actually uses. Output is |dims| rows at any
+    * corpus size; the only shuffles are dim-keyed (≤ |dims|·|grid
+    * values| keys for the distinct). */
+  private val q179 = Q(
+    "q179_dead_dims",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(posexplode(transform(col("embedding"),
+        x => floor(x * lit(1e6)).cast("long"))).as(Seq("j0", "xfp")))
+      .groupBy(col("j0").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("xfp") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        countDistinct(col("xfp")).as("n_distinct"),
+        min(col("xfp")).as("min_fp"), max(col("xfp")).as("max_fp"))
+      .orderBy(col("j")),
+    Some("""WITH xq AS (
+        SELECT CAST(i - 1 AS BIGINT) AS j,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+            AS BIGINT) AS xfp
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i))
+      SELECT j, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN xfp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        CAST(COUNT(DISTINCT xfp) AS BIGINT) AS n_distinct,
+        CAST(MIN(xfp) AS BIGINT) AS min_fp,
+        CAST(MAX(xfp) AS BIGINT) AS max_fp
+      FROM xq GROUP BY 1 ORDER BY j"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q97, q99, q164)
+    q90, q91, q92, q93, q94, q95, q97, q99, q164, q178, q179)
 }
