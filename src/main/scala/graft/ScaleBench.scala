@@ -159,6 +159,18 @@ object ScaleBench {
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
           maxLen = 32, startLen = 8).count()
       }
+      // round-6 operators: chunk-level rebuild + LPA communities
+      val rebuilt = timedL("chunk_rebuild") {
+        graft.operators.Curation
+          .chunkDedupRebuild(docs, "doc_id", "text", 20).count()
+      }
+      val lpaComms = timedL("lpa_communities") {
+        graft.operators.Graphs.labelPropagation(
+          graft.operators.Curation
+            .sharedGramEdges(docs, "doc_id", "text", 8, 10)
+            .localCheckpoint(), rounds = 2)
+          .select(col("label")).distinct().count()
+      }
       val audited = timedL("validate_audit") {
         graft.operators.Validate.audit(docs, Seq(
           graft.operators.Validate.NotNull("text"),
@@ -349,7 +361,8 @@ object ScaleBench {
         f""""components":$comps,"chunk_groups":$chunkKept,""" +
         f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler,""" +
         f""""dup_span_docs":$spans,"dup_span_docs_sharded":$spansSharded,""" +
-        f""""sa_positions":$saRows,""" +
+        f""""sa_positions":$saRows,"rebuilt_docs":$rebuilt,""" +
+        f""""lpa_communities":$lpaComms,""" +
         f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs,""" +
         f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,"bpe_rounds":$bpeRounds}""")
       println(acc.toString)

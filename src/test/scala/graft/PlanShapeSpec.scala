@@ -326,4 +326,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-10 via sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"equi-joins only:\n$p")
   }
+
+  test("chunk rebuild: keep-first decisions shuffle hashes, never text") {
+    // q167's window partitions by md5(chunk); chunk and document text
+    // must stay inside scan-stage projections (the SCALE.md claim)
+    val p = planOf(Queries.all("q167_chunk_dedup_rebuild")(spark, sf()))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(exchangeLines.forall(l =>
+      !l.contains("txt#") && !l.contains("_text#") && !l.contains("col#")),
+      s"chunk/document text in a shuffle key:\n$p")
+  }
+
+  test("reshard census is map-only scan work: no join, no window") {
+    val p = planOf(Queries.all("q170_reshard_movement")(spark, sf()))
+    assert(!p.contains("Join"), s"per-row md5 argmax must not join:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
+  test("embedding hygiene: per-vector fold stays in the scan, census-only shuffle") {
+    val p = planOf(Queries.all("q178_embedding_hygiene")(spark, sf()))
+    assert(!p.contains("Join"), s"map-only before the label census:\n$p")
+    assert(!p.contains("Generate"),
+      s"the norm fold must not explode the vector:\n$p")
+  }
 }
