@@ -218,17 +218,24 @@ object QueriesAnalytics {
 
   /** Shared oracle CTE: the rare-gram (df ∈ [2,10]) 8-gram edge list
     * and its degree table — q144/q145 read the same graph. */
+  /** `grams`/`pairs` are MATERIALIZED: consumers downstream (k-core's
+    * chained peels, LPA's chained rounds, the triangle join's three
+    * legs) reference them repeatedly, and DuckDB's default CTE
+    * inlining re-evaluates the gram self-join once PER REFERENCE —
+    * measured at sf0.1 as a >60 GB spill + ENOSPC on q163 vs 1.2 s
+    * materialized. Same class of planner trap as q128/q172's
+    * candidate-prefilter rule; recorded in NEXT.md. */
   private val GramEdgesSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
         FROM documents),
-      grams AS (SELECT DISTINCT doc_id, g FROM (
+      grams AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM (
         SELECT doc_id, UNNEST(list_transform(range(1, len(t)-6),
           i -> array_to_string(
             list_slice(t, CAST(i AS INT), CAST(i AS INT)+7), ' '))) AS g
         FROM toks WHERE len(t) >= 8)),
       df AS (SELECT g, COUNT(*) AS d FROM grams GROUP BY 1),
       rare AS (SELECT g FROM df WHERE d BETWEEN 2 AND 10),
-      pairs AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+      pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
         FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
         WHERE a.doc_id < b.doc_id),
       deg AS (SELECT v, COUNT(*) AS d FROM (
