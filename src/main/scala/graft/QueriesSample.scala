@@ -1425,7 +1425,40 @@ object QueriesSample {
         CAST(MAX(xfp) AS BIGINT) AS max_fp
       FROM xq GROUP BY 1 ORDER BY j"""))
 
+  /** HILBERT-CURVE LAYOUT KEY (ZOrder.withHilbert) — q70's Morton key
+    * upgraded to the curve with the adjacency GUARANTEE: consecutive
+    * Hilbert keys are always grid-adjacent (ZOrderSpec proves it
+    * exhaustively on the 16×16 grid and measures per-file bounding
+    * boxes beating Z-order), so a range-partitioned file covers one
+    * CONNECTED (x, y) region — tighter two-column min/max skipping.
+    * The key is `bits` chained all-integer column rewrites (named
+    * columns, not one 4^bits expression tree); the oracle replays the
+    * identical per-level CASE chain via [[ZOrder.hilbertSql]], so the
+    * two engines are generated from one level table and cannot
+    * drift. Census: 32 key-range buckets over (user, hour) cells. */
+  private val q180 = Q(
+    "q180_hilbert_layout",
+    (s, dir) => {
+      val src = Tables.events(s, dir).selectExpr(
+        "pmod(user_id, 256) AS gx",
+        "pmod(unix_millis(ts) div 3600000, 256) AS gy")
+      ZOrder.withHilbert(src, "gx", "gy", bits = 8, outCol = "hd")
+        .groupBy(expr("hd div 2048").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("hd")).as("min_hd"), max(col("hd")).as("max_hd"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH src AS (SELECT
+        user_id % 256 AS hx,
+        (epoch_ms(ts) // 3600000) % 256 AS hy
+      FROM events),
+      ${ZOrder.hilbertSql("src", 8, Seq.empty)}
+      SELECT hd // 2048 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(hd) AS BIGINT) AS min_hd,
+        CAST(MAX(hd) AS BIGINT) AS max_hd
+      FROM hilbert GROUP BY 1 ORDER BY bucket"""))
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q97, q99, q164, q178, q179)
+    q90, q91, q92, q93, q94, q95, q97, q99, q164, q178, q179, q180)
 }

@@ -83,4 +83,83 @@ object ZOrder {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** HILBERT-curve key for a 2-D grid — [[zkey]]'s sibling with the
+    * strictly better locality guarantee: consecutive Hilbert keys are
+    * ALWAYS grid-adjacent (Manhattan distance 1, spec-proven
+    * exhaustively), while the Z-curve jumps across the grid at every
+    * quadrant seam. For range-partitioned file layout that means a
+    * file covering a Hilbert key range covers one CONNECTED region —
+    * tighter per-file min/max boxes on both columns, better
+    * multi-predicate skipping (the Hilbert option in modern table
+    * formats; Hilbert 1891, iterative form per Warren's Hacker's
+    * Delight fig. 16-9 family).
+    *
+    * Implemented as `bits` chained column rewrites appended via
+    * withColumn (NOT one nested expression — the (x,y) rotation
+    * references both coords per level, so a single expression tree
+    * would grow 4^bits nodes; named columns keep each level linear
+    * and codegen-friendly). All-integer CASE/bit arithmetic — exact
+    * on any engine, so oracle SQL replays it as the same per-level
+    * CTE chain. Inputs must be non-negative ints < 2^bits;
+    * 2·bits ≤ 62. Adds `outCol`, drops nothing. */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  outCol: String): DataFrame = {
+    require(bits > 0 && 2 * bits <= 62, "need 0 < bits <= 31")
+    val (hx, hy, hd) = ("_h_x", "_h_y", outCol)
+    var cur = df
+      .withColumn(hx, col(xCol).cast("long"))
+      .withColumn(hy, col(yCol).cast("long"))
+      .withColumn(hd, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col(hx).bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col(hy).bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      cur = cur
+        .withColumn("_h_rx", rx)
+        .withColumn("_h_ry", ry)
+        .withColumn(hd, col(hd) + lit(s) * lit(s) *
+          (lit(3L) * col("_h_rx")).bitwiseXOR(col("_h_ry")))
+        // rotate the frame: reflect (if rx==1) then swap — only when
+        // ry == 0; the last level's rotation is a no-op for d
+        .withColumn("_h_nx",
+          when(col("_h_ry") === 0,
+            when(col("_h_rx") === 1, lit(s - 1) - col(hy))
+              .otherwise(col(hy))).otherwise(col(hx)))
+        .withColumn(hy,
+          when(col("_h_ry") === 0,
+            when(col("_h_rx") === 1, lit(s - 1) - col(hx))
+              .otherwise(col(hx))).otherwise(col(hy)))
+        .withColumn(hx, col("_h_nx"))
+    }
+    cur.drop(hx, hy, "_h_rx", "_h_ry", "_h_nx")
+  }
+
+  /** The same per-level rewrite as [[withHilbert]], as a DuckDB CTE
+    * chain: `WITH <prev> ... , h{L} AS (SELECT *: replaced cols ...)`.
+    * Generated from the identical level constants so the two engines
+    * cannot drift; all-integer, hash-exact. `srcCte` must expose
+    * columns `hx`, `hy` plus whatever else should pass through; the
+    * final CTE `hilbert` carries `hd` (+ passthrough). */
+  def hilbertSql(srcCte: String, bits: Int,
+                 passthrough: Seq[String]): String = {
+    require(bits > 0 && 2 * bits <= 62, "need 0 < bits <= 31")
+    val pt = if (passthrough.isEmpty) "" else passthrough.mkString("", ", ", ",")
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map {
+      case (i, lvl) =>
+        val s = 1L << i
+        s"""h${lvl + 1} AS (SELECT $pt
+          CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+          CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy,
+          hd + $s * $s * xor(3 * rx, ry) AS hd
+        FROM (SELECT $pt hx, hy, hd,
+            CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+          FROM h$lvl))"""
+    }
+    val first = s"h0 AS (SELECT $pt hx, hy, CAST(0 AS BIGINT) AS hd FROM $srcCte)"
+    s"""$first,
+      ${levels.mkString(",\n      ")},
+      hilbert AS (SELECT $pt hd FROM h$bits)"""
+  }
 }

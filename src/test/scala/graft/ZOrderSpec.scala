@@ -91,4 +91,56 @@ class ZOrderSpec extends SparkSpec {
     assert(area * 5 <= areaArrival,
       s"min/max area $area not 5x tighter than arrival $areaArrival")
   }
+
+  test("hilbert key: exhaustive 16x16 — bijective AND consecutive keys grid-adjacent") {
+    import spark.implicits._
+    val grid = spark.range(256).select(
+      (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+    val keyed = ZOrder.withHilbert(grid, "x", "y", bits = 4, outCol = "d")
+      .select("x", "y", "d")
+      .as[(Long, Long, Long)].collect()
+    // bijection onto [0, 256)
+    assert(keyed.map(_._3).sorted.toSeq == (0L until 256L))
+    // THE Hilbert property (Z-order lacks it): walking the curve in
+    // key order moves exactly one grid step at a time
+    val walk = keyed.sortBy(_._3)
+    walk.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, d2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump before d=$d2: ($x1,$y1)->($x2,$y2)")
+    }
+    // first cell is the origin, per the standard orientation
+    assert(walk.head == ((0L, 0L, 0L)))
+  }
+
+  test("hilbert: bits=1 base case matches the canonical U") {
+    import spark.implicits._
+    val g = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+    val got = ZOrder.withHilbert(g, "x", "y", 1, "d")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+  }
+
+  test("hilbert files cover connected regions: per-file bbox area beats z-order") {
+    // 2x8-bit grid, 16 range files each: a Hilbert segment is one
+    // connected region while a Z segment straddles quadrant seams, so
+    // the summed per-file bounding-box AREA must not be worse
+    import spark.implicits._
+    val n = 1 << 16
+    val pts = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(256L)).as("x"),
+      pmod(col("id") * 40503L, lit(256L)).as("y"))
+    def meanArea(df: org.apache.spark.sql.DataFrame, key: String): Double =
+      df.repartitionByRange(16, col(key))
+        .select(spark_partition_id().as("p"), col("x"), col("y"))
+        .groupBy("p")
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
+          .as("area"))
+        .agg(avg("area")).as[Double].head()
+    val hil = meanArea(
+      ZOrder.withHilbert(pts, "x", "y", 8, "hd"), "hd")
+    val zor = meanArea(
+      pts.withColumn("zk", ZOrder.zkey(Seq(col("x"), col("y")), 8)), "zk")
+    assert(hil <= zor * 1.05, s"hilbert bbox area $hil vs z-order $zor")
+  }
 }
