@@ -868,42 +868,67 @@ object QueriesMore {
     * readout that tells a dedup operator whether its signature width
     * is wide enough BEFORE trusting banding at corpus scale.
     *
-    * Exactness/scale: the exact side is computed per candidate ROW
-    * with array expressions (array_intersect of distinct shingle
-    * sets) after two doc-keyed text joins — the O(corpus²) all-pairs
-    * Jaccard never runs, only the bounded candidate set pays the
-    * kernel. The decile is all-integer (i·10 div union), matches is
-    * an integer sum of equality flags — nothing floating anywhere.
-    * Signatures come from the same narrow band-table params as
-    * q17/q40 (n=5, k=8, 2 bands). */
+    * Exactness/scale: the exact side is RELATIONAL, mirroring the
+    * oracle's own cdocs/shc prefilter shape — one distinct
+    * (doc, shingle) relation is built for CANDIDATE docs only (per-doc
+    * work paid once per doc, never per pair), pairs equi-join to it
+    * twice on (doc, shingle) and a codegen'd hash aggregate counts the
+    * intersections; per-doc set sizes come from one more hash agg over
+    * the same relation. The O(corpus²) all-pairs Jaccard never runs,
+    * no higher-order function touches the pair side (plan-guarded in
+    * PlanShapeSpec), and the only per-pair cost is |shingles(doc_a)|
+    * join-probe rows — linear in candidate volume × doc length with
+    * whole-stage codegen end to end. The r6 per-pair array_intersect
+    * formulation re-derived both docs' full shingle arrays per PAIR in
+    * an interpreted HOF projection (13.5 s at sf0.1); this shape is
+    * the one the DuckDB oracle already proved out at 3.8 s. The decile
+    * is all-integer (i·10 div union), matches is an integer sum of
+    * equality flags — nothing floating anywhere. Signatures come from
+    * the session-cached SharedLsh.signatures table (same n=5, k=8
+    * params as the q17/q40 band table). */
   private val q172 = Q(
     "q172_minhash_calibration",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // Broadcast-hint note: `cand`/`cdocs` are the LSH-screened
+      // candidate set — pair-proportional, not corpus-proportional
+      // (the repo-wide "candidate-bounded kernel" regime). At true
+      // 100 TB candidate volume drop the broadcast() hints and the
+      // same plan degrades gracefully to shuffled equi-joins with
+      // identical semantics; `shc` (corpus-proportional side) is
+      // never broadcast.
       val cand = SharedLsh.candidatePairs(s, dir)
-      val sig = graft.operators.Dedup
-        .minhashSignatures(docs, "doc_id", "text", 5, 8)
+      val sig = SharedLsh.signatures(s, dir)
       val sa = sig.select(col("doc_id").as("doc_a") +:
         (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
       val sb = sig.select(col("doc_id").as("doc_b") +:
         (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
-      val est = cand.join(sa, "doc_a").join(sb, "doc_b")
+      val est = sa.join(broadcast(cand), "doc_a")
+        .join(broadcast(sb), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (0 until 8).map(j =>
             when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
             .reduce(_ + _).as("matches"))
-      val shA = array_distinct(
-        graft.operators.Dedup.charShingles(col("ta"), 5))
-      val shB = array_distinct(
-        graft.operators.Dedup.charShingles(col("tb"), 5))
+      // distinct (doc, 5-shingle) rows for candidate docs ONLY — the
+      // oracle's cdocs/shc prefilter (restrict FIRST, then explode),
+      // session-cached, read by sizes and both inter legs
+      val shc = SharedLsh.candidateShingleRows(s, dir)
+      val sizes = shc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("sz"))
+      val inter = shc.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(broadcast(cand), "doc_a")
+        .join(shc.select(col("doc_id").as("doc_b"), col("sh"))
+          .hint("shuffle_hash"), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("i"))
       est
-        .join(docs.select(col("doc_id").as("doc_a"),
-          col("text").as("ta")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"),
-          col("text").as("tb")), "doc_b")
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+          col("sz").as("sza"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+          col("sz").as("szb"))), "doc_b")
         .select(col("matches"),
-          size(array_intersect(shA, shB)).cast("long").as("i"),
-          (size(shA) + size(shB)).cast("long").as("ssum"))
+          coalesce(col("i"), lit(0L)).as("i"),
+          (col("sza") + col("szb")).as("ssum"))
         .select(col("matches"),
           expr("i * 10 div (ssum - i)").as("decile"))
         .groupBy(col("matches"), col("decile"))

@@ -23,44 +23,44 @@ object Scratch {
       r
     }
     val docs = Tables.documents(spark, dir)
-    // warm the file listing + parquet footer read
     time("docs.count")(docs.count())
-    time("shingle explode count") {
-      docs.select(col("doc_id"),
-        explode(Dedup.charShingles(col("text"), 5)).as("sh")).count()
+    val cand0 = time("candidatePairs (1st: band ckpt)") {
+      SharedLsh.candidatePairs(spark, dir).localCheckpoint()
     }
-    time("shingle+2md5 count") {
-      docs.select(col("doc_id"),
-          explode(Dedup.charShingles(col("text"), 5)).as("sh"))
-        .select(md5(concat(lit("m0"), col("sh"))).as("a"),
-          md5(concat(lit("m1"), col("sh"))).as("b"))
-        .filter(col("a") > col("b")).count()
+    println(s"pairs: ${cand0.count()}")
+    val cand = time("candidatePairs (2nd)") {
+      SharedLsh.candidatePairs(spark, dir).localCheckpoint()
     }
-    time("minhash signatures") {
-      Dedup.minhashSignatures(docs, "doc_id", "text", 5, 8).count()
+    val sig = time("signatures (1st: ckpt)") {
+      SharedLsh.signatures(spark, dir)
     }
-    val banded = time("lshBandKeys (checkpoint)") {
-      Dedup.lshBandKeys(docs, "doc_id", "text", 5, 8, 2)
+    time("sig.count")(sig.count())
+    val cdocs = time("cdocs distinct") {
+      val c = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b"))).distinct().localCheckpoint()
+      println(s"cdocs: ${c.count()}")
+      c
     }
-    time("pairs from banded") {
-      val a = banded.select(col("doc_id").as("doc_a"), col("bk"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("bk").as("bk2"))
-      a.join(b, col("bk") === col("bk2") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct().count()
-    }
-    val edges = time("star edges") {
-      val hubs = banded.groupBy(col("bk")).agg(min(col("doc_id")).as("hub"))
-      banded.join(hubs, "bk")
-        .filter(col("doc_id") =!= col("hub"))
-        .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    val shc = time("shc build+ckpt") {
+      docs.join(cdocs, "doc_id")
+        .select(col("doc_id"), explode(
+          Dedup.charShingles(col("text"), 5)).as("sh"))
         .distinct().localCheckpoint()
     }
-    println(s"edges: ${edges.count()}")
-    time("connected components") {
-      Dedup.connectedComponents(edges).count()
+    println(s"shc rows: ${shc.count()}")
+    time("inter") {
+      cand
+        .join(shc.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(shc.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("i")).count()
     }
-    time("connected components again") {
-      Dedup.connectedComponents(edges).count()
+    time("full q172 (fresh)") {
+      SparkEntry.queries("q172_minhash_calibration")(spark, dir).count()
+    }
+    time("full q172 (again)") {
+      SparkEntry.queries("q172_minhash_calibration")(spark, dir).count()
     }
     spark.stop()
   }

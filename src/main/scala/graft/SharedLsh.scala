@@ -37,6 +37,9 @@ object SharedLsh {
   private final case class Key(session: SparkSession, dir: String, p: Params)
   private val bandCache = TrieMap.empty[Key, DataFrame]
   private val compCache = TrieMap.empty[Key, DataFrame]
+  private val sigCache = TrieMap.empty[Key, DataFrame]
+  private val pairCache = TrieMap.empty[Key, DataFrame]
+  private val candShCache = TrieMap.empty[Key, DataFrame]
 
   /** Materialized (doc_id, bk) band table for the documents table —
     * via the NARROW signature path (per-row array min, zero shuffles;
@@ -48,10 +51,46 @@ object SharedLsh {
       Dedup.lshBandKeysNarrow(Tables.documents(s, dir), "doc_id", "text",
         p.n, p.k, p.bands).localCheckpoint())
 
-  /** Candidate pairs (doc_a < doc_b) from the shared band table. */
+  /** Materialized (doc_id, h0..h{k-1}) minhash signature table — the
+    * wide row shape consumers that compare signatures component-wise
+    * (q172's estimator calibration) need, cached next to [[bandKeys]]
+    * so the md5-per-shingle pass is paid once per session+input. */
+  def signatures(s: SparkSession, dir: String,
+                 p: Params = Default): DataFrame =
+    sigCache.getOrElseUpdate(Key(s, dir, p),
+      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+        p.n, p.k).localCheckpoint())
+
+  /** Materialized candidate pairs (doc_a < doc_b) from the shared band
+    * table. Cached like the band table itself: the bk self-join +
+    * distinct is re-derived by every candidate-bounded consumer
+    * (q17/q82/q172/…), and the result is the small screened pair set —
+    * exactly the artifact a pipeline persists between the banding and
+    * verification stages. */
   def candidatePairs(s: SparkSession, dir: String,
                      p: Params = Default): DataFrame =
-    Dedup.lshCandidatePairsFrom(bandKeys(s, dir, p), "doc_id")
+    pairCache.getOrElseUpdate(Key(s, dir, p),
+      Dedup.lshCandidatePairsFrom(bandKeys(s, dir, p), "doc_id")
+        .localCheckpoint())
+
+  /** Materialized distinct (doc_id, sh) n-shingle rows for CANDIDATE
+    * docs only — the verification-stage artifact every exact-overlap
+    * kernel over the LSH-screened set reads (q172's exact Jaccard):
+    * restrict to the candidate-doc set FIRST, then explode. Bounded by
+    * candidate volume × doc length, never corpus × doc length. */
+  def candidateShingleRows(s: SparkSession, dir: String,
+                           p: Params = Default): DataFrame =
+    candShCache.getOrElseUpdate(Key(s, dir, p), {
+      import org.apache.spark.sql.functions._
+      val cand = candidatePairs(s, dir, p)
+      val cdocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b"))).distinct()
+      Tables.documents(s, dir).join(broadcast(cdocs), "doc_id")
+        .select(col("doc_id"),
+          explode(Dedup.charShingles(col("text"), p.n)).as("sh"))
+        .distinct()
+        .localCheckpoint()
+    })
 
   /** Materialized (doc_id, component) near-dup cluster map: star edges
     * over the shared band table → connected components. */
@@ -64,11 +103,15 @@ object SharedLsh {
 
   /** Unpersist every cached artifact and empty the cache. */
   def clear(): Unit = synchronized {
-    (bandCache.values ++ compCache.values).foreach { df =>
+    (bandCache.values ++ compCache.values ++ sigCache.values ++
+      pairCache.values ++ candShCache.values).foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     bandCache.clear()
     compCache.clear()
+    sigCache.clear()
+    pairCache.clear()
+    candShCache.clear()
   }
 }
 

@@ -350,4 +350,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"),
       s"the norm fold must not explode the vector:\n$p")
   }
+
+  test("minhash calibration: exact side is relational — no per-pair HOF kernel") {
+    // The r6 regression this pins: the exact-Jaccard side recomputed
+    // both docs' full shingle arrays per candidate PAIR in an
+    // interpreted array_intersect/transform projection (13.5 s at
+    // sf0.1). The relational shape does per-doc work once (an explode
+    // under Generate is fine) and counts intersections with a
+    // codegen'd hash aggregate — so no ArrayIntersect anywhere, and
+    // no higher-order function outside a Generate's own generator.
+    import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, HigherOrderFunction}
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    val df = Queries.all("q172_minhash_calibration")(spark, sf())
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: p.children.flatMap(nodes)
+    val all = nodes(df.queryExecution.optimizedPlan)
+    assert(!all.exists(_.expressions.exists(
+      _.collect { case a: ArrayIntersect => a }.nonEmpty)),
+      "per-pair array_intersect kernel is back")
+    val hofOutsideGenerate = all.filter {
+      case _: Generate => false
+      case p => p.expressions.exists(
+        _.collect { case h: HigherOrderFunction => h }.nonEmpty)
+    }
+    assert(hofOutsideGenerate.isEmpty,
+      s"interpreted HOF outside Generate:\n${hofOutsideGenerate.mkString("\n")}")
+  }
 }
