@@ -782,8 +782,6 @@ object QueriesPipeline {
   private val q174 = Q(
     "q174_zipf_census",
     (s, dir) => {
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bucket"))
       Tables.documents(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .where(length(col("tok")) > 0)

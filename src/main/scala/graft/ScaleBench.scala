@@ -72,6 +72,7 @@ object ScaleBench {
       // the 60-md5-per-row generator re-running inside every stage.
       // SPARK_GRAFT_SCALE_DOCS reuses a prior run's parquet (stage
       // iteration at 10M docs shouldn't re-pay the generate)
+      val reusedCorpus = sys.env.contains("SPARK_GRAFT_SCALE_DOCS")
       val tmp = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", {
         val t = java.nio.file.Files.createTempDirectory("graft-scale")
           .resolve("docs").toString
@@ -81,6 +82,14 @@ object ScaleBench {
         t
       })
       val docs = spark.read.parquet(tmp)
+      // a reused corpus must actually BE the scale the JSON will claim:
+      // a stale path + wrong nDocs arg would silently mislabel the
+      // measured point (parquet metadata count — cheap even at 10M)
+      if (reusedCorpus) {
+        val actual = docs.count()
+        require(actual == n,
+          s"SPARK_GRAFT_SCALE_DOCS corpus has $actual rows, nDocs arg says $n")
+      }
 
       val dupGroups = timedL("exact_dedup") {
         docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))

@@ -138,13 +138,21 @@ object Curation {
     * (a 2M-word doc at n=20) — guarded below. */
   def chunkDedupRebuild(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
-    // the guard is woven into the value (q166's raise_error
-    // convention) so column pruning can never optimize it away
+    // the guards are woven into the values (q166's raise_error
+    // convention) so column pruning can never optimize them away
     val guardedIdx = when(col("pos") < 100000, col("pos").cast("long"))
       .otherwise(raise_error(lit(
         "chunkDedupRebuild: chunk index overflows the keep-first packing"))
         .cast("long"))
-    val handles = docs.select(col(idCol).as("doc_id"),
+    // explicit long id, non-negative: a string id would otherwise be
+    // silently promoted to double inside the packed min (mis-ordering
+    // the keep-first decision), and a negative id breaks the packing
+    val longId = col(idCol).cast("long")
+    val guardedId = when(longId.isNotNull && longId >= 0L, longId)
+      .otherwise(raise_error(lit(
+        "chunkDedupRebuild: doc id must be a non-negative integral"))
+        .cast("long"))
+    val handles = docs.select(guardedId.as("doc_id"),
         posexplode(TextAnalysis.wordChunks(col(textCol), n)))
       .select(col("doc_id"), guardedIdx.as("idx"), md5(col("col")).as("ch"))
     val w = Window.partitionBy(col("ch"))
@@ -156,7 +164,8 @@ object Curation {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sort_array(collect_list(when(col("keep"), col("idx"))))
           .as("_keep_idxs"))
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("_text"))
       .join(kept, "doc_id")
       .where(col("n_kept") < col("n_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_kept"),

@@ -49,10 +49,24 @@ object StreamingChunkDedup {
     implicit val stateEnc = Encoders.product[Keeper]
     implicit val outEnc = Encoders.product[Verdict]
 
+    // Guards match the batch twin (Curation.chunkDedupRebuild): the
+    // packed long admits only idx < 100000 and a non-negative integral
+    // doc id — a silent overflow or null-cast id would emit corrupted
+    // verdicts instead of failing loudly, breaking the documented
+    // stream==batch parity.
+    val longId = col(idCol).cast("long")
+    val guardedId = when(longId.isNotNull && longId >= 0L, longId)
+      .otherwise(raise_error(lit(
+        "StreamingChunkDedup: doc id must be a non-negative integral"))
+        .cast("long"))
+    val guardedPos = when(col("pos") < 100000, col("pos").cast("long"))
+      .otherwise(raise_error(lit(
+        "StreamingChunkDedup: chunk index overflows the keep-first packing"))
+        .cast("long"))
     val keyed = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(guardedId.as("doc_id"),
         posexplode(TextAnalysis.wordChunks(col(textCol), n)))
-      .select((col("doc_id") * 100000L + col("pos")).as("packed"),
+      .select((col("doc_id") * 100000L + guardedPos).as("packed"),
         md5(col("col")).as("h"))
       .as[Chunk]
 
