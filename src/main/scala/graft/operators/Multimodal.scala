@@ -74,12 +74,18 @@ object Multimodal {
     *    at offsets 6/8.
     *  - BMP ("BM" + BITMAPINFOHEADER): little-endian i32 at offsets
     *    18/22 (height may be negative = top-down; absolute value).
+    *  - JPEG (FFD8 SOI): marker walk to the first SOFn frame header,
+    *    which carries height/width as big-endian u16 — dominant format
+    *    in any real web corpus, so the sniffing must not stop at the
+    *    lossless three.
     */
   object ImageHeaders {
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def be32(b: Array[Byte], i: Int): Long =
       (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
         (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def be16(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 8) | u8(b, i + 1)
     private def le16(b: Array[Byte], i: Int): Int =
       u8(b, i) | (u8(b, i + 1) << 8)
     private def le32(b: Array[Byte], i: Int): Int =
@@ -88,6 +94,36 @@ object Multimodal {
 
     private val PngSig =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** JPEG marker walk: SOI (FFD8) then segments until the first
+      * frame header SOFn (FFC0–FFCF minus DHT C4 / JPG C8 / DAC CC),
+      * whose payload is precision u8, height u16be, width u16be. Stops
+      * (None) on lost marker sync, SOS/EOI before any SOF, or a
+      * truncated buffer — never throws, never reads past the array. */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2 // past SOI
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None
+        var j = i + 1
+        while (j < b.length && u8(b, j) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return None
+        val m = u8(b, j)
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i = j + 1 // standalone
+        else if (m == 0xd9 || m == 0xda) return None // EOI / SOS first
+        else {
+          if (j + 2 >= b.length) return None
+          val len = be16(b, j + 1)
+          if (len < 2) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+            m != 0xcc) {
+            if (j + 7 >= b.length) return None
+            return Some((be16(b, j + 6), be16(b, j + 4)))
+          }
+          i = j + 1 + len
+        }
+      }
+      None
+    }
 
     /** (width, height) if the payload starts with a recognized image
       * container header; None otherwise (never throws). */
@@ -103,6 +139,9 @@ object Multimodal {
         Some((le16(bytes, 6), le16(bytes, 8)))
       else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
         Some((le32(bytes, 18), math.abs(le32(bytes, 22))))
+      else if (bytes.length >= 4 && u8(bytes, 0) == 0xff &&
+        u8(bytes, 1) == 0xd8)
+        jpegDims(bytes)
       else None
     }
   }
@@ -236,16 +275,20 @@ object Multimodal {
   }
 
   /** Real image pixel decode via the JDK's `javax.imageio` (the PNG /
-    * GIF / BMP readers ship with every JDK — no external jar). Decoded
-    * pixels are converted to GRAY8 with integer BT.601 luma
+    * GIF / BMP / JPEG readers ship with every JDK — no external jar).
+    * Decoded pixels are converted to GRAY8 with integer BT.601 luma
     * (⌊(299·r + 587·g + 114·b) / 1000⌋) instead of the platform ICC
     * colorspace path, so the raster is deterministic across JDK
-    * implementations — and for gray PNGs (r==g==b==v) the luma is
-    * exactly v, making the decoded raster bit-identical to the raw
-    * GRAY8 synthetic format. This closes the codec seam: PNG payloads
-    * take the real-decode path; raw GRAY8 rasters and garbage fall
-    * back to the byte-raster interpretation, so every operator stays
-    * total on mixed inputs. */
+    * implementations for the lossless formats — and for gray PNGs
+    * (r==g==b==v) the luma is exactly v, making the decoded raster
+    * bit-identical to the raw GRAY8 synthetic format. JPEG is the one
+    * determinism caveat: the IDCT is decoder-dependent, so cross-JDK
+    * pixel values may differ by ±1 gray — downstream consumers must
+    * treat JPEG rasters perceptually (aHash Hamming tolerance, the
+    * MultimodalSpec discipline), never bit-exactly. This closes the
+    * codec seam: container payloads take the real-decode path; raw
+    * GRAY8 rasters and garbage fall back to the byte-raster
+    * interpretation, so every operator stays total on mixed inputs. */
   object ImageIo {
     javax.imageio.ImageIO.setUseCache(false) // never spill decode temp files
 

@@ -266,6 +266,39 @@ class MultimodalSpec extends SparkSpec {
     assert(gifGray.map(_ & 0xff).toSet.subsetOf(Set(0, 255)))
   }
 
+  test("JPEG: SOFn header sniff + real decode; aHash matches the PNG twin") {
+    // smooth horizontal gradient — low-frequency content, so the lossy
+    // JPEG round-trip perturbs pixels only slightly
+    def v(x: Int, y: Int): Int = x * 16
+    val w = 16; val h = 16
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val jpgOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jpgOut))
+    val jpg = jpgOut.toByteArray
+    // marker walk crosses the writer's APP0/DQT segments to the SOF
+    assert(Multimodal.ImageHeaders.dims(jpg).contains((w, h)))
+    // truncation before any SOF yields None, never a throw or over-read
+    assert(Multimodal.ImageHeaders.dims(jpg.take(4)).isEmpty)
+    assert(Multimodal.ImageHeaders.dims(jpg.take(2)).isEmpty)
+    val Some((gray, gw, gh)) = Multimodal.ImageIo.decodeGray8(jpg)
+    assert((gw, gh) == (w, h))
+    // perceptual comparison, NOT bit-exact: JPEG IDCT output is
+    // decoder-dependent (±1 gray across JDKs), so the contract is
+    // aHash proximity to the lossless PNG twin
+    val Some((pgray, _, _)) =
+      Multimodal.ImageIo.decodeGray8(grayAsRgbPng(w, h, v))
+    val hamming = java.lang.Long.bitCount(
+      Multimodal.aHash64(gray, w, h) ^ Multimodal.aHash64(pgray, w, h))
+    assert(hamming <= 2, s"JPEG vs PNG twin aHash Hamming $hamming")
+    // the resample seam routes JPEG through the real decode too
+    assert(Multimodal.ImageIo.resample(jpg, w, h, 8, 8).length == 64)
+  }
+
   test("ImageIoCodec: pixel features for real PNGs, graceful degradation") {
     val png = grayAsRgbPng(4, 2, (_, _) => 100)
     val f = Multimodal.ImageIoCodec.decodeFeature("image", png, 4)
