@@ -396,7 +396,8 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15) ++ QueriesBeyond.list ++ QueriesMore.list ++
     QueriesPipeline.list ++ QueriesSample.list ++ QueriesScore.list ++
-    QueriesTrain.list ++ QueriesRetrieve.list ++ QueriesAnalytics.list
+    QueriesTrain.list ++ QueriesRetrieve.list ++ QueriesAnalytics.list ++
+    QueriesDepth.list
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

@@ -599,6 +599,21 @@ object QueriesTrain {
     semdedupCensus(KMeansCluster.lloydLargeK(_, k = 8, iters = 2)),
     Some(semdedupSql(k = 8)))
 
+  /** SEMDEDUP AT k=32 — the cluster count a production SemDeDup run
+    * actually uses grows with the corpus (Abbas et al. use thousands);
+    * k=32 on this corpus (~60 vectors per cluster at sf0.1) exercises
+    * the broadcast-table assignment path at 4× q120's k and pins that
+    * the keep-first verdicts stay exact as the centroid table grows —
+    * same k-parameterized oracle template, so the chain cannot drift
+    * from q117/q120. Intra-cluster pair volume SHRINKS as k grows
+    * (Σ C(n/k, 2) ≈ n²/2k), which is the scale argument for large k:
+    * more clusters = less pair work, the centroid table stays a
+    * broadcast (k×dims doubles). */
+  private val q182 = Q(
+    "q182_semdedup_k32",
+    semdedupCensus(KMeansCluster.lloydLargeK(_, k = 32, iters = 2)),
+    Some(semdedupSql(k = 32)))
+
   /** PROXIMITY-BOOSTED BM25 (TrainPrep.bm25ProximityRank): q114's
     * ranking made phrase-aware with q112's positional index — each
     * adjacent query-term pair adds 10⁶ div (1+gap) for the doc's
@@ -690,5 +705,5 @@ object QueriesTrain {
     Some(semdedupSql(k = 4)))
 
   val list: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q127)
+    q114, q115, q116, q117, q118, q119, q120, q121, q127, q182)
 }

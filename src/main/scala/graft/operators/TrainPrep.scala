@@ -383,6 +383,80 @@ object TrainPrep {
     bm25From(weightedTf, weightedLens, terms, topK)
   }
 
+  /** TRUE multi-field BM25F (Zaragoza et al. 2004, "Microsoft
+    * Cambridge at TREC-13") over genuinely distinct document columns —
+    * the full per-field length normalization that
+    * [[bm25FieldedRank]]'s early-tf-merge simplification skips: each
+    * field f has its OWN length dl_f and corpus average avdl_f, the
+    * field tf is normalized inside its field BEFORE the cross-field
+    * merge,
+    *
+    *   t̃f_f = w_f · tf_f / (1 − b + b·dl_f/avdl_f)        (b = 3/4)
+    *   score(term) = idf · t̃f / (k1 + t̃f),  t̃f = Σ_f t̃f_f,  k1 = 6/5
+    *
+    * so a match in a short weighted field (title/domain/metadata) is
+    * not diluted by a long body — the property that makes BM25F the
+    * standard fielded ranker and that early merging provably lacks.
+    *
+    * Determinism: with b = 3/4 and avdl_f = tt_f/nd, each field
+    * contribution is (4·w_f·tf_f·tt_f) / (tt_f + 3·dl_f·nd) — a ratio
+    * of exact BIGINT products evaluated in double (correctly rounded
+    * in every IEEE engine), summed in FIXED field order inside one
+    * projection; the saturation is (5·t̃f)/(6 + 5·t̃f) and the RSJ idf
+    * is the usual (2(nd−df)+1)/(2df+1) rational. The DuckDB twin
+    * (q183) spells the identical token sequence, so the ×10⁶ floor
+    * hash-matches. df counts docs matching in ANY field.
+    *
+    * Plan: one explode per field restricted to the queried terms
+    * (filter under the aggregation → only query-term rows survive the
+    * scan), per-field postings FULL-outer-merged on (term, doc_id) —
+    * pair count bounded by |terms|·df — then the usual broadcast
+    * df/stats shape. Cost follows the queried terms' postings plus
+    * one narrow lengths scan, never the corpus. */
+  def bm25MultiFieldRank(docs: DataFrame, idCol: String,
+                         fields: Seq[(String, Long)],
+                         terms: Seq[String], topK: Int): DataFrame = {
+    require(fields.nonEmpty && terms.nonEmpty,
+      "need at least one field and one query term")
+    require(fields.forall(_._2 >= 1), "field weights must be >= 1")
+    val n = fields.size
+    val posts = fields.zipWithIndex.map { case ((f, _), j) =>
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextAnalysis.tokens(col(f))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as(s"tf$j"))
+    }
+    val merged = posts
+      .reduce((a, b) => a.join(b, Seq("term", "doc_id"), "full"))
+      .na.fill(0L, (0 until n).map(j => s"tf$j"))
+    val lens = docs.select(col(idCol).as("doc_id") +:
+      fields.zipWithIndex.map { case ((f, _), j) =>
+        TextAnalysis.tokenCount(col(f)).cast("long").as(s"dl$j")
+      }: _*)
+    val stats = lens.agg(count(lit(1)).as("nd"),
+      (0 until n).map(j => sum(col(s"dl$j")).as(s"tt$j")): _*)
+    val dfs = merged.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // fixed left-to-right field order — the sum's float rounding is
+    // then identical in any engine spelling the same token sequence
+    val wtf = fields.zipWithIndex.map { case ((_, w), j) =>
+      (lit(4L * w) * col(s"tf$j") * col(s"tt$j")).cast("double") /
+        (col(s"tt$j") + lit(3L) * col(s"dl$j") * col("nd")).cast("double")
+    }.reduce(_ + _)
+    val idf = (lit(2L) * (col("nd") - col("df")) + lit(1L)).cast("double") /
+      (lit(2L) * col("df") + lit(1L)).cast("double")
+    merged.join(broadcast(dfs), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf * ((lit(5) * wtf) / (lit(6) + lit(5) * wtf)) * lit(1e6))
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Proximity-boosted BM25 — phrase-aware ranking over BOTH index
     * artifacts: the BM25 base score from the doc-level postings, plus
     * a positional bonus per ADJACENT query-term pair,
