@@ -924,6 +924,78 @@ object QueriesAnalytics {
       SELECT label, CAST(COUNT(*) AS BIGINT) AS sz
       FROM l2 GROUP BY 1 ORDER BY label"""))
 
+  /** GRAPH MODULARITY of the q168 label-propagation communities over
+    * the shared-gram similarity graph — the standard partition-quality
+    * score (Newman 2006), Q = Σ_c [e_c/m − (d_c/2m)²], as an exact
+    * ppm BIGINT: Q_ppm = (4m·Σe_c − Σd_c²)·10⁶ div 4m², computed with
+    * the positive-operand CASE around the division because Q can be
+    * negative and Spark `div` truncates toward zero while DuckDB `//`
+    * floors. One-row release readout next to the community census —
+    * the number that says whether the LPA labels actually capture
+    * structure (Q near 0 ⇒ no better than random) before anyone
+    * trusts them for dedup family grouping. Magnitudes: the ×10⁶
+    * numerator needs 4m² ≤ 9·10¹² ⇒ m ≤ ~1.5M edges; the shared-gram
+    * graph is df-capped so m stays bounded at any corpus size (at a
+    * true billion-edge graph, switch the final ratio to DECIMAL). */
+  private val q186 = Q(
+    "q186_graph_modularity",
+    (s, dir) => {
+      val edges = SharedGrams.gramEdges(s, dir)
+      val labels = graft.operators.Graphs.labelPropagation(edges, 2)
+      val le = edges
+        .join(labels.select(col("v").as("x"), col("label").as("lx")), "x")
+        .join(labels.select(col("v").as("y"), col("label").as("ly")), "y")
+      val mrow = edges.agg(count(lit(1)).as("m"))
+      val intra = le.filter(col("lx") === col("ly"))
+        .agg(count(lit(1)).as("intra"))
+      val degsq = graft.operators.Graphs.degrees(edges)
+        .join(labels, "v")
+        .groupBy(col("label")).agg(sum(col("degree")).as("dsum"))
+        .agg(sum(col("dsum") * col("dsum")).as("sumdsq"),
+          count(lit(1)).as("n_comm"))
+      mrow.crossJoin(intra).crossJoin(degsq)
+        .select(col("m").as("n_edges"),
+          col("n_comm").as("n_communities"),
+          col("intra").as("intra_edges"),
+          col("sumdsq").as("sum_deg_sq"),
+          expr("""CASE WHEN (4*m*intra - sumdsq) < 0
+            THEN -((-(4*m*intra - sumdsq)) * 1000000 div (4*m*m))
+            ELSE (4*m*intra - sumdsq) * 1000000 div (4*m*m) END""")
+            .as("modularity_ppm"))
+    },
+    Some(s"""$GramEdgesSql,
+      adj AS (SELECT x AS v, y AS u FROM pairs
+        UNION ALL SELECT y AS v, x AS u FROM pairs),
+      l0 AS (SELECT DISTINCT v, v AS label FROM adj),
+      c1 AS (SELECT a.v, l.label, COUNT(*) AS c
+        FROM adj a JOIN l0 l ON l.v = a.u GROUP BY 1, 2),
+      l1 AS (SELECT v, label FROM (
+          SELECT v, label, ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY c DESC, label) AS rk FROM c1)
+        WHERE rk = 1),
+      c2 AS (SELECT a.v, l.label, COUNT(*) AS c
+        FROM adj a JOIN l1 l ON l.v = a.u GROUP BY 1, 2),
+      l2 AS (SELECT v, label FROM (
+          SELECT v, label, ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY c DESC, label) AS rk FROM c2)
+        WHERE rk = 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+      ie AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra FROM pairs p
+        JOIN l2 a ON a.v = p.x JOIN l2 b ON b.v = p.y
+          AND b.label = a.label),
+      dc AS (SELECT l2.label, CAST(SUM(deg.d) AS BIGINT) AS dsum
+        FROM l2 JOIN deg ON deg.v = l2.v GROUP BY 1),
+      ds AS (SELECT CAST(SUM(dsum*dsum) AS BIGINT) AS sumdsq,
+          CAST(COUNT(*) AS BIGINT) AS n_comm FROM dc)
+      SELECT st.m AS n_edges, ds.n_comm AS n_communities,
+        ie.intra AS intra_edges, ds.sumdsq AS sum_deg_sq,
+        CASE WHEN (4*st.m*ie.intra - ds.sumdsq) < 0
+          THEN -((-(4*st.m*ie.intra - ds.sumdsq)) * 1000000
+            // (4*st.m*st.m))
+          ELSE (4*st.m*ie.intra - ds.sumdsq) * 1000000
+            // (4*st.m*st.m) END AS modularity_ppm
+      FROM st CROSS JOIN ie CROSS JOIN ds"""))
+
   /** L-DIVERSITY AUDIT (the step after q162's k-anonymity: group SIZE
     * alone doesn't protect when everyone in a group shares the same
     * sensitive value): per quasi-identifier group (nation, market
@@ -1029,5 +1101,5 @@ object QueriesAnalytics {
 
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q150, q151, q152, q153, q154, q155, q156,
-    q159, q160, q161, q162, q163, q168, q169, q170)
+    q159, q160, q161, q162, q163, q168, q169, q170, q186)
 }

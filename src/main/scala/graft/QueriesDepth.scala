@@ -169,5 +169,114 @@ object QueriesDepth {
       FROM sc GROUP BY 1
       ORDER BY score_fp DESC, doc_id ASC LIMIT 20"""))
 
-  val list: Seq[Q] = Seq(q181, q183)
+  /** POWER-ITERATION PRINCIPAL COMPONENT of the embedding second-moment
+    * matrix — the spectral member of the analytics family (PCA top
+    * direction for whitening / drift monitoring), made engine-exact on
+    * the ⌊x·10⁶⌋ BIGINT grid (q126's float recipe): S = Σ xg·xgᵀ is an
+    * exact 64×64 BIGINT Gram matrix (one self-join agg — the classic
+    * AllReduce covariance, map-side combinable, d² state per task),
+    * then two fixed power-iteration rounds v ← S·v with an integer
+    * L∞ rescale after each multiply. Every division is made
+    * positive-operand first (CASE on sign) because Spark `div`
+    * truncates toward zero while DuckDB `//` floors — they agree only
+    * on non-negatives (the recorded q169 gotcha). Output: the 64
+    * fixed-point components of v₂ plus the L∞ norm of the last
+    * un-rescaled multiply (the eigenvalue growth proxy), all BIGINT.
+    *
+    * Scale: the Gram agg is the only data-sized stage (d² products per
+    * row, zero shuffles before the 4096-group agg); iterations run on
+    * 4096-row/64-row broadcast frames regardless of corpus size. */
+  private val q184 = Q(
+    "q184_power_iteration",
+    (s, dir) => {
+      val g = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("xg"))
+      val sp = g
+        .join(g.select(col("vec_id"), col("i").as("j"), col("xg").as("yg")),
+          "vec_id")
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xg") * col("yg")).as("sraw"))
+        .select(col("i"), col("j"), expr(
+          "CASE WHEN sraw < 0 THEN -((-sraw) div 1000000) " +
+            "ELSE sraw div 1000000 END").as("sv"))
+        .localCheckpoint() // 4096 rows, read by both iterations
+      val w1 = sp.filter(col("j") === 0)
+        .select(col("i"), (col("sv") * lit(1000000L)).as("w"))
+      val m1 = w1.agg(
+        expr("greatest(max(abs(w)) div 1000000, 1L)").as("st"))
+      val v1 = w1.crossJoin(broadcast(m1))
+        .select(col("i").as("j"), expr(
+          "CASE WHEN w < 0 THEN -((-w) div st) ELSE w div st END").as("v"))
+      val w2 = sp.join(broadcast(v1), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("sv") * col("v")).as("w"))
+      val m2 = w2.agg(
+        expr("greatest(max(abs(w)) div 1000000, 1L)").as("st"),
+        max(abs(col("w"))).as("mx"))
+      w2.crossJoin(broadcast(m2))
+        .select(col("i"), expr(
+          "CASE WHEN w < 0 THEN -((-w) div st) ELSE w div st END")
+          .as("v2_fp"),
+          col("mx").as("linf_w2"))
+        .orderBy(col("i"))
+    },
+    Some("""WITH g AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+            AS BIGINT) AS xg
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      sr AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.xg * b.xg) AS BIGINT)
+            AS sraw
+        FROM g a JOIN g b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      sp AS (SELECT i, j, CASE WHEN sraw < 0 THEN -((-sraw) // 1000000)
+            ELSE sraw // 1000000 END AS sv FROM sr),
+      w1 AS (SELECT i, sv * 1000000 AS w FROM sp WHERE j = 0),
+      m1 AS (SELECT GREATEST(MAX(ABS(w)) // 1000000, 1) AS st FROM w1),
+      v1 AS (SELECT w1.i AS j,
+          CASE WHEN w < 0 THEN -((-w) // m1.st) ELSE w // m1.st END AS v
+        FROM w1 CROSS JOIN m1),
+      w2 AS (SELECT sp.i, CAST(SUM(sp.sv * v1.v) AS BIGINT) AS w
+        FROM sp JOIN v1 USING (j) GROUP BY 1),
+      m2 AS (SELECT GREATEST(MAX(ABS(w)) // 1000000, 1) AS st,
+          MAX(ABS(w)) AS mx FROM w2)
+      SELECT w2.i,
+        CASE WHEN w < 0 THEN -((-w) // m2.st) ELSE w // m2.st END AS v2_fp,
+        CAST(m2.mx AS BIGINT) AS linf_w2
+      FROM w2 CROSS JOIN m2 ORDER BY i"""))
+
+  /** DUPLICATE PROPENSITY BY LENGTH — exact-duplicate membership rate
+    * per 100-char document-length bucket, in ppm: the curation
+    * diagnostic that says WHERE dedup is earning its keep (short
+    * template-y docs duplicate far more than long organic ones, and a
+    * pipeline that samples by length needs this curve, not the global
+    * rate). Kernel: one narrow window over (md5(text), bucket) rows —
+    * 16-byte hashes and a long shuffle, text never leaves the scan —
+    * then a bounded bucket census. */
+  private val q185 = Q(
+    "q185_dup_length_profile",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      Tables.documents(s, dir)
+        .select(md5(col("text")).as("h"),
+          expr("n_chars div 100").as("bucket"))
+        .withColumn("grp", count(lit(1)).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_dup_members"))
+        .withColumn("dup_ppm", expr("n_dup_members * 1000000 div n_docs"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH d AS (SELECT n_chars // 100 AS bucket,
+          COUNT(*) OVER (PARTITION BY md5(text)) AS grp
+        FROM documents)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_members,
+        CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*) AS BIGINT) AS dup_ppm
+      FROM d GROUP BY 1 ORDER BY bucket"""))
+
+  val list: Seq[Q] = Seq(q181, q183, q184, q185)
 }

@@ -52,10 +52,17 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle fan-out must grow with the data, exactly as a cluster
+    // deployment sizes it: at 32 partitions a 10M-doc run packs ~17M
+    // gram rows into each per-partition hash map and the lpa stage
+    // OOMs a 48 GB heap (measured round 7) — ~40k docs per partition
+    // keeps per-task state flat across the decade ladder while small
+    // runs stay at one partition per core.
+    val shufflePartitions = math.max(cpus.toInt, (n / 40000L).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -358,10 +365,39 @@ object ScaleBench {
         }
       } else -1L
       if (ev != null) ev.unpersist()
+      // streaming scale point #2: the corpus through the chunk-dedup
+      // verdict stream (flatMapGroupsWithState keyed by chunk hash) as
+      // a real 4-micro-batch file stream with parquet sink +
+      // checkpoint. State = one long PER DISTINCT CHUNK (~3·n keys on
+      // this corpus) — the state-heavy counterpart to the
+      // one-key-per-user sessionizer above.
+      val streamChunks = if (want("streaming_chunk_dedup")) {
+        val sdir = java.nio.file.Files.createTempDirectory("graft-schunk")
+        val inDir = sdir.resolve("in").toString
+        val outDir = sdir.resolve("out").toString
+        docs.repartition(8).write.parquet(inDir)
+        timed("streaming_chunk_dedup", acc) {
+          val stream = spark.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(inDir)
+          val q = graft.streaming.StreamingChunkDedup
+            .verdicts(stream, "doc_id", "text", 20)
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .outputMode("append")
+            .option("checkpointLocation", sdir.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          spark.read.parquet(outDir).count()
+        }
+      } else -1L
       acc.append(f""""path_rows":$pathRows,"trans_rows":$transRows,""" +
         f""""attr_rows":$attrRows,"anom_rows":$anomRows,""" +
         f""""gopher_kept":$gopherKept,"tvd_rows":$tvdRows,""" +
-        f""""stream_closed":$streamClosed,""")
+        f""""stream_closed":$streamClosed,""" +
+        f""""stream_chunk_verdicts":$streamChunks,""")
       acc.append(f""""bm25_hits":$bm25Hits,"shards":$shardCount,""" +
         f""""dsir_docs":$dsirDocs,"kmeans_rows":$kmeansN,""" +
         f""""semdedup_kept":$semKept,"rp_buckets":$rpBuckets,""" +
