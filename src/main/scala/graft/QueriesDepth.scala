@@ -278,5 +278,308 @@ object QueriesDepth {
           // COUNT(*) AS BIGINT) AS dup_ppm
       FROM d GROUP BY 1 ORDER BY bucket"""))
 
-  val list: Seq[Q] = Seq(q181, q183, q184, q185)
+  /** The q172-family LSH oracle chain (5-shingles → k=8 signature),
+    * shared verbatim by the round-7 calibration queries so the
+    * signature recipe cannot drift between them. `def` (not val) —
+    * object-init-order-immune per the recorded q144 gotcha. */
+  private def lshSigSql: String = {
+    val mins = (0 until 8)
+      .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+      .mkString(", ")
+    s"""sh5 AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents,
+          UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh5 GROUP BY doc_id)"""
+  }
+
+  private def matchesSql: String = (0 until 8)
+    .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  /** LSH BAND-CONFIG RECALL TUNING: the same k=8 signature banded
+    * three ways — 1×8 (strictest), 2×4 (the production q17 config),
+    * 4×2 (loosest) — each measured for candidate volume and for how
+    * much of the HIGH-AGREEMENT pair population (signature agreement
+    * ≥ 6/8 among the loosest config's candidates) it retains. The
+    * banding theory curve (P[collide] = 1−(1−s^r)^b) made an observed
+    * funnel on this corpus: the readout an operator consults before
+    * spending a corpus-sized pass on the wrong config. Configs are
+    * nested (1×8 ⊆ 2×4 ⊆ 4×2), so capture_ppm is monotone — a broken
+    * band hash shows up instantly as a violated monotonicity.
+    * All stages run off the session-cached signature table; candidate
+    * self-joins ship band keys only. */
+  private val q187 = Q(
+    "q187_band_recall",
+    (s, dir) => {
+      val sig = SharedLsh.signatures(s, dir)
+      def bandKeysFor(bands: Int) = {
+        val rows = 8 / bands
+        val keys = (0 until bands).map { b =>
+          md5(concat(lit(b.toString) +:
+            (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+        }
+        sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
+      }
+      def candFor(bands: Int) =
+        Dedup.lshCandidatePairsFrom(bandKeysFor(bands), "doc_id")
+      val cand4 = candFor(4).localCheckpoint()
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+      val ref = cand4.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (0 until 8).map(j =>
+            when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+            .reduce(_ + _).as("matches"))
+        .filter(col("matches") >= 6)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val rn = ref.agg(count(lit(1)).as("n_ref"))
+      def row(bands: Int, cand: org.apache.spark.sql.DataFrame) =
+        cand.join(ref.withColumn("inref", lit(1L)),
+            Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(col("inref")), lit(0L)).as("n_captured"))
+          .select(lit(bands.toLong).as("bands"),
+            col("n_candidates"), col("n_captured"))
+      row(1, candFor(1)).union(row(2, candFor(2))).union(row(4, cand4))
+        .crossJoin(broadcast(rn))
+        .select(col("bands"), col("n_candidates"), col("n_ref"),
+          col("n_captured"),
+          expr("n_captured * 1000000 div greatest(n_ref, 1)")
+            .as("capture_ppm"))
+        .orderBy(col("bands"))
+    },
+    Some(s"""WITH $lshSigSql,
+      b1 AS (SELECT doc_id,
+          md5('0' || h0 || h1 || h2 || h3 || h4 || h5 || h6 || h7) AS bk
+        FROM sig),
+      c1 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM b1 a JOIN b1 b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      b2 AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      c2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM b2 a JOIN b2 b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      b4 AS (
+        SELECT doc_id, md5('0' || h0 || h1) AS bk FROM sig
+        UNION ALL SELECT doc_id, md5('1' || h2 || h3) FROM sig
+        UNION ALL SELECT doc_id, md5('2' || h4 || h5) FROM sig
+        UNION ALL SELECT doc_id, md5('3' || h6 || h7) FROM sig),
+      c4 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM b4 a JOIN b4 b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT c.doc_a, c.doc_b, $matchesSql AS matches
+        FROM c4 c JOIN sig a ON a.doc_id = c.doc_a
+                  JOIN sig b ON b.doc_id = c.doc_b),
+      ref AS (SELECT doc_a, doc_b FROM est WHERE matches >= 6),
+      rn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref),
+      rows0 AS (
+        SELECT 1 AS bands,
+          (SELECT COUNT(*) FROM c1) AS n_candidates,
+          (SELECT COUNT(*) FROM c1 JOIN ref USING (doc_a, doc_b))
+            AS n_captured
+        UNION ALL
+        SELECT 2,
+          (SELECT COUNT(*) FROM c2),
+          (SELECT COUNT(*) FROM c2 JOIN ref USING (doc_a, doc_b))
+        UNION ALL
+        SELECT 4,
+          (SELECT COUNT(*) FROM c4),
+          (SELECT COUNT(*) FROM c4 JOIN ref USING (doc_a, doc_b)))
+      SELECT CAST(bands AS BIGINT) AS bands,
+        CAST(n_candidates AS BIGINT) AS n_candidates, rn.n_ref,
+        CAST(n_captured AS BIGINT) AS n_captured,
+        CAST(n_captured * 1000000 // greatest(rn.n_ref, 1) AS BIGINT)
+          AS capture_ppm
+      FROM rows0 CROSS JOIN rn ORDER BY bands"""))
+
+  /** CONTENT-DEFINED CHUNKING vs fixed-width chunking — the storage-
+    * dedup primitive (Rabin/FastCDC family): a chunk boundary falls
+    * after char i wherever the hash of the trailing 8-char window ≡ 0
+    * (mod 64), so an insertion shifts boundaries only locally and
+    * duplicate content still aligns — while fixed 64-char chunks lose
+    * alignment at the first shifted byte. Side-by-side census of both
+    * schemes: chunk count, distinct chunks, duplicate-chunk ppm, mean
+    * chunk length (×100). Boundary detection is position-local (no
+    * sequential min/max state, unlike full FastCDC — deliberately, so
+    * the operator is embarrassingly parallel), the whole chunker is
+    * per-row array expressions fused into the scan (q25's map-only
+    * class), and only 16-byte chunk hashes reach the census shuffle. */
+  private val q188 = Q(
+    "q188_cdc_chunking",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(length(col("text")) >= 1)
+      val nl = length(col("text")).cast("long")
+      val cuts = filter(
+        sequence(lit(8L), greatest(nl, lit(8L))),
+        i => (i < nl) &&
+          (conv(substring(md5(col("text").substr((i - 7).cast("int"),
+            lit(8))), 1, 8), 16, 10).cast("long") % 64 === 0))
+      val starts = transform(concat(array(lit(0L)), cuts), x => x + 1L)
+      val ends = concat(cuts, array(nl))
+      val cdcChunks = zip_with(starts, ends,
+        (s1, e) => col("text").substr(s1.cast("int"),
+          (e - s1 + 1L).cast("int")))
+      val fixedChunks = transform(
+        sequence(lit(0L), expr("(length(text) - 1) div 64")),
+        j => col("text").substr((j * 64 + 1).cast("int"), lit(64)))
+      def census(scheme: String, chunks: org.apache.spark.sql.Column) =
+        docs.select(explode(chunks).as("c"))
+          .select(md5(col("c")).as("h"), length(col("c")).cast("long")
+            .as("len"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("h")).as("n_distinct"),
+            sum(col("len")).as("total_len"))
+          .select(lit(scheme).as("scheme"), col("n_chunks"),
+            col("n_distinct"),
+            expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
+              .as("dup_ppm"),
+            expr("total_len * 100 div n_chunks").as("avg_len_x100"))
+      census("cdc", cdcChunks).union(census("fixed64", fixedChunks))
+        .orderBy(col("scheme"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT)
+          AS n FROM documents WHERE length(text) >= 1),
+      cuts AS (SELECT doc_id, CAST(i AS BIGINT) AS p
+        FROM d, UNNEST(range(8, greatest(n, 8)+1)) AS t(i)
+        WHERE i < n AND CAST(('0x' || substr(md5(
+            substr(text, CAST(i AS INT)-7, 8)), 1, 8)) AS BIGINT)
+          % 64 = 0),
+      b AS (SELECT doc_id, p FROM cuts
+        UNION ALL SELECT doc_id, 0 FROM d),
+      seg AS (SELECT b.doc_id, b.p AS s,
+          COALESCE(LEAD(b.p) OVER (PARTITION BY b.doc_id ORDER BY b.p),
+            d.n) AS e
+        FROM b JOIN d USING (doc_id)),
+      cdc AS (SELECT substr(text, CAST(s+1 AS INT), CAST(e-s AS INT)) AS c
+        FROM seg JOIN d USING (doc_id)),
+      fx AS (SELECT substr(text, CAST(j*64+1 AS INT), 64) AS c
+        FROM d, UNNEST(range(0, (n-1)//64 + 1)) AS t(j)),
+      cc AS (SELECT 'cdc' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(COUNT(DISTINCT md5(c)) AS BIGINT) AS n_distinct,
+          CAST(SUM(length(c)) AS BIGINT) AS total_len FROM cdc
+        UNION ALL
+        SELECT 'fixed64', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT md5(c)) AS BIGINT),
+          CAST(SUM(length(c)) AS BIGINT) FROM fx)
+      SELECT scheme, n_chunks, n_distinct,
+        CAST((n_chunks - n_distinct) * 1000000 // n_chunks AS BIGINT)
+          AS dup_ppm,
+        CAST(total_len * 100 // n_chunks AS BIGINT) AS avg_len_x100
+      FROM cc ORDER BY scheme"""))
+
+  /** DEDUP MIXTURE SHIFT: per-source corpus share BEFORE vs AFTER
+    * exact keep-first dedup, in ppm, with the signed delta — the
+    * census that shows dedup silently re-weighting the training
+    * mixture (heavily-syndicated sources lose share; unique sources
+    * gain). One 16-byte-hash window for the keep decision, two
+    * bounded source censuses; the delta is a plain subtraction of
+    * already-floored ppm shares, so no negative division anywhere. */
+  private val q189 = Q(
+    "q189_dedup_mixture_shift",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      val kept = d.withColumn("canon", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canon"))
+      val before = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_after"))
+      val tb = before.agg(sum(col("n_before")).as("tot_b"))
+      val ta = after.agg(sum(col("n_after")).as("tot_a"))
+      before.join(after, Seq("source"), "left")
+        .na.fill(0L, Seq("n_after"))
+        .crossJoin(broadcast(tb)).crossJoin(broadcast(ta))
+        .select(col("source"), col("n_before"), col("n_after"),
+          expr("n_before * 1000000 div tot_b").as("share_before_ppm"),
+          expr("n_after * 1000000 div tot_a").as("share_after_ppm"))
+        .withColumn("shift_ppm",
+          col("share_after_ppm") - col("share_before_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (SELECT source, doc_id, md5(text) AS h
+        FROM documents),
+      k AS (SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+            MIN(doc_id) OVER (PARTITION BY h) AS canon FROM d)
+        WHERE doc_id = canon),
+      b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM d GROUP BY 1),
+      a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after
+        FROM k GROUP BY 1),
+      tb AS (SELECT CAST(SUM(n_before) AS BIGINT) AS tot_b FROM b),
+      ta AS (SELECT CAST(SUM(n_after) AS BIGINT) AS tot_a FROM a),
+      m AS (SELECT b.source, b.n_before, COALESCE(a.n_after, 0) AS n_after
+        FROM b LEFT JOIN a USING (source))
+      SELECT source, n_before, n_after,
+        CAST(n_before * 1000000 // tot_b AS BIGINT) AS share_before_ppm,
+        CAST(n_after * 1000000 // tot_a AS BIGINT) AS share_after_ppm,
+        CAST(n_after * 1000000 // tot_a
+          - n_before * 1000000 // tot_b AS BIGINT) AS shift_ppm
+      FROM m CROSS JOIN tb CROSS JOIN ta ORDER BY source"""))
+
+  /** SIMHASH HAMMING-DISTANCE HISTOGRAM over the LSH candidate pairs:
+    * the threshold-calibration readout for q18's SimHash dedup — how
+    * the 16-bit fingerprint distance distributes over pairs the
+    * MinHash bander already considers similar. A threshold chosen off
+    * this histogram (the valley between the near-dup mass at 0–3 bits
+    * and the background) replaces folklore constants. Candidate-
+    * bounded: only the screened pairs pay the XOR, via two
+    * narrow joins against the per-doc fingerprint table. */
+  private val q190 = Q(
+    "q190_simhash_hamming",
+    (s, dir) => {
+      val cand = SharedLsh.candidatePairs(s, dir)
+      val simh = Dedup.simhash16(Tables.documents(s, dir),
+        "doc_id", "text")
+      cand
+        .join(simh.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sa")), "doc_a")
+        .join(simh.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sb")), "doc_b")
+        .select(bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
+          .as("hamming"))
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
+    },
+    Some {
+      def digit(p: Int) =
+        s"(ascii(substr(h4,$p,1)) - CASE WHEN ascii(substr(h4,$p,1)) >= 97 THEN 87 ELSE 48 END)"
+      val tok16 =
+        s"((${digit(1)}*16 + ${digit(2)})*16 + ${digit(3)})*16 + ${digit(4)}"
+      val sums = (0 until 16).map { i =>
+        val p = 1L << i
+        s"SUM(CASE WHEN CAST(FLOOR(tok16/$p) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$i"
+      }.mkString(", ")
+      val sim = (0 until 16)
+        .map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $lshSigSql,
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM tok),
+      v AS (SELECT doc_id, $tok16 AS tok16 FROM h),
+      sums AS (SELECT doc_id, $sums FROM v GROUP BY doc_id),
+      simh AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM sums)
+      SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+          AS hamming,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM cand JOIN simh a ON a.doc_id = cand.doc_a
+                JOIN simh b ON b.doc_id = cand.doc_b
+      GROUP BY 1 ORDER BY hamming"""
+    })
+
+  val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190)
 }
