@@ -581,5 +581,108 @@ object QueriesDepth {
       GROUP BY 1 ORDER BY hamming"""
     })
 
-  val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190)
+  /** INCREMENTAL KMV — the continuous-crawl contract for the sketch
+    * family (q96/q173's discipline applied to cardinality): the stored
+    * per-source sketch of the already-ingested corpus (doc_id % 10 ≠ 0
+    * here) is MERGED with the new batch's sketch in column space —
+    * k smallest of the union of the two sorted value arrays — without
+    * re-reading any old text. KMV's defining property makes the merge
+    * lossless (k-min of (k-min A ∪ k-min B) = k-min of A ∪ B), so
+    * incremental == from-scratch for every source — and the ORACLE
+    * computes from scratch, making the equivalence itself the gate
+    * row, exactly like q173's incremental chunk index. Output: the
+    * per-source sketch fill, k-th minimum and NDV estimate. */
+  private val q191 = Q(
+    "q191_incr_kmv",
+    (s, dir) => {
+      val k = 64
+      val docs = Tables.documents(s, dir)
+      def sketchOf(part: org.apache.spark.sql.DataFrame) = part
+        .select(col("source"),
+          explode(Dedup.charShingles(col("text"), 5)).as("sh"))
+        .select(col("source"), KmvSketch.hash32(col("sh")).as("h"))
+        .groupBy(col("source"))
+        .agg(KmvSketch.lowestK(col("h"), k).as("kmv"))
+      val stored = sketchOf(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = sketchOf(docs.filter(col("doc_id") % 10 === 0))
+      stored.select(col("source"), col("kmv").as("ka"))
+        .join(delta.select(col("source"), col("kmv").as("kb")),
+          Seq("source"), "full")
+        .withColumn("m", slice(array_sort(array_union(
+          coalesce(col("ka"), array().cast("array<bigint>")),
+          coalesce(col("kb"), array().cast("array<bigint>")))), 1, k))
+        .select(col("source"), size(col("m")).cast("long").as("fill"),
+          element_at(col("m"), k).as("kth"),
+          KmvSketch.estimateNdv("m", k).as("est_ndv"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH sh AS (SELECT DISTINCT source, substr(text, i, 5) AS s
+        FROM documents,
+          UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      hh AS (SELECT DISTINCT source,
+          CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
+      km AS (SELECT source, h, rn FROM (
+          SELECT source, h,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hh) r WHERE rn <= 64),
+      agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS fill,
+          MAX(h) AS kth FROM km GROUP BY 1)
+      SELECT source, fill,
+        CASE WHEN fill < 64 THEN NULL ELSE kth END AS kth,
+        CASE WHEN fill < 64 THEN fill
+             ELSE 270582939648 // kth END AS est_ndv
+      FROM agg ORDER BY source"""))
+
+  /** LARGEST-REMAINDER MIXTURE QUOTAS: allocate an exact sample budget
+    * of 1000 documents across sources proportionally to their corpus
+    * share using the largest-remainder (Hamilton) method — floor each
+    * source's exact share, then hand the leftover units to the largest
+    * remainders (ties to the lexicographically smaller source). The
+    * mixture-planning step before any stratified sample: quotas sum to
+    * EXACTLY the budget (floats/rounding never do), all-integer, and
+    * the allocation is a deterministic function of the counts. The
+    * census is |sources| rows — window work bounded however large the
+    * corpus. */
+  private val q192 = Q(
+    "q192_quota_allocation",
+    (s, dir) => {
+      val budget = 1000L
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source").asc)
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"))
+      val base = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          expr(s"n_docs * $budget div total").as("floor_q"),
+          expr(s"n_docs * $budget % total").as("rem"))
+        .localCheckpoint() // |sources| rows, read twice below
+      val extra = base.agg((lit(budget) - sum(col("floor_q")))
+        .as("extra_total"))
+      base.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(extra))
+        .select(col("source"), col("n_docs"),
+          (col("floor_q") +
+            when(col("rk") <= col("extra_total"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+      q AS (SELECT source, n_docs,
+          n_docs * 1000 // t.total AS floor_q,
+          n_docs * 1000 % t.total AS rem
+        FROM c CROSS JOIN t),
+      r AS (SELECT source, n_docs, floor_q,
+          ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,
+          1000 - SUM(floor_q) OVER () AS extra_total
+        FROM q)
+      SELECT source, n_docs,
+        CAST(floor_q + CASE WHEN rk <= extra_total THEN 1 ELSE 0 END
+          AS BIGINT) AS quota
+      FROM r ORDER BY source"""))
+
+  val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
+    q191, q192)
 }
