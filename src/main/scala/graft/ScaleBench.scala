@@ -180,10 +180,17 @@ object ScaleBench {
         graft.operators.Curation
           .chunkDedupRebuild(docs, "doc_id", "text", 20).count()
       }
+      // SPARK_GRAFT_SCALE_EDGE_PASSES > 1 slices the gram space so the
+      // edge-builder's self-join exchange fits bounded scratch (the
+      // one-shot at 10M docs measured past this VM's free disk) —
+      // exact parity spec'd in CurationSpec
+      val edgePasses =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_EDGE_PASSES", "1").toInt
       val lpaComms = timedL("lpa_communities") {
         graft.operators.Graphs.labelPropagation(
           graft.operators.Curation
-            .sharedGramEdges(docs, "doc_id", "text", 8, 10)
+            .sharedGramEdgesSharded(docs, "doc_id", "text", 8, 10,
+              edgePasses)
             .localCheckpoint(), rounds = 2)
           .select(col("label")).distinct().count()
       }

@@ -54,8 +54,13 @@ object Curation {
     * such docs rather than pairing them). Joins carry only
     * (16-byte hash, id) rows. */
   def sharedGramEdges(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, maxDf: Int): DataFrame = {
-    val grams = gramHashes(docs, idCol, textCol, n)
+                      n: Int, maxDf: Int): DataFrame =
+    edgesFromGrams(gramHashes(docs, idCol, textCol, n), idCol, maxDf)
+
+  /** The df-filter + bounded self-join shared by the one-shot and
+    * sharded edge builders, over any (idCol, gh) gram frame. */
+  private def edgesFromGrams(grams: DataFrame, idCol: String,
+                             maxDf: Int): DataFrame = {
     val rare = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("d"))
       .filter(col("d") >= 2 && col("d") <= maxDf)
@@ -66,6 +71,37 @@ object Curation {
       .where(col("x") < col("y"))
       .select(col("x"), col("y"))
       .distinct()
+  }
+
+  /** Scratch-bounded sharded execution of [[sharedGramEdges]] — the
+    * `ExactSubstring.dupSpansSharded` move applied to the similarity
+    * -graph builder: the gram space is sliced by `pmod(hash(gh),
+    * passes)` BEFORE any exchange, each slice's df-filter + self-join
+    * runs to a materialized (small, df-capped) edge list, and the
+    * passes union with one final distinct. EXACT parity with the
+    * one-shot: every gram lives in exactly one slice (gram equality ⇒
+    * hash equality), so a gram's document frequency computed within
+    * its slice IS its global df, and the global edge set is the
+    * deduplicated union of slice edges (an (x, y) pair backed by
+    * grams in different slices appears in several passes — the final
+    * distinct collapses it). Peak shuffle scratch divides by the pass
+    * count; the narrow gram derivation re-runs per pass — the same
+    * CPU-for-scratch trade as the sharded span detector, motivated
+    * the same way: the 10M-doc one-shot's gram self-join exchange
+    * measured past this VM's free disk (round 7). */
+  def sharedGramEdgesSharded(docs: DataFrame, idCol: String,
+                             textCol: String, n: Int, maxDf: Int,
+                             passes: Int): DataFrame = {
+    require(passes >= 1, "passes must be positive")
+    val slices = (0 until passes).map { p =>
+      val grams = gramHashes(docs, idCol, textCol, n)
+        .filter(pmod(hash(col("gh")), lit(passes)) === p)
+      val e = edgesFromGrams(grams, idCol, maxDf).localCheckpoint()
+      if (passes > 1) System.gc() // let the cleaner reap this pass's shuffle
+      e
+    }
+    if (passes == 1) slices.head
+    else slices.reduce(_ union _).distinct()
   }
 
   /** Ids of `train` documents sharing ANY word n-gram with any `test`

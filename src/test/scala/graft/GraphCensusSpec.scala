@@ -74,6 +74,21 @@ class GraphCensusSpec extends SparkSpec {
       .count() == 10L)
   }
 
+  test("sharedGramEdgesSharded: exact parity with the one-shot at passes 1/3/7") {
+    // the real corpus slice exercises cross-slice edge dedup (a doc
+    // pair can share grams landing in different hash slices)
+    val docs = Tables.documents(spark, sf()).limit(200)
+    val oneShot = Curation.sharedGramEdges(docs, "doc_id", "text", 8, 10)
+      .as[(Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty, "fixture must produce edges")
+    for (p <- Seq(1, 3, 7)) {
+      val sharded = Curation
+        .sharedGramEdgesSharded(docs, "doc_id", "text", 8, 10, p)
+        .as[(Long, Long)].collect().toSet
+      assert(sharded == oneShot, s"parity broken at passes=$p")
+    }
+  }
+
   test("degrees counts both endpoints") {
     val d = Graphs.degrees(pairs((1L, 2L), (1L, 3L)))
       .as[(Long, Long)].collect().toMap
