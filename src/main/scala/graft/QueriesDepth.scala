@@ -683,6 +683,161 @@ object QueriesDepth {
           AS BIGINT) AS quota
       FROM r ORDER BY source"""))
 
+  /** CROSS-SPLIT SUBSTRING LEAKAGE CENSUS: how many exact 20-char
+    * grams a NAIVE per-doc-id split (TrainPrep.splitOf on the doc's
+    * own id) leaks from train into each eval split, and how many docs
+    * on each side carry a leaked gram. This is the measurement that
+    * justifies the leakage-guarded split (q41/q106 decide the split on
+    * the duplicate group's canonical id): the naive split's leaked-
+    * gram count is exactly what that guard drives to the organic-
+    * overlap floor. Substring-level (q164's gram table, session-
+    * cached), so it catches the excerpt/quotation leakage that
+    * whole-document hashing misses. Shuffles carry 16-byte gram
+    * hashes and ids only. */
+  private val q193 = Q(
+    "q193_split_leakage",
+    (s, dir) => {
+      val gd = SharedGrams.grams(s, dir)
+        .select(col("h"), col("doc_id")).distinct()
+        .withColumn("sp", TrainPrep.splitOf(col("doc_id")))
+        .localCheckpoint() // read by both eval rows below
+      val byH = gd.groupBy(col("h")).agg(
+        max(when(col("sp") === "train", 1L).otherwise(0L)).as("tr"),
+        max(when(col("sp") === "test", 1L).otherwise(0L)).as("te"),
+        max(when(col("sp") === "val", 1L).otherwise(0L)).as("va"))
+        .localCheckpoint()
+      def rowFor(evalSp: String, flag: String) = {
+        val leak = byH.filter(col("tr") === 1L && col(flag) === 1L)
+          .select(col("h"))
+        val evalDocs = gd.filter(col("sp") === evalSp)
+          .join(leak, Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val trainDocs = gd.filter(col("sp") === "train")
+          .join(leak, Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        leak.agg(count(lit(1)).as("n_leaking_grams"))
+          .crossJoin(evalDocs.agg(count(lit(1)).as("n_eval_docs")))
+          .crossJoin(trainDocs.agg(count(lit(1)).as("n_train_docs")))
+          .select(lit(evalSp).as("eval_split"), col("n_leaking_grams"),
+            col("n_eval_docs"), col("n_train_docs"))
+      }
+      rowFor("test", "te").union(rowFor("val", "va"))
+        .orderBy(col("eval_split"))
+    },
+    Some("""WITH g AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 20) AS gram
+        FROM documents,
+          LATERAL (SELECT UNNEST(range(1, len(text) - 18)) AS i) t
+        WHERE len(text) >= 20),
+      sp AS (SELECT doc_id, gram,
+          CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+              = 'd' THEN 'val'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('e', 'f') THEN 'test'
+            ELSE 'train' END AS sp
+        FROM g),
+      byh AS (SELECT gram,
+          MAX(CASE WHEN sp = 'train' THEN 1 ELSE 0 END) AS tr,
+          MAX(CASE WHEN sp = 'test' THEN 1 ELSE 0 END) AS te,
+          MAX(CASE WHEN sp = 'val' THEN 1 ELSE 0 END) AS va
+        FROM sp GROUP BY 1),
+      rows0 AS (
+        SELECT 'test' AS eval_split,
+          (SELECT COUNT(*) FROM byh WHERE tr = 1 AND te = 1)
+            AS n_leaking_grams,
+          (SELECT COUNT(DISTINCT s.doc_id) FROM sp s
+            JOIN byh ON byh.gram = s.gram
+            WHERE s.sp = 'test' AND byh.tr = 1 AND byh.te = 1)
+            AS n_eval_docs,
+          (SELECT COUNT(DISTINCT s.doc_id) FROM sp s
+            JOIN byh ON byh.gram = s.gram
+            WHERE s.sp = 'train' AND byh.tr = 1 AND byh.te = 1)
+            AS n_train_docs
+        UNION ALL
+        SELECT 'val',
+          (SELECT COUNT(*) FROM byh WHERE tr = 1 AND va = 1),
+          (SELECT COUNT(DISTINCT s.doc_id) FROM sp s
+            JOIN byh ON byh.gram = s.gram
+            WHERE s.sp = 'val' AND byh.tr = 1 AND byh.va = 1),
+          (SELECT COUNT(DISTINCT s.doc_id) FROM sp s
+            JOIN byh ON byh.gram = s.gram
+            WHERE s.sp = 'train' AND byh.tr = 1 AND byh.va = 1))
+      SELECT eval_split, CAST(n_leaking_grams AS BIGINT) AS n_leaking_grams,
+        CAST(n_eval_docs AS BIGINT) AS n_eval_docs,
+        CAST(n_train_docs AS BIGINT) AS n_train_docs
+      FROM rows0 ORDER BY eval_split"""))
+
+  /** ROBUST LENGTH-OUTLIER CENSUS (median/MAD per source): exact
+    * discrete median token count and median absolute deviation per
+    * source (q39's rank-filter kernel, lower-median convention, twice)
+    * and the count of documents beyond 3 MADs — the outlier filter a
+    * curation pipeline runs where mean/stddev would be dragged by the
+    * very outliers it hunts. All-integer; the per-source window sort
+    * is the documented q39 cost class (range-partitioned per-group
+    * sort at scale). */
+  private val q194 = Q(
+    "q194_length_outliers",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val lens = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("len"))
+      val w1 = W.partitionBy(col("source"))
+        .orderBy(col("len"), col("doc_id"))
+      val med = lens
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("cnt", count(lit(1)).over(
+          W.partitionBy(col("source"))))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
+        .select(col("source"), col("len").as("med"))
+      val dev = lens.join(med, "source")
+        .withColumn("dev", abs(col("len") - col("med")))
+      val w2 = W.partitionBy(col("source"))
+        .orderBy(col("dev"), col("doc_id"))
+      val mad = dev
+        .withColumn("rn", row_number().over(w2))
+        .withColumn("cnt", count(lit(1)).over(
+          W.partitionBy(col("source"))))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
+        .select(col("source"), col("dev").as("mad"))
+      dev.join(mad, "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("med")).as("median_len"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH lens AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents),
+      med AS (SELECT source, len AS med FROM (
+          SELECT source, len,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY len, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY source) AS cnt
+          FROM lens) t
+        WHERE rn = CAST(FLOOR((cnt + 1) / 2) AS INT)),
+      dev AS (SELECT l.source, l.doc_id, l.len, m.med,
+          ABS(l.len - m.med) AS dev
+        FROM lens l JOIN med m ON l.source = m.source),
+      mad AS (SELECT source, dev AS mad FROM (
+          SELECT source, dev,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY dev, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY source) AS cnt
+          FROM dev) t
+        WHERE rn = CAST(FLOOR((cnt + 1) / 2) AS INT))
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MAX(d.med) AS BIGINT) AS median_len,
+        CAST(MAX(a.mad) AS BIGINT) AS mad,
+        CAST(SUM(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad a ON d.source = a.source
+      GROUP BY d.source ORDER BY d.source"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
-    q191, q192)
+    q191, q192, q193, q194)
 }
