@@ -838,6 +838,70 @@ object QueriesDepth {
       FROM dev d JOIN mad a ON d.source = a.source
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** LABEL-CENTROID COSINE MATRIX — embedding-space separability of
+    * the labeled clusters: per-label mean direction (cosine is scale-
+    * invariant, so the UNNORMALIZED per-dimension fixed-point sums ARE
+    * the centroid) and every label pair's centroid cosine ×10⁶. The
+    * diagnostic read before trusting labels for stratified sampling or
+    * kNN propagation (q130): high off-diagonal cosine = the labels
+    * don't separate in embedding space. Exactness: sums are exact
+    * BIGINTs on the ⌊x·10⁶⌋ grid, scaled down by 10³ with the
+    * positive-operand CASE (sums can be negative; Spark div truncates,
+    * DuckDB // floors), dot/norms are exact BIGINT products, and the
+    * final cosine is the shared-verbatim double recipe (CorrExpr's
+    * SQRT precedent) floored at ×10⁶. Aggregation state is
+    * |labels|·dims rows; the pair stage is bounded by |labels|². */
+  private val q195 = Q(
+    "q195_centroid_cosine",
+    (s, dir) => {
+      val g = Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("i").cast("long").as("i"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("xg"))
+      val sums = g.groupBy(col("label"), col("i"))
+        .agg(sum(col("xg")).as("s0"))
+        .select(col("label"), col("i"), expr(
+          "CASE WHEN s0 < 0 THEN -((-s0) div 1000) ELSE s0 div 1000 END")
+          .as("sd"))
+        .localCheckpoint() // |labels|·dims rows, both pair legs
+      val pairs = sums.select(col("label").as("label_a"), col("i"),
+          col("sd").as("sa"))
+        .join(sums.select(col("label").as("label_b"), col("i"),
+          col("sd").as("sb")), "i")
+        .filter(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(col("sa") * col("sb")).as("dot"),
+          sum(col("sa") * col("sa")).as("naa"),
+          sum(col("sb") * col("sb")).as("nbb"))
+      pairs.select(col("label_a"), col("label_b"),
+          expr("""CASE WHEN naa = 0 OR nbb = 0 THEN 0
+            ELSE CAST(FLOOR(1000000 * CAST(dot AS DOUBLE)
+              / (SQRT(naa) * SQRT(nbb))) AS BIGINT) END""").as("cos_fp"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""WITH g AS (SELECT CAST(label AS BIGINT) AS label,
+          CAST(i - 1 AS BIGINT) AS i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+            AS BIGINT) AS xg
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      s0 AS (SELECT label, i, CAST(SUM(xg) AS BIGINT) AS s0
+        FROM g GROUP BY 1, 2),
+      sd AS (SELECT label, i,
+          CASE WHEN s0 < 0 THEN -((-s0) // 1000) ELSE s0 // 1000 END AS sd
+        FROM s0),
+      p AS (SELECT a.label AS label_a, b.label AS label_b,
+          CAST(SUM(a.sd * b.sd) AS BIGINT) AS dot,
+          CAST(SUM(a.sd * a.sd) AS BIGINT) AS naa,
+          CAST(SUM(b.sd * b.sd) AS BIGINT) AS nbb
+        FROM sd a JOIN sd b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2)
+      SELECT label_a, label_b,
+        CASE WHEN naa = 0 OR nbb = 0 THEN 0
+          ELSE CAST(FLOOR(1000000 * CAST(dot AS DOUBLE)
+            / (SQRT(naa) * SQRT(nbb))) AS BIGINT) END AS cos_fp
+      FROM p ORDER BY label_a, label_b"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
-    q191, q192, q193, q194)
+    q191, q192, q193, q194, q195)
 }
