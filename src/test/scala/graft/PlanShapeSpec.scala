@@ -351,6 +351,22 @@ class PlanShapeSpec extends SparkSpec {
       s"the norm fold must not explode the vector:\n$p")
   }
 
+  test("cdc chunking is join-free: per-row chunkers + census aggs only") {
+    val p = planOf(Queries.all("q188_cdc_chunking")(spark, sf()))
+    assert(!p.contains("Join"), s"chunkers must not join:\n$p")
+  }
+
+  test("dup-length profile and mixture shift never shuffle text") {
+    for (q <- Seq("q185_dup_length_profile", "q189_dedup_mixture_shift")) {
+      val p = planOf(Queries.all(q)(spark, sf()))
+      val exchangeLines = p.linesIterator
+        .filter(_.contains("Exchange")).toSeq
+      assert(exchangeLines.nonEmpty, s"$q expected exchanges:\n$p")
+      assert(exchangeLines.forall(l => !l.contains("text#")),
+        s"$q ships text through an exchange:\n$p")
+    }
+  }
+
   test("minhash calibration: exact side is relational — no per-pair HOF kernel") {
     // The r6 regression this pins: the exact-Jaccard side recomputed
     // both docs' full shingle arrays per candidate PAIR in an
