@@ -36,10 +36,17 @@ object QueriesDepth {
     (s, dir) => {
       val k = 64
       val docs = Tables.documents(s, dir)
-      val hashes = docs.select(col("source"),
+      // one distinct (source, shingle) relation feeds BOTH the sketch
+      // aggregation and the exact-twin self-join — the explode+md5
+      // pass is paid once (KMV is dedup-insensitive, so sketching the
+      // distinct rows equals sketching the raw stream)
+      val srcsh = docs.select(col("source"),
           explode(Dedup.charShingles(col("text"), 5)).as("sh"))
+        .distinct()
+        .localCheckpoint()
+      val sk = srcsh
         .select(col("source"), KmvSketch.hash32(col("sh")).as("h"))
-      val sk = hashes.groupBy(col("source"))
+        .groupBy(col("source"))
         .agg(KmvSketch.lowestK(col("h"), k).as("kmv"))
         .localCheckpoint() // 1 row per source; read by both pair legs
       val pairs = sk
@@ -53,9 +60,6 @@ object QueriesDepth {
           size(array_intersect(array_intersect(col("m"), col("ka")),
             col("kb"))).cast("long"))
         .withColumn("est_inter", expr(s"k_int * est_union div $k"))
-      val srcsh = docs.select(col("source"),
-          explode(Dedup.charShingles(col("text"), 5)).as("sh"))
-        .distinct()
       val exact = srcsh.select(col("source").as("source_a"), col("sh"))
         .join(srcsh.select(col("source").as("source_b"), col("sh")),
           Seq("sh"))
@@ -343,7 +347,10 @@ object QueriesDepth {
             coalesce(sum(col("inref")), lit(0L)).as("n_captured"))
           .select(lit(bands.toLong).as("bands"),
             col("n_candidates"), col("n_captured"))
-      row(1, candFor(1)).union(row(2, candFor(2))).union(row(4, cand4))
+      // bands=2 IS the production config — its candidate pairs come
+      // from the session cache rather than a fresh self-join
+      row(1, candFor(1)).union(row(2, SharedLsh.candidatePairs(s, dir)))
+        .union(row(4, cand4))
         .crossJoin(broadcast(rn))
         .select(col("bands"), col("n_candidates"), col("n_ref"),
           col("n_captured"),
@@ -404,29 +411,45 @@ object QueriesDepth {
     * schemes: chunk count, distinct chunks, duplicate-chunk ppm, mean
     * chunk length (×100). Boundary detection is position-local (no
     * sequential min/max state, unlike full FastCDC — deliberately, so
-    * the operator is embarrassingly parallel), the whole chunker is
-    * per-row array expressions fused into the scan (q25's map-only
-    * class), and only 16-byte chunk hashes reach the census shuffle. */
+    * the operator is embarrassingly parallel) and runs as an EXPLODED
+    * codegen'd projection, not a higher-order-function lambda: the
+    * md5-per-position test is the hot loop (≈|chars| hashes), and the
+    * first cut of this query paid 11 s at sf0.1 running it
+    * interpreted inside `filter(sequence(...))` — the same
+    * HOF-in-the-hot-path trap as r6's q172 kernel. Only the ~1/64 cut
+    * POSITIONS shuffle (two longs each) back to a per-doc sorted
+    * array; chunk assembly is then a bounded per-row zip_with and
+    * only 16-byte chunk hashes reach the census shuffle. */
   private val q188 = Q(
     "q188_cdc_chunking",
     (s, dir) => {
       val docs = Tables.documents(s, dir).filter(length(col("text")) >= 1)
       val nl = length(col("text")).cast("long")
-      val cuts = filter(
-        sequence(lit(8L), greatest(nl, lit(8L))),
-        i => (i < nl) &&
-          (conv(substring(md5(col("text").substr((i - 7).cast("int"),
-            lit(8))), 1, 8), 16, 10).cast("long") % 64 === 0))
-      val starts = transform(concat(array(lit(0L)), cuts), x => x + 1L)
-      val ends = concat(cuts, array(nl))
+      // codegen'd hot loop: explode candidate positions, hash, keep cuts
+      val cutRows = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(8L), greatest(nl, lit(8L)))).as("i"))
+        .where(col("i") < length(col("text")).cast("long") &&
+          conv(substring(md5(col("text").substr((col("i") - 7)
+            .cast("int"), lit(8))), 1, 8), 16, 10).cast("long")
+            % 64 === 0)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("i"))).as("cuts"))
+      val withCuts = docs.join(cutRows, Seq("doc_id"), "left")
+        .withColumn("cuts",
+          coalesce(col("cuts"), array().cast("array<bigint>")))
+      val starts = transform(concat(array(lit(0L)), col("cuts")),
+        x => x + 1L)
+      val ends = concat(col("cuts"), array(nl))
       val cdcChunks = zip_with(starts, ends,
         (s1, e) => col("text").substr(s1.cast("int"),
           (e - s1 + 1L).cast("int")))
       val fixedChunks = transform(
         sequence(lit(0L), expr("(length(text) - 1) div 64")),
         j => col("text").substr((j * 64 + 1).cast("int"), lit(64)))
-      def census(scheme: String, chunks: org.apache.spark.sql.Column) =
-        docs.select(explode(chunks).as("c"))
+      def census(src: org.apache.spark.sql.DataFrame, scheme: String,
+                 chunks: org.apache.spark.sql.Column) =
+        src.select(explode(chunks).as("c"))
           .select(md5(col("c")).as("h"), length(col("c")).cast("long")
             .as("len"))
           .agg(count(lit(1)).as("n_chunks"),
@@ -437,7 +460,8 @@ object QueriesDepth {
             expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
               .as("dup_ppm"),
             expr("total_len * 100 div n_chunks").as("avg_len_x100"))
-      census("cdc", cdcChunks).union(census("fixed64", fixedChunks))
+      census(withCuts, "cdc", cdcChunks)
+        .union(census(docs, "fixed64", fixedChunks))
         .orderBy(col("scheme"))
     },
     Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT)

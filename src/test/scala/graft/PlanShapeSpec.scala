@@ -351,9 +351,25 @@ class PlanShapeSpec extends SparkSpec {
       s"the norm fold must not explode the vector:\n$p")
   }
 
-  test("cdc chunking is join-free: per-row chunkers + census aggs only") {
-    val p = planOf(Queries.all("q188_cdc_chunking")(spark, sf()))
-    assert(!p.contains("Join"), s"chunkers must not join:\n$p")
+  test("cdc chunking: codegen'd boundary loop, no HOF hot path, no text in exchanges") {
+    // the md5-per-position boundary test must run under an exploded
+    // codegen'd projection — the interpreted filter(sequence(...))
+    // formulation measured 11 s at sf0.1 (the q172-class HOF trap).
+    import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, Md5}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val df = Queries.all("q188_cdc_chunking")(spark, sf())
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: p.children.flatMap(nodes)
+    val hofWithMd5 = nodes(df.queryExecution.optimizedPlan)
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case h: HigherOrderFunction => h })
+      .filter(_.collect { case m: Md5 => m }.nonEmpty)
+    assert(hofWithMd5.isEmpty,
+      s"md5 inside an interpreted HOF lambda:\n${hofWithMd5.mkString("\n")}")
+    val p = planOf(df)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(l => !l.contains("text#")),
+      s"text in a shuffle:\n$p")
   }
 
   test("dup-length profile and mixture shift never shuffle text") {
