@@ -926,6 +926,128 @@ object QueriesDepth {
             / (SQRT(naa) * SQRT(nbb))) AS BIGINT) END AS cos_fp
       FROM p ORDER BY label_a, label_b"""))
 
+  /** BOILERPLATE REMOVAL REWRITE — the cleanup counterpart of q55's
+    * detector, completing the detect→rewrite pairing the span family
+    * already has (q86→q164): token positions covered by ANY word
+    * 8-gram occurring in ≥ 3 distinct documents are spliced out, and
+    * affected documents report their rebuilt text as an md5 pin
+    * (q164's discipline — rebuilt text itself never shuffles and the
+    * oracle must reproduce it byte-exactly to match the hash). The
+    * q55 sentinel (appended to every 7th doc) guarantees the path
+    * executes on this corpus. Kernel: gram hashing is an exploded
+    * codegen projection; covered positions shuffle as (doc, int)
+    * pairs; the splice is a per-row indexed filter over the token
+    * array against one bounded covered-position array. */
+  private val q196 = Q(
+    "q196_boilerplate_removal",
+    (s, dir) => {
+      val txt = when(col("doc_id") % 7 === 0,
+        concat_ws(" ", col("text"),
+          lit("all rights reserved contact site admin for removal")))
+        .otherwise(col("text"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), txt.as("txt"))
+      val grams = docs.select(col("doc_id"), posexplode(
+          graft.operators.TextAnalysis.wordNgrams(col("txt"), 8))
+          .as(Seq("pos0", "g")))
+        .select(col("doc_id"), (col("pos0") + 1).as("p"),
+          md5(col("g")).as("gh"))
+      val boiler = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 3).select(col("gh"))
+      val cov = grams.join(boiler, Seq("gh"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + 7)).as("cp"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("cp"))).as("covered"))
+      val toks = graft.operators.TextAnalysis.tokens(col("txt"))
+      docs.join(cov, Seq("doc_id"))
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(col("covered")).cast("long").as("n_removed"),
+          md5(concat_ws(" ", filter(toks,
+            (t, i) => !array_contains(col("covered"), i + 1))))
+            .as("new_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text ||
+            ' all rights reserved contact site admin for removal'
+          ELSE text END AS txt
+        FROM documents),
+      ts AS (SELECT doc_id, string_split(txt, ' ') AS ts FROM d),
+      t AS (SELECT doc_id, ts[CAST(i AS INT)] AS tok,
+          CAST(i AS BIGINT) AS pos
+        FROM ts, UNNEST(range(1, len(ts)+1)) AS u(i)),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT)+7), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts)-6)) AS u(i)
+        WHERE len(ts) >= 8),
+      b AS (SELECT g FROM g GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) >= 3),
+      cov AS (SELECT DISTINCT g.doc_id, CAST(u.cp AS BIGINT) AS cp
+        FROM g JOIN b USING (g),
+          LATERAL (SELECT UNNEST(range(g.p, g.p + 8)) AS cp) u),
+      k AS (SELECT t.doc_id, t.tok, t.pos
+        FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.cp = t.pos
+        WHERE cov.cp IS NULL),
+      aff AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+        FROM cov GROUP BY 1),
+      nt AS (SELECT doc_id, CAST(len(string_split(txt, ' ')) AS BIGINT)
+          AS n_tokens FROM d),
+      rb AS (SELECT doc_id,
+          md5(COALESCE(string_agg(tok, ' ' ORDER BY pos), ''))
+            AS new_hash
+        FROM k GROUP BY doc_id)
+      SELECT a.doc_id, nt.n_tokens, a.n_removed,
+        COALESCE(rb.new_hash, md5('')) AS new_hash
+      FROM aff a JOIN nt USING (doc_id) LEFT JOIN rb USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** HAPAX-RICHNESS CENSUS per source: distinct terms, hapax legomena
+    * (terms occurring exactly once within the source), hapax share
+    * and type-token ratio in ppm — the lexical-richness readout that
+    * separates organic text (high hapax mass, Zipf tail) from
+    * template/boilerplate sources (low hapax, head-heavy) before
+    * mixture weighting. One (source, term) aggregation, then a
+    * bounded per-source census. */
+  private val q198 = Q(
+    "q198_hapax_richness",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("tf")).as("n_tokens"),
+          sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_distinct"), col("n_tokens"),
+          col("n_hapax"),
+          expr("n_hapax * 1000000 div n_distinct").as("hapax_ppm"),
+          expr("n_distinct * 1000000 div n_tokens").as("ttr_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source, ts[CAST(i AS INT)] AS tok
+        FROM (SELECT source, string_split(text, ' ') AS ts
+          FROM documents), UNNEST(range(1, len(ts)+1)) AS u(i)),
+      tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t WHERE length(tok) > 0 GROUP BY 1, 2),
+      c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax
+        FROM tf GROUP BY 1)
+      SELECT source, n_distinct, n_tokens, n_hapax,
+        CAST(n_hapax * 1000000 // n_distinct AS BIGINT) AS hapax_ppm,
+        CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS ttr_ppm
+      FROM c ORDER BY source"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195)
+    q191, q192, q193, q194, q195, q196, q198)
 }

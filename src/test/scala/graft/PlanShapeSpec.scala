@@ -408,4 +408,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(hofOutsideGenerate.isEmpty,
       s"interpreted HOF outside Generate:\n${hofOutsideGenerate.mkString("\n")}")
   }
+
+  test("boilerplate removal: only gram hashes and positions shuffle, never text") {
+    // q196's rewrite discipline (q164/q167's): 8-grams shuffle as md5
+    // hashes, covered positions as (doc_id, int) pairs, and the final
+    // splice reads document text map-side (covered-position side is
+    // the build side) — so no exchange line may reference the text
+    // column, including the output sort (which carries the rebuilt
+    // text only as its md5 pin).
+    val p = planOf(Queries.all("q196_boilerplate_removal")(spark, sf()))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty, s"expected exchanges:\n$p")
+    assert(exchangeLines.forall(l =>
+      !l.contains("text#") && !l.contains("txt#") && !l.contains(" g#")),
+      s"text or raw gram in a shuffle:\n$p")
+  }
 }
