@@ -418,7 +418,99 @@ object QueriesBeyond {
       WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
       ORDER BY doc_a, doc_b"""))
 
+  /** BENCHMARK DECONTAMINATION SCREEN — near-dup (not just verbatim)
+    * leakage of evaluation data into the training corpus, the screen
+    * q50/q56's exact/n-gram detectors miss when the leaked copy was
+    * lightly edited. A pseudo-benchmark set is INJECTED so the regime
+    * populates at every SF (q56/q165's discipline, both engines
+    * identically): every doc_id % 13 == 0 contributes a tail-trimmed
+    * copy (`substr(text, 1, greatest(length(text)-40, 50))`) under
+    * doc_id+10000000. Training and benchmark docs are banded TOGETHER
+    * (one corpus-wide LSH pass, same n=5/k=8/2-band scheme as q17);
+    * cross-set band collisions are the only pairs that pay the exact
+    * kernel, which runs in q172's relational shape — distinct
+    * (doc, shingle) rows for candidate docs only, equi-join + count —
+    * and keeps pairs with exact Jaccard ≥ 0.5 (integer ppm div, no
+    * floats). Output: per-source contaminated-doc and link counts —
+    * the release-gate readout. Scale: banding is the zero-shuffle
+    * narrow path; only LSH-screened pairs reach verification. */
+  private val q199 = Q(
+    "q199_benchmark_decontam",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+      val bench = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
+      val corpus = base.select(col("doc_id"), col("text")).union(bench)
+      val cand = Dedup.lshCandidatePairsFrom(
+        Dedup.lshBandKeys(corpus, "doc_id", "text", 5, 8, 2), "doc_id")
+      // doc_a < doc_b and bench ids all ≥ 1e7 ⇒ cross-set pairs are
+      // exactly (train=doc_a, bench=doc_b)
+      val cross = cand
+        .filter(col("doc_a") < 10000000L && col("doc_b") >= 10000000L)
+        .select(col("doc_a").as("train_id"), col("doc_b").as("bench_id"))
+      val cdocs = cross.select(col("train_id").as("doc_id"))
+        .union(cross.select(col("bench_id"))).distinct()
+      val shc = corpus.join(broadcast(cdocs), "doc_id")
+        .select(col("doc_id"),
+          explode(Dedup.charShingles(col("text"), 5)).as("sh"))
+        .distinct().localCheckpoint()
+      val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = shc.select(col("doc_id").as("train_id"), col("sh"))
+        .join(broadcast(cross), "train_id")
+        .join(shc.select(col("doc_id").as("bench_id"), col("sh"))
+          .hint("shuffle_hash"), Seq("bench_id", "sh"))
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("i"))
+      val scored = inter
+        .join(broadcast(sizes.select(col("doc_id").as("train_id"),
+          col("sz").as("szt"))), "train_id")
+        .join(broadcast(sizes.select(col("doc_id").as("bench_id"),
+          col("sz").as("szb"))), "bench_id")
+        .filter(expr("i * 1000000 div (szt + szb - i)") >= 500000L)
+      scored.groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_bench_hits"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("train_id"), col("source")), "train_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          sum(col("n_bench_hits")).as("n_links"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000,
+          substr(text, 1, greatest(length(text)-40, 50))
+        FROM documents WHERE doc_id % 13 = 0),
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM corpus, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      $MinhashBandsSql,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      crs AS (SELECT doc_a AS train_id, doc_b AS bench_id FROM cand
+        WHERE doc_a < 10000000 AND doc_b >= 10000000),
+      cdocs AS (SELECT DISTINCT train_id AS doc_id FROM crs
+        UNION SELECT DISTINCT bench_id FROM crs),
+      shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN cdocs USING (doc_id)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY 1),
+      inter AS (SELECT c.train_id, c.bench_id, COUNT(*) AS i
+        FROM crs c
+        JOIN shc a ON a.doc_id = c.train_id
+        JOIN shc b ON b.doc_id = c.bench_id AND b.sh = a.sh
+        GROUP BY 1, 2),
+      scored AS (SELECT train_id, bench_id FROM inter
+        JOIN sizes st ON st.doc_id = train_id
+        JOIN sizes sb ON sb.doc_id = bench_id
+        WHERE i * 1000000 // (st.sz + sb.sz - i) >= 500000),
+      per AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+        FROM scored GROUP BY 1)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+        CAST(SUM(n_bench_hits) AS BIGINT) AS n_links
+      FROM per JOIN documents d ON d.doc_id = per.train_id
+      GROUP BY 1 ORDER BY 1"""))
+
   val list: Seq[Q] = Seq(
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q82,
-    q96, q165)
+    q96, q165, q199)
 }

@@ -1048,6 +1048,74 @@ object QueriesDepth {
         CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS ttr_ppm
       FROM c ORDER BY source"""))
 
+  /** NEAR-DUP CLUSTER COHESION CENSUS — how much of each connected
+    * component's merge is backed by PAIRWISE evidence. CC-based dedup
+    * (q40/q44) merges transitively: A~B and B~C put A and C in one
+    * cluster with no direct A~C collision, so a low-density component
+    * is a chain (transitive overreach — risky to collapse to one
+    * keeper) while a clique is unanimous pairwise agreement. Census:
+    * per multi-node component, edge count over C(n,2) as an integer
+    * density decile, then (cluster_size, density_decile) →
+    * n_clusters. Reuses the session-cached SharedLsh pair and
+    * component artifacts — zero new corpus passes; every candidate
+    * pair lies inside one component by construction (its ends share a
+    * band key), so the edge census is one hash join on component id.
+    * Scale: output ≤ |size buckets| × 11 rows; all-integer decile
+    * (e·2·10 div n(n−1), n ≥ 2 so the denominator is ≥ 2). */
+  private val q197 = Q(
+    "q197_cluster_cohesion",
+    (s, dir) => {
+      val comp = SharedLsh.components(s, dir)
+      val pairs = SharedLsh.candidatePairs(s, dir)
+      val ce = pairs
+        .join(comp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy(col("component")).agg(count(lit(1)).as("e"))
+      val cn = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("n"))
+      cn.join(ce, Seq("component"), "left")
+        .select(col("n"), coalesce(col("e"), lit(0L)).as("e"))
+        .select(col("n").as("cluster_size"),
+          expr("e * 2 * 10 div (n * (n - 1))").as("density_decile"))
+        .groupBy(col("cluster_size"), col("density_decile"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"), col("density_decile"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comp AS (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1),
+      ce AS (SELECT c.component, CAST(COUNT(*) AS BIGINT) AS e
+        FROM pairs p JOIN comp c ON c.doc_id = p.doc_a GROUP BY 1),
+      cn AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n
+        FROM comp GROUP BY 1),
+      per AS (SELECT cn.n, COALESCE(ce.e, 0) AS e
+        FROM cn LEFT JOIN ce USING (component))
+      SELECT n AS cluster_size,
+        CAST(e * 2 * 10 // (n * (n - 1)) AS BIGINT) AS density_decile,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM per GROUP BY 1, 2 ORDER BY cluster_size, density_decile"""
+    })
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q198)
+    q191, q192, q193, q194, q195, q196, q197, q198)
 }
