@@ -404,40 +404,33 @@ object QueriesDepth {
 
   /** CONTENT-DEFINED CHUNKING vs fixed-width chunking — the storage-
     * dedup primitive (Rabin/FastCDC family): a chunk boundary falls
-    * after char i wherever the hash of the trailing 8-char window ≡ 0
-    * (mod 64), so an insertion shifts boundaries only locally and
+    * after code point i wherever the mixed rolling hash of the
+    * trailing 8-code-point window lands in the bottom 1/64 of the
+    * 2^31 range, so an insertion shifts boundaries only locally and
     * duplicate content still aligns — while fixed 64-char chunks lose
     * alignment at the first shifted byte. Side-by-side census of both
     * schemes: chunk count, distinct chunks, duplicate-chunk ppm, mean
     * chunk length (×100). Boundary detection is position-local (no
     * sequential min/max state, unlike full FastCDC — deliberately, so
-    * the operator is embarrassingly parallel) and runs as an EXPLODED
-    * codegen'd projection, not a higher-order-function lambda: the
-    * md5-per-position test is the hot loop (≈|chars| hashes), and the
-    * first cut of this query paid 11 s at sf0.1 running it
-    * interpreted inside `filter(sequence(...))` — the same
-    * HOF-in-the-hot-path trap as r6's q172 kernel. Only the ~1/64 cut
-    * POSITIONS shuffle (two longs each) back to a per-doc sorted
-    * array; chunk assembly is then a bounded per-row zip_with and
-    * only 16-byte chunk hashes reach the census shuffle. */
+    * the operator is embarrassingly parallel) and runs in the custom
+    * codegen'd [[graft.plans.CdcCutsExpr]]: ONE O(|text|) rolling
+    * Rabin pass per document emits the whole sorted cut array as a
+    * map-only projection — the boundary function and its oracle
+    * derivation live on that expression. The first cut of this query
+    * paid 11 s at sf0.1 testing positions interpreted inside
+    * `filter(sequence(...))` (the q172-class HOF trap); the second cut
+    * exploded one md5+hex-conv per position (11.5 s, plus a
+    * collect_list groupBy and a doc re-join). This shape has ZERO
+    * shuffles before the chunk census: cuts per row, chunk assembly a
+    * bounded per-row zip_with, and only 16-byte chunk hashes reach the
+    * census exchange. */
   private val q188 = Q(
     "q188_cdc_chunking",
     (s, dir) => {
       val docs = Tables.documents(s, dir).filter(length(col("text")) >= 1)
       val nl = length(col("text")).cast("long")
-      // codegen'd hot loop: explode candidate positions, hash, keep cuts
-      val cutRows = docs
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(8L), greatest(nl, lit(8L)))).as("i"))
-        .where(col("i") < length(col("text")).cast("long") &&
-          conv(substring(md5(col("text").substr((col("i") - 7)
-            .cast("int"), lit(8))), 1, 8), 16, 10).cast("long")
-            % 64 === 0)
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("i"))).as("cuts"))
-      val withCuts = docs.join(cutRows, Seq("doc_id"), "left")
-        .withColumn("cuts",
-          coalesce(col("cuts"), array().cast("array<bigint>")))
+      val withCuts = docs.withColumn("cuts",
+        graft.plans.CdcCutsExpr.cdcCuts(col("text")))
       val starts = transform(concat(array(lit(0L)), col("cuts")),
         x => x + 1L)
       val ends = concat(col("cuts"), array(nl))
@@ -466,11 +459,21 @@ object QueriesDepth {
     },
     Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT)
           AS n FROM documents WHERE length(text) >= 1),
+      -- exact-HUGEINT degree-7 polynomial of the trailing 8 code
+      -- points == CdcCutsExpr's per-step-mod Rabin rolling hash
+      -- (powers of 257; mod 2^31 then Fibonacci mix, cut < 2^31/64)
       cuts AS (SELECT doc_id, CAST(i AS BIGINT) AS p
         FROM d, UNNEST(range(8, greatest(n, 8)+1)) AS t(i)
-        WHERE i < n AND CAST(('0x' || substr(md5(
-            substr(text, CAST(i AS INT)-7, 8)), 1, 8)) AS BIGINT)
-          % 64 = 0),
+        WHERE i < n AND
+          ((( unicode(substr(text, CAST(i-7 AS INT), 1))::HUGEINT * 74051159531521793
+            + unicode(substr(text, CAST(i-6 AS INT), 1))::HUGEINT * 288136807515649
+            + unicode(substr(text, CAST(i-5 AS INT), 1))::HUGEINT * 1121154893057
+            + unicode(substr(text, CAST(i-4 AS INT), 1))::HUGEINT * 4362470401
+            + unicode(substr(text, CAST(i-3 AS INT), 1))::HUGEINT * 16974593
+            + unicode(substr(text, CAST(i-2 AS INT), 1))::HUGEINT * 66049
+            + unicode(substr(text, CAST(i-1 AS INT), 1))::HUGEINT * 257
+            + unicode(substr(text, CAST(i AS INT), 1))::HUGEINT
+            ) % 2147483648) * 2654435761) % 2147483648 < 33554432),
       b AS (SELECT doc_id, p FROM cuts
         UNION ALL SELECT doc_id, 0 FROM d),
       seg AS (SELECT b.doc_id, b.p AS s,

@@ -351,10 +351,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the norm fold must not explode the vector:\n$p")
   }
 
-  test("cdc chunking: codegen'd boundary loop, no HOF hot path, no text in exchanges") {
-    // the md5-per-position boundary test must run under an exploded
-    // codegen'd projection — the interpreted filter(sequence(...))
-    // formulation measured 11 s at sf0.1 (the q172-class HOF trap).
+  test("cdc chunking: one-pass cut expression, no join, no HOF hot path, no text in exchanges") {
+    // Boundary detection must be the single-pass CdcCutsExpr: the
+    // interpreted filter(sequence(...)) formulation measured 11 s at
+    // sf0.1 (the q172-class HOF trap), and the exploded
+    // md5-per-position rewrite still paid 11.5 s plus a cut-collect
+    // groupBy and doc re-join. With cuts per-row there is NO join
+    // anywhere in the plan and no per-position hash in any lambda.
     import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, Md5}
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     val df = Queries.all("q188_cdc_chunking")(spark, sf())
@@ -367,6 +370,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(hofWithMd5.isEmpty,
       s"md5 inside an interpreted HOF lambda:\n${hofWithMd5.mkString("\n")}")
     val p = planOf(df)
+    assert(p.contains("cdc_cuts"),
+      s"expected the native CdcCutsExpr boundary pass:\n$p")
+    assert(!p.contains("Join"),
+      s"cuts are per-row now — no join belongs in this plan:\n$p")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchangeLines.forall(l => !l.contains("text#")),
       s"text in a shuffle:\n$p")
