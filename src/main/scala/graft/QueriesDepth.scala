@@ -1119,6 +1119,260 @@ object QueriesDepth {
       FROM per GROUP BY 1, 2 ORDER BY cluster_size, density_decile"""
     })
 
+  /** The q108 k-means replay the silhouette/pruning oracles extend:
+    * ev (unnested doubles), c0 (seed centroids = vectors 0..3), d1/a1
+    * (round-1 fixed-point argmin), c1 (updated means). Declared as a
+    * def ABOVE its users (val-interpolation init-order gotcha). */
+  private def kmeansReplaySql: String =
+    """ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      c0 AS (SELECT vec_id AS cid, i, a AS m FROM ev WHERE vec_id < 4),
+      d1 AS (
+        SELECT e.vec_id, c.cid,
+          SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10) AS BIGINT)) AS d
+        FROM ev e JOIN c0 c ON e.i = c.i GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) r WHERE rn = 1),
+      c1 AS (
+        SELECT a1.cid, e.i,
+          CAST(SUM(CAST(FLOOR(e.a * 1e12) AS BIGINT)) AS DOUBLE)
+            / 1e12 / COUNT(*) AS m
+        FROM ev e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY 1, 2),
+      dall AS (
+        SELECT e.vec_id, c.cid,
+          SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10) AS BIGINT)) AS d
+        FROM ev e JOIN c1 c ON e.i = c.i GROUP BY 1, 2),
+      ranked AS (
+        SELECT vec_id, cid, d,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dall)"""
+
+  /** SIMPLIFIED SILHOUETTE census (centroid-based, on the fixed-point
+    * SQUARED distances — a monotone transform of the classic
+    * simplified-silhouette distances, kept squared so the whole
+    * statistic stays in exact BIGINTs): after one Lloyd update of the
+    * q108 clustering, every vector scores
+    * s‰ = (b − a)·1000 div max(b, 1), where a = distance to its own
+    * (argmin) centroid and b = the runner-up centroid distance — so
+    * b ≥ a always and s ∈ [0, 1000]; s near 0 flags vectors sitting on
+    * a cluster boundary. Per-cluster census: size, mean/min silhouette
+    * and mean within-cluster distance — the cluster-validity readout
+    * that says whether k was right BEFORE SemDeDup/IVF trust the
+    * partition at corpus scale.
+    *
+    * Scale shape: centroids are k·dims driver literals (bounded by the
+    * same updateCentroids contract q108 proved); the per-vector work
+    * is ONE broadcast-argmin scan emitting a k-element struct array,
+    * and only (cluster, 4×BIGINT) partials reach the census exchange.
+    * No data-sized window, no join. */
+  private val q200 = Q(
+    "q200_silhouette",
+    (s, dir) => {
+      import graft.operators.{KMeansCluster, Similarity}
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      // one assignment round under the seeds, then the mean update —
+      // the c1 centroids of q108's replayed second round
+      val c1 = KMeansCluster.updateCentroids(
+        KMeansCluster.lloyd(emb, k = 4, iters = 1))
+      val dists = c1.map { case (cid, cv) =>
+        struct(KMeansCluster.sqDistFixed(col("v"), cv).as("d"),
+          lit(cid.toLong).as("cid"))
+      }
+      emb
+        .select(col("id"), array_sort(array(dists: _*)).as("ds"))
+        .select(col("id"),
+          col("ds").getItem(0).getField("cid").as("cluster"),
+          col("ds").getItem(0).getField("d").as("a"),
+          col("ds").getItem(1).getField("d").as("b"))
+        .select(col("cluster"),
+          col("a"), col("b"),
+          expr("(b - a) * 1000 div greatest(b, 1)").as("s"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s")).as("s_sum"),
+          min(col("s")).as("min_sil_permille"),
+          sum(col("a")).as("a_sum"))
+        .select(col("cluster"), col("n"),
+          expr("s_sum div n").as("mean_sil_permille"),
+          col("min_sil_permille"),
+          expr("a_sum div n").as("mean_own_dist"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH $kmeansReplaySql,
+      ab AS (
+        SELECT o.vec_id, o.cid AS cluster, o.d AS a, r.d AS b,
+          (r.d - o.d) * 1000 // greatest(r.d, 1) AS s
+        FROM ranked o JOIN ranked r
+          ON r.vec_id = o.vec_id AND o.rn = 1 AND r.rn = 2)
+      SELECT CAST(cluster AS BIGINT) AS cluster,
+        COUNT(*) AS n,
+        CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_sil_permille,
+        CAST(MIN(s) AS BIGINT) AS min_sil_permille,
+        CAST(SUM(a) // COUNT(*) AS BIGINT) AS mean_own_dist
+      FROM ab GROUP BY 1 ORDER BY cluster"""))
+
+  /** PROTOTYPICALITY PRUNING census (the k-means-distance data-pruning
+    * rule of Sorscher et al., "Beyond neural scaling laws", NeurIPS
+    * 2022: with abundant data, drop the most PROTOTYPICAL examples —
+    * the ones closest to their cluster centroid — and keep the
+    * informative outliers): rank every vector within its q108 cluster
+    * by distance DESC (lowest id breaks ties), keep the top 70%
+    * (⌊7n/10⌋ per cluster), and report the per-LABEL mixture before vs
+    * after in ppm with the signed drift — the companion readout to
+    * q189's dedup mixture shift, because distance pruning silently
+    * re-weights labels exactly the way dedup re-weights sources.
+    *
+    * Scale shape: the rank is a window PARTITIONED by cluster over
+    * (cluster, dist, id) triples — no text, no vectors in the shuffle;
+    * label re-attach is an id equi-join; the census is k·|labels|
+    * bounded. */
+  private val q201 = Q(
+    "q201_prototype_pruning",
+    (s, dir) => {
+      import graft.operators.{KMeansCluster, Similarity}
+      val embT = Tables.embeddings(s, dir)
+      val emb = embT.select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val assigned = KMeansCluster.lloyd(emb, k = 4, iters = 2)
+        .select(col("id"), col("cluster"), col("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+      val kept = assigned
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("dist").desc, col("id").asc)))
+        .withColumn("n_c", count(lit(1)).over(w))
+        .withColumn("kept", col("rn") <= expr("n_c * 7 div 10"))
+        .join(embT.select(col("vec_id").as("id"), col("label")), "id")
+        .localCheckpoint() // read by the label census AND the totals
+      kept
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_after"))
+        .crossJoin(broadcast(kept.agg(
+          count(lit(1)).as("t_before"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("t_after"))))
+        .select(col("label"), col("n_before"), col("n_after"),
+          expr("n_before * 1000000 div t_before").as("before_ppm"),
+          expr("n_after * 1000000 div t_after").as("after_ppm"),
+          expr("n_after * 1000000 div t_after - n_before * 1000000 div t_before")
+            .as("drift_ppm"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH $kmeansReplaySql,
+      a2 AS (SELECT vec_id, cid, d FROM ranked WHERE rn = 1),
+      pr AS (
+        SELECT vec_id, cid, d,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d DESC, vec_id)
+            AS prn,
+          COUNT(*) OVER (PARTITION BY cid) AS n_c
+        FROM a2),
+      k AS (
+        SELECT p.vec_id, e.label, (p.prn <= p.n_c * 7 // 10) AS kept
+        FROM pr p JOIN embeddings e ON e.vec_id = p.vec_id),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_before,
+          CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS t_after
+        FROM k)
+      SELECT CAST(label AS BIGINT) AS label,
+        CAST(COUNT(*) AS BIGINT) AS n_before,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        CAST(COUNT(*) * 1000000 // t.t_before AS BIGINT) AS before_ppm,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000 // t.t_after
+          AS BIGINT) AS after_ppm,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000 // t.t_after
+          - COUNT(*) * 1000000 // t.t_before AS BIGINT) AS drift_ppm
+      FROM k CROSS JOIN t GROUP BY label, t.t_before, t.t_after
+      ORDER BY label"""))
+
+  /** T5-STYLE SPAN CORRUPTION census: tokens partition into
+    * consecutive 3-token groups; a group is masked iff
+    * hash32(doc_id:group) ≡ 0 (mod 20) — a deterministic ≈5%-of-spans
+    * (≈15%-of-tokens) denoising objective the two engines reproduce
+    * bit-for-bit. Per-language census of group/token/masked-token
+    * counts with the masked ppm, plus a corpus fingerprint: the sum of
+    * 32-bit hashes over every (doc, group, group-text, m|k verdict)
+    * tuple — ANY divergence in tokenization, group assembly, or mask
+    * selection anywhere in the corpus moves the fingerprint, so the
+    * (input, target) pair content is pinned without shipping rebuilt
+    * text anywhere (q164's hash-pinning discipline, aggregated).
+    *
+    * Scale shape: pure narrow explode (one row per 3-token group), the
+    * mask hash is a codegen'd projection — NOT inside a HOF lambda
+    * (the q172/q188 trap) — and only per-language BIGINT partials
+    * reach the exchange. */
+  private val q202 = Q(
+    "q202_span_corruption",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 1)
+      docs
+        .select(col("doc_id"), col("lang"), col("toks"),
+          explode(sequence(lit(0L),
+            expr("(size(toks) + 2) div 3 - 1"))).as("g"))
+        .select(col("doc_id"), col("lang"), col("g"),
+          array_join(slice(col("toks"),
+            (col("g") * 3 + 1).cast("int"), lit(3)), " ").as("gtext"),
+          size(slice(col("toks"),
+            (col("g") * 3 + 1).cast("int"), lit(3))).cast("long").as("gtok"))
+        .withColumn("masked",
+          conv(substring(md5(concat_ws(":", col("doc_id"), col("g"))),
+            1, 8), 16, 10).cast("long") % 20 === 0)
+        .withColumn("fp",
+          conv(substring(md5(concat_ws("|", col("doc_id"), col("g"),
+            col("gtext"), when(col("masked"), lit("m")).otherwise(lit("k")))),
+            1, 8), 16, 10).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked_groups"),
+          sum(col("gtok")).as("n_tokens"),
+          sum(when(col("masked"), col("gtok")).otherwise(0L))
+            .as("n_masked_tokens"),
+          sum(col("fp")).as("fingerprint"))
+        .select(col("lang"), col("n_groups"), col("n_masked_groups"),
+          col("n_tokens"), col("n_masked_tokens"),
+          expr("n_masked_tokens * 1000000 div n_tokens").as("masked_ppm"),
+          col("fingerprint"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      g AS (
+        SELECT doc_id, lang, CAST(gi AS BIGINT) AS g,
+          array_to_string(list_slice(toks,
+            CAST(gi*3+1 AS INT), CAST(gi*3+3 AS INT)), ' ') AS gtext,
+          CAST(len(list_slice(toks,
+            CAST(gi*3+1 AS INT), CAST(gi*3+3 AS INT))) AS BIGINT) AS gtok
+        FROM d, UNNEST(range(0, (len(toks) + 2) // 3)) AS t(gi)),
+      m AS (
+        SELECT *,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(g AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0 AS masked
+        FROM g),
+      f AS (
+        SELECT lang, gtok, masked,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+            CAST(g AS VARCHAR) || '|' || gtext || '|' ||
+            CASE WHEN masked THEN 'm' ELSE 'k' END), 1, 8)) AS BIGINT)
+            AS fp
+        FROM m)
+      SELECT lang, COUNT(*) AS n_groups,
+        CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_masked_groups,
+        CAST(SUM(gtok) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN masked THEN gtok ELSE 0 END) AS BIGINT)
+          AS n_masked_tokens,
+        CAST(SUM(CASE WHEN masked THEN gtok ELSE 0 END) * 1000000
+          // SUM(gtok) AS BIGINT) AS masked_ppm,
+        CAST(SUM(fp) AS BIGINT) AS fingerprint
+      FROM f GROUP BY 1 ORDER BY lang"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q197, q198)
+    q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202)
 }
