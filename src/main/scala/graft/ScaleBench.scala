@@ -180,6 +180,24 @@ object ScaleBench {
         graft.operators.Curation
           .chunkDedupRebuild(docs, "doc_id", "text", 20).count()
       }
+      // round-7: the native one-pass CDC cut expression (q188's
+      // kernel) — O(|text|) integer rolling hash per doc, zero
+      // shuffles before the distinct-chunk-hash count
+      val cdcDistinct = timedL("cdc_chunking") {
+        val nl = length(col("text")).cast("long")
+        val withCuts = docs.withColumn("cuts",
+          graft.plans.CdcCutsExpr.cdcCuts(col("text")))
+        val starts = transform(concat(array(lit(0L)), col("cuts")),
+          x => x + 1L)
+        val ends = concat(col("cuts"), array(nl))
+        withCuts
+          .select(explode(zip_with(starts, ends, (s1, e) =>
+            col("text").substr(s1.cast("int"),
+              (e - s1 + 1L).cast("int")))).as("c"))
+          .select(md5(col("c")).as("h"))
+          .agg(countDistinct(col("h")).as("d"))
+          .head.getLong(0)
+      }
       // SPARK_GRAFT_SCALE_EDGE_PASSES > 1 slices the gram space so the
       // edge-builder's self-join exchange fits bounded scratch (the
       // one-shot at 10M docs measured past this VM's free disk) —
@@ -414,6 +432,7 @@ object ScaleBench {
         f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler,""" +
         f""""dup_span_docs":$spans,"dup_span_docs_sharded":$spansSharded,""" +
         f""""sa_positions":$saRows,"rebuilt_docs":$rebuilt,""" +
+        f""""cdc_distinct_chunks":$cdcDistinct,""" +
         f""""lpa_communities":$lpaComms,""" +
         f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs,""" +
         f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,"bpe_rounds":$bpeRounds}""")
