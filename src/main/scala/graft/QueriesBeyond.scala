@@ -442,13 +442,20 @@ object QueriesBeyond {
         .select((col("doc_id") + 10000000L).as("doc_id"),
           expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
       val corpus = base.select(col("doc_id"), col("text")).union(bench)
-      val cand = Dedup.lshCandidatePairsFrom(
-        Dedup.lshBandKeys(corpus, "doc_id", "text", 5, 8, 2), "doc_id")
-      // doc_a < doc_b and bench ids all ≥ 1e7 ⇒ cross-set pairs are
-      // exactly (train=doc_a, bench=doc_b)
-      val cross = cand
-        .filter(col("doc_a") < 10000000L && col("doc_b") >= 10000000L)
-        .select(col("doc_a").as("train_id"), col("doc_b").as("bench_id"))
+      // Band each side SEPARATELY and join on the band key: banding the
+      // union and filtering to cross pairs produces the SAME pair set
+      // (band keys are per-document and deterministic — the equivalence
+      // StreamingDecontam's index rests on), but this shape reads the
+      // corpus band table from the session cache (paid once by the LSH
+      // suite), bands only the 1/13-sized bench set fresh, and never
+      // generates the intra-corpus candidate pairs at all — at crawl
+      // scale that skips the corpus×corpus band self-join entirely.
+      val cross = SharedLsh.bandKeys(s, dir)
+        .select(col("doc_id").as("train_id"), col("bk"))
+        .join(broadcast(
+          Dedup.lshBandKeysNarrow(bench, "doc_id", "text", 5, 8, 2)
+            .select(col("doc_id").as("bench_id"), col("bk"))), "bk")
+        .select(col("train_id"), col("bench_id")).distinct()
       val cdocs = cross.select(col("train_id").as("doc_id"))
         .union(cross.select(col("bench_id"))).distinct()
       val shc = corpus.join(broadcast(cdocs), "doc_id")
