@@ -1373,6 +1373,138 @@ object QueriesDepth {
         CAST(SUM(fp) AS BIGINT) AS fingerprint
       FROM f GROUP BY 1 ORDER BY lang"""))
 
+  /** BUCKETED JOIN-SIZE ESTIMATION (the AGMS/sketch family readout an
+    * optimizer needs before picking a join strategy): |A ⋈ B| on
+    * orders.o_orderkey × lineitem.l_orderkey estimated from per-bucket
+    * key-count products at 64/256/1024 hash buckets, next to the exact
+    * join cardinality as the twin column. The bucket estimate
+    * Σ_b cntA(b)·cntB(b) equals the true Σ_k a_k·b_k plus the
+    * cross-key collision mass inside each bucket, so it always
+    * OVER-estimates; the census shows the overestimate collapsing as
+    * buckets grow — the skew diagnostic that says how much resolution
+    * a runtime re-planner (AQE-style) needs before trusting the
+    * estimate.
+    *
+    * Scale shape: each granularity is two map-side partial hash aggs
+    * to ≤buckets rows, broadcast-joined (bucket tables are bounded by
+    * construction, never data-sized); the exact twin is a key-count
+    * equi-join — hash-only shuffle of (key, count) pairs, the same
+    * 16-byte economics as exact dedup. All integer. */
+  private val q203 = Q(
+    "q203_join_size_estimate",
+    (s, dir) => {
+      val a = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("long").as("k"))
+      val b = Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long").as("k"))
+      def bkt(n: Int) =
+        conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+          .cast("long") % n
+      def est(n: Int) = {
+        val ca = a.groupBy(bkt(n).as("b")).agg(count(lit(1)).as("ca"))
+        val cb = b.groupBy(bkt(n).as("b")).agg(count(lit(1)).as("cb"))
+        ca.join(broadcast(cb), "b")
+          .agg(sum(col("ca") * col("cb")).as("est_rows"))
+          .select(lit(n.toLong).as("buckets"), col("est_rows"))
+      }
+      val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+        .agg(sum(col("ca") * col("cb")).as("exact_rows"))
+      est(64).union(est(256)).union(est(1024))
+        .crossJoin(broadcast(exact))
+        .select(col("buckets"), col("est_rows"), col("exact_rows"),
+          expr("(est_rows - exact_rows) * 1000000 div exact_rows")
+            .as("overest_ppm"))
+        .orderBy(col("buckets"))
+    },
+    Some("""WITH a AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+      b AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+      ha AS (SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+          AS BIGINT) AS h FROM a),
+      hb AS (SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+          AS BIGINT) AS h FROM b),
+      ex AS (SELECT CAST(SUM(ca.n * cb.n) AS BIGINT) AS exact_rows FROM
+        (SELECT k, COUNT(*) AS n FROM a GROUP BY 1) ca JOIN
+        (SELECT k, COUNT(*) AS n FROM b GROUP BY 1) cb USING (k)),
+      est AS (
+        SELECT CAST(64 AS BIGINT) AS buckets,
+          CAST(SUM(ca.n * cb.n) AS BIGINT) AS est_rows
+        FROM (SELECT h % 64 AS bkt, COUNT(*) AS n FROM ha GROUP BY 1) ca
+        JOIN (SELECT h % 64 AS bkt, COUNT(*) AS n FROM hb GROUP BY 1) cb
+          USING (bkt)
+        UNION ALL
+        SELECT 256, CAST(SUM(ca.n * cb.n) AS BIGINT)
+        FROM (SELECT h % 256 AS bkt, COUNT(*) AS n FROM ha GROUP BY 1) ca
+        JOIN (SELECT h % 256 AS bkt, COUNT(*) AS n FROM hb GROUP BY 1) cb
+          USING (bkt)
+        UNION ALL
+        SELECT 1024, CAST(SUM(ca.n * cb.n) AS BIGINT)
+        FROM (SELECT h % 1024 AS bkt, COUNT(*) AS n FROM ha GROUP BY 1) ca
+        JOIN (SELECT h % 1024 AS bkt, COUNT(*) AS n FROM hb GROUP BY 1) cb
+          USING (bkt))
+      SELECT e.buckets, e.est_rows, ex.exact_rows,
+        (e.est_rows - ex.exact_rows) * 1000000 // ex.exact_rows
+          AS overest_ppm
+      FROM est e CROSS JOIN ex ORDER BY buckets"""))
+
+  /** B-BIT MINWISE HASHING agreement census (Li & König, "b-bit
+    * minwise hashing", WWW 2010: store only the lowest b bits of each
+    * minhash component and pay a known collision inflation instead of
+    * 4 bytes/component): over the LSH candidate pairs, the full
+    * 32-bit 8-component signature agreement crossed with the 8-BIT
+    * (last hex byte) agreement — matches_b8 ≥ matches_full always,
+    * and the (full, b8) census reads off exactly how much agreement is
+    * collision inflation at this corpus's similarity profile. The
+    * storage side of the q172 calibration: together they answer "how
+    * wide and how deep must signatures be at 100 TB".
+    *
+    * Scale shape: signatures and pairs come from the session cache;
+    * the projection compares 16 bounded string fields per pair; the
+    * census is ≤ 81 rows. No shingle work, no text. */
+  private val q204 = Q(
+    "q204_bbit_minwise",
+    (s, dir) => {
+      val cand = SharedLsh.candidatePairs(s, dir)
+      val sig = SharedLsh.signatures(s, dir)
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+      sa.join(broadcast(cand), "doc_a")
+        .join(broadcast(sb), "doc_b")
+        .select(
+          (0 until 8).map(j =>
+            when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+            .reduce(_ + _).as("matches_full"),
+          (0 until 8).map(j =>
+            when(substring(col(s"a$j"), 7, 2) ===
+              substring(col(s"b$j"), 7, 2), 1L).otherwise(0L))
+            .reduce(_ + _).as("matches_b8"))
+        .groupBy(col("matches_full"), col("matches_b8"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("matches_full"), col("matches_b8"))
+    },
+    Some {
+      val b8 = (0 until 8)
+        .map(j => s"(CASE WHEN substr(a.h$j, 7, 2) = substr(b.h$j, 7, 2) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $lshSigSql,
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      m AS (SELECT $matchesSql AS matches_full, $b8 AS matches_b8
+        FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+                    JOIN sig b ON b.doc_id = c.doc_b)
+      SELECT CAST(matches_full AS BIGINT) AS matches_full,
+        CAST(matches_b8 AS BIGINT) AS matches_b8,
+        COUNT(*) AS n_pairs
+      FROM m GROUP BY 1, 2 ORDER BY matches_full, matches_b8"""
+    })
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202)
+    q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202,
+    q203, q204)
 }
