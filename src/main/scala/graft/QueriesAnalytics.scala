@@ -1099,7 +1099,67 @@ object QueriesAnalytics {
       ORDER BY scheme"""
     })
 
+  /** DEGREE ASSORTATIVITY of the shared-gram similarity graph
+    * (Newman, "Assortative mixing in networks", PRL 2002): the Pearson
+    * correlation of endpoint degrees over all edges, the one-number
+    * readout that distinguishes a dedup graph dominated by hub
+    * templates (disassortative, r < 0 — one boilerplate doc linked to
+    * many singletons) from one made of dense near-clique families
+    * (assortative, r > 0 — the CC-merge-friendly shape). Computed
+    * from EXACT integer moments over the symmetrized edge sample
+    * (both orientations): with E edges, Σdxdy, Σ(dx+dy), Σ(dx²+dy²),
+    * r = (4E·Σdxdy − S²) / (2E·Σd² − S²), emitted as exact numerator
+    * / denominator plus r in milli-units via the positive-operand
+    * CASE division (q186's convention — r can be negative, Spark div
+    * truncates, DuckDB // floors). Magnitudes: ×1000 keeps the
+    * numerator ≤ 10¹⁷ for the df-capped graph at any gate SF; at a
+    * billion-edge graph switch the final ratio to DECIMAL (same note
+    * as q186).
+    *
+    * Scale shape: degrees is one hash agg over the bounded edge list;
+    * the two degree joins are int-keyed broadcasts of a node-sized
+    * frame against the edge list; the census is ONE row. */
+  private val q209 = Q(
+    "q209_degree_assortativity",
+    (s, dir) => {
+      val e = SharedGrams.gramEdges(s, dir)
+      val d = graft.operators.Graphs.degrees(e)
+      val ed = e
+        .join(d.select(col("v").as("x"), col("degree").as("dx")), "x")
+        .join(d.select(col("v").as("y"), col("degree").as("dy")), "y")
+      ed.agg(count(lit(1)).as("n_edges"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") + col("dy")).as("sx"),
+          sum(col("dx") * col("dx") + col("dy") * col("dy")).as("sxx"))
+        .select(col("n_edges"),
+          (lit(4L) * col("n_edges") * col("sxy") - col("sx") * col("sx"))
+            .as("num"),
+          (lit(2L) * col("n_edges") * col("sxx") - col("sx") * col("sx"))
+            .as("den"))
+        .select(col("n_edges"), col("num"), col("den"),
+          expr("""CASE WHEN den = 0 THEN 0
+            WHEN num < 0 THEN -((-num) * 1000 div den)
+            ELSE num * 1000 div den END""").as("r_milli"))
+    },
+    Some(s"""$GramEdgesSql,
+      ed AS (SELECT dx.d AS dx, dy.d AS dy FROM pairs p
+        JOIN deg dx ON dx.v = p.x JOIN deg dy ON dy.v = p.y),
+      mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+          CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+          CAST(SUM(dx + dy) AS BIGINT) AS sx,
+          CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS sxx
+        FROM ed),
+      nd AS (SELECT n_edges,
+          CAST(4 * n_edges * sxy - sx * sx AS BIGINT) AS num,
+          CAST(2 * n_edges * sxx - sx * sx AS BIGINT) AS den
+        FROM mo)
+      SELECT n_edges, num, den,
+        CASE WHEN den = 0 THEN 0
+          WHEN num < 0 THEN -((-num) * 1000 // den)
+          ELSE num * 1000 // den END AS r_milli
+      FROM nd"""))
+
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q150, q151, q152, q153, q154, q155, q156,
-    q159, q160, q161, q162, q163, q168, q169, q170, q186)
+    q159, q160, q161, q162, q163, q168, q169, q170, q186, q209)
 }

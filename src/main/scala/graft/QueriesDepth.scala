@@ -1504,7 +1504,360 @@ object QueriesDepth {
       FROM m GROUP BY 1, 2 ORDER BY matches_full, matches_b8"""
     })
 
+  /** NAIVE-BAYES QUALITY-CLASSIFIER DISTILLATION — the fastText-style
+    * reference-corpus filter (GPT-3 / CCNet / DCLM lineage: train a
+    * cheap linear classifier to reproduce an expensive quality gate,
+    * then run the classifier at corpus scale): documents are labeled
+    * by the q62 composite quality rule (score ≥ 0.5), per-token class
+    * counts are learned over the token stream (min-df 5), and every
+    * document is scored by the CONFIDENCE-THRESHOLDED log-odds vote —
+    * a distinct token votes +1/−1 only where its class odds exceed
+    * 2:1, decided by the exact integer cross-multiplications
+    * cH·NL > 2·cL·NH / cL·NH > 2·cH·NL (q143's recipe: no log, no
+    * float, engine-exact); balanced tokens ABSTAIN, which is what
+    * makes the vote a calibrated abstaining classifier rather than a
+    * noise sum. Because the synthetic corpus draws every document
+    * from one shared vocabulary, a class-correlated marker phrase is
+    * appended to every 3rd document (the q55/q63 sentinel discipline —
+    * guarantees the learnable-signal path executes); the census then
+    * reads the canonical abstention story: marker docs land at ±3
+    * with pure labels, unmarked docs abstain at 0.
+    *
+    * Output: score bucket × true label with per-cell doc counts and
+    * score extremes — bucket purity IS the classifier's in-sample
+    * precision readout, and the 0-bucket mass is its coverage gap.
+    *
+    * Scale shape: training is one hash agg over the exploded token
+    * stream (map-side combine; vocabulary-sized result, sublinear in
+    * the corpus); class totals are ONE broadcast row; scoring joins
+    * the doc-distinct token relation to the vocab on the md5 token
+    * key (hash-only shuffle) and sums integers per doc; the census is
+    * ≤ 22 rows. Nothing corpus-sized ever sits on the driver. */
+  private val q205 = Q(
+    "q205_quality_classifier",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val lab = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (TextAnalysis.qualityScore(col("text")) >= 0.5).as("hi"),
+          col("text"))
+        .select(col("doc_id"), col("hi"),
+          when(col("hi") && col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" editorial citation verified")))
+            .when(!col("hi") && col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" clickbait spam unsubscribe")))
+            .otherwise(col("text")).as("txt"))
+      val toks = lab.select(col("doc_id"), col("hi"),
+        explode(filter(split(col("txt"), " "),
+          t => length(t) > 0)).as("tok"))
+      val vocab = toks
+        .groupBy(md5(col("tok")).as("th"))
+        .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("ch"),
+          sum(when(col("hi"), 0L).otherwise(1L)).as("cl"))
+        .filter(col("ch") + col("cl") >= 5L)
+      val tot = toks.agg(
+        sum(when(col("hi"), 1L).otherwise(0L)).as("nh"),
+        sum(when(col("hi"), 0L).otherwise(1L)).as("nl"))
+      val dtok = toks.select(col("doc_id"), md5(col("tok")).as("th"))
+        .distinct()
+      val scored = dtok.join(vocab, Seq("th"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          when(col("ch") * col("nl") > lit(2L) * col("cl") * col("nh"), 1L)
+            .when(col("cl") * col("nh") > lit(2L) * col("ch") * col("nl"),
+              -1L)
+            .otherwise(0L).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("v")).as("score"))
+      lab.select(col("doc_id"), col("hi").cast("long").as("label_hi"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("label_hi"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .select(col("label_hi"),
+          greatest(lit(-5L), least(lit(5L), col("score"))).as("bucket"),
+          col("score"))
+        .groupBy(col("bucket"), col("label_hi"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("bucket"), col("label_hi"))
+    },
+    Some {
+      val stopList = graft.operators.TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t,
+          len(regexp_extract_all(text, '[.,!?;:]')) AS np
+        FROM documents),
+      lab AS (SELECT doc_id,
+          (LEAST(1.0, len(t) / 100.0) * 0.5 +
+           (len(list_filter(t, t -> ($stopList))) / len(t)) * 0.3 +
+           (1.0 - LEAST(1.0, np / 20.0)) * 0.2) >= 0.5 AS hi
+        FROM d0),
+      d AS (SELECT doc.doc_id, lab.hi,
+          CASE WHEN lab.hi AND doc.doc_id % 3 = 0
+               THEN doc.text || ' editorial citation verified'
+               WHEN (NOT lab.hi) AND doc.doc_id % 3 = 0
+               THEN doc.text || ' clickbait spam unsubscribe'
+               ELSE doc.text END AS txt
+        FROM documents doc JOIN lab USING (doc_id)),
+      tok AS (SELECT doc_id, hi, u.tok
+        FROM d, UNNEST(string_split(txt, ' ')) AS u(tok)
+        WHERE len(u.tok) > 0),
+      voc AS (SELECT tok,
+          CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS ch,
+          CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS cl
+        FROM tok GROUP BY 1 HAVING COUNT(*) >= 5),
+      tt AS (SELECT
+          CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+          CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS nl
+        FROM tok),
+      dt AS (SELECT DISTINCT doc_id, tok FROM tok),
+      sc AS (SELECT dt.doc_id, CAST(SUM(
+            CASE WHEN v.ch * tt.nl > 2 * v.cl * tt.nh THEN 1
+                 WHEN v.cl * tt.nh > 2 * v.ch * tt.nl THEN -1
+                 ELSE 0 END) AS BIGINT) AS score
+        FROM dt JOIN voc v USING (tok) CROSS JOIN tt
+        GROUP BY 1),
+      fin AS (SELECT CAST(lab.hi AS BIGINT) AS label_hi,
+          COALESCE(sc.score, 0) AS score
+        FROM lab LEFT JOIN sc USING (doc_id))
+      SELECT GREATEST(-5, LEAST(5, score)) AS bucket,
+        label_hi, COUNT(*) AS n_docs,
+        CAST(MIN(score) AS BIGINT) AS min_score,
+        CAST(MAX(score) AS BIGINT) AS max_score
+      FROM fin GROUP BY 1, 2 ORDER BY bucket, label_hi"""
+    })
+
+  /** TEMPERATURE-SCALED LANGUAGE MIXTURE (the multilingual α-sampling
+    * rule of mC4 / XLM-R: sample language i ∝ p_i^α so low-resource
+    * languages are upweighted; α = 0.5 here, i.e. √p): per-language
+    * token mass, its raw corpus share, the α-scaled sampling weight,
+    * and the resulting upsampling boost. Engine-exact float recipe:
+    * the ONLY float op is one sqrt per LANGUAGE over an exact integer
+    * token count, immediately quantized to the ⌊x·10⁶⌋ grid (q126's
+    * recipe) — all shares and boosts are integer ppm arithmetic over
+    * the quantized values, so the sum order can't perturb anything.
+    *
+    * Scale shape: one partial-agg census to |langs| rows, two bounded
+    * broadcast scalars; the corpus is read once. */
+  private val q207 = Q(
+    "q207_alpha_mixture",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val lt = Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          floor(sqrt(col("n_tokens").cast("double")) * 1e6)
+            .cast("long").as("sqrt_fp"))
+      val tot = lt.agg(sum(col("n_tokens")).as("tot"),
+        sum(col("sqrt_fp")).as("ssum"))
+      lt.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div tot").as("p_ppm"),
+          expr("sqrt_fp * 1000000 div ssum").as("w_ppm"),
+          expr("(sqrt_fp * 1000000 div ssum) * 1000000 div " +
+            "(n_tokens * 1000000 div tot)").as("boost_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH lt AS (SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      sq AS (SELECT lang, n_docs, n_tokens,
+          CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+            AS sqrt_fp
+        FROM lt),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+          CAST(SUM(sqrt_fp) AS BIGINT) AS ssum FROM sq)
+      SELECT lang, n_docs, n_tokens,
+        n_tokens * 1000000 // tot AS p_ppm,
+        sqrt_fp * 1000000 // ssum AS w_ppm,
+        (sqrt_fp * 1000000 // ssum) * 1000000 //
+          (n_tokens * 1000000 // tot) AS boost_ppm
+      FROM sq CROSS JOIN tot ORDER BY lang"""))
+
+  /** MEMORIZATION-MASS CENSUS (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": the fraction of a document's
+    * positions covered by substrings that also occur elsewhere is the
+    * per-document memorization-risk readout): per document, the share
+    * of its char-20-gram positions whose gram occurs in ≥ 2 distinct
+    * documents, bucketed into deciles per source — the distributional
+    * companion to q86's span detector (which says WHERE the dup spans
+    * are, this says HOW MUCH of each source is duplicated mass).
+    *
+    * Scale shape: rides the session-shared pre-partitioned
+    * [[SharedGrams]] gram table (one explode per session+input, the
+    * q75/q86 artifact); the dup-gram set is a hash-only distinct-count
+    * agg on 16-byte keys; the per-doc count is a semi join on the
+    * pre-partitioned hash column (no re-shuffle of the gram table);
+    * the census is ≤ |sources|·10 rows. */
+  private val q208 = Q(
+    "q208_memorization_census",
+    (s, dir) => {
+      val g = SharedGrams.grams(s, dir)
+      val dup = g.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2L).select(col("h"))
+      val per = g.join(dup, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      Tables.documents(s, dir)
+        .where(length(col("text")) >= SharedGrams.N)
+        .select(col("doc_id"), col("source"),
+          (length(col("text")) - (SharedGrams.N - 1)).cast("long")
+            .as("n_pos"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("source"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"), col("n_pos"))
+        .select(col("source"),
+          least(lit(9L), expr("n_dup * 10 div n_pos")).as("decile"),
+          col("n_dup"), col("n_pos"))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_dup")).as("dup_positions"),
+          sum(col("n_pos")).as("total_positions"))
+        .orderBy(col("source"), col("decile"))
+    },
+    Some("""WITH g AS (SELECT doc_id, substr(text, CAST(i AS INT), 20) AS gr
+        FROM documents, UNNEST(range(1, length(text) - 18)) AS t(i)
+        WHERE length(text) >= 20),
+      dup AS (SELECT gr FROM (
+          SELECT gr, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        WHERE nd >= 2),
+      per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        FROM g JOIN dup USING (gr) GROUP BY 1),
+      d AS (SELECT doc_id, source,
+          CAST(length(text) - 19 AS BIGINT) AS n_pos
+        FROM documents WHERE length(text) >= 20),
+      f AS (SELECT source,
+          LEAST(9, COALESCE(per.n_dup, 0) * 10 // n_pos) AS decile,
+          COALESCE(per.n_dup, 0) AS n_dup, n_pos
+        FROM d LEFT JOIN per USING (doc_id))
+      SELECT source, CAST(decile AS BIGINT) AS decile,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_dup) AS BIGINT) AS dup_positions,
+        CAST(SUM(n_pos) AS BIGINT) AS total_positions
+      FROM f GROUP BY 1, 2 ORDER BY source, decile"""))
+
+  /** SPEARMAN RANK CORRELATION between the quality score and the
+    * repetition ratio, per language — the filter-redundancy audit a
+    * curation pipeline runs before stacking rules: if two filters
+    * rank documents near-identically (|ρ| → 1) the second adds no
+    * selection power, and the quality score's repetition term (via
+    * its stopword interplay) makes the answer non-obvious. ALL-INTEGER
+    * Spearman: both scores quantize to the ⌊x·10⁶⌋ grid, ranks are
+    * row_number with the doc_id tiebreak (deterministic, no tie
+    * midpoints), and ρ = 1 − 6Σd²/(n(n²−1)) is exact rational
+    * arithmetic — Σd² is an exact BIGINT, the ×10⁶ ratio runs on
+    * DECIMAL(38) (Σd² can reach n³/3, so the widened multiply is the
+    * overflow guard; both engines' integer-division semantics agree
+    * because the operand is non-negative).
+    *
+    * Scale shape: two map-only score projections, one rank window per
+    * variable (lang-partitioned sort — the one shuffle), one
+    * |langs|-row census. */
+  private val q210 = Q(
+    "q210_rank_correlation",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          floor(TextAnalysis.qualityScore(col("text")) * 1e6)
+            .cast("long").as("s1"),
+          floor(TextAnalysis.repetitionRatio(col("text")) * 1e6)
+            .cast("long").as("s2"))
+      val w1 = Window.partitionBy(col("lang"))
+        .orderBy(col("s1"), col("doc_id"))
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(col("s2"), col("doc_id"))
+      scored
+        .select(col("lang"),
+          row_number().over(w1).cast("long").as("r1"),
+          row_number().over(w2).cast("long").as("r2"))
+        .select(col("lang"),
+          ((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("d2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+        .select(col("lang"), col("n"), col("sum_d2"),
+          expr("""1000000 - CAST(CAST(sum_d2 AS DECIMAL(38,0)) * 6000000
+            div (n * (n * n - 1)) AS BIGINT)""").as("rho_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val stopList = graft.operators.TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH d AS (SELECT lang, doc_id, string_split(text, ' ') AS t,
+          len(regexp_extract_all(text, '[.,!?;:]')) AS np
+        FROM documents),
+      scored AS (SELECT lang, doc_id,
+          CAST(FLOOR((LEAST(1.0, len(t) / 100.0) * 0.5 +
+            (len(list_filter(t, t -> ($stopList))) / len(t)) * 0.3 +
+            (1.0 - LEAST(1.0, np / 20.0)) * 0.2) * 1000000) AS BIGINT)
+            AS s1,
+          CAST(FLOOR((CASE WHEN len(t) < 2 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(
+                list_transform(range(1, len(t)),
+                  i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])))
+              AS DOUBLE) / CAST(len(t) - 1 AS DOUBLE)
+          END) * 1000000) AS BIGINT) AS s2
+        FROM d),
+      rk AS (SELECT lang,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY s1, doc_id) AS BIGINT) AS r1,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY s2, doc_id) AS BIGINT) AS r2
+        FROM scored),
+      ag AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+        FROM rk GROUP BY 1)
+      SELECT lang, n, sum_d2,
+        1000000 - CAST(CAST(sum_d2 AS HUGEINT) * 6000000 //
+          (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT) AS rho_ppm
+      FROM ag ORDER BY lang"""
+    })
+
+  /** JSONL TRAINING-EXPORT FINGERPRINT — the serialization gate for
+    * the interchange format every training stack actually ingests
+    * (one JSON object per line): documents serialize to compact JSON
+    * ({"doc_id":…,"lang":…,"text":…}, both engines' canonical struct
+    * rendering), shard by doc_id % 8, and each shard reports line
+    * count, byte mass, and an order-insensitive content fingerprint
+    * (Σ of each line's leading-32-bit md5, the q202 convention) —
+    * pinning the exact serialized BYTES corpus-wide without ever
+    * moving a serialized line through a shuffle. A wrong escape, a
+    * float-format drift, or a dropped field anywhere in the export
+    * path flips the fingerprint.
+    *
+    * Scale shape: serialization and hashing are map-only codegen'd
+    * projections; only (shard, 3 BIGINTs) census rows shuffle. */
+  private val q211 = Q(
+    "q211_jsonl_export",
+    (s, dir) => {
+      val line = to_json(struct(col("doc_id"), col("lang"), col("text")))
+      Tables.documents(s, dir)
+        .select((col("doc_id") % 8).as("shard"), line.as("line"))
+        .select(col("shard"),
+          length(col("line")).cast("long").as("nb"),
+          conv(substring(md5(col("line")), 1, 8), 16, 10)
+            .cast("long").as("fp32"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("nb")).as("n_bytes"),
+          sum(col("fp32")).as("fingerprint"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH j AS (SELECT doc_id % 8 AS shard,
+          to_json(struct_pack(doc_id := doc_id, lang := lang,
+            text := text))::VARCHAR AS line
+        FROM documents)
+      SELECT shard, COUNT(*) AS n_lines,
+        CAST(SUM(length(line)) AS BIGINT) AS n_bytes,
+        CAST(SUM(CAST(('0x' || substr(md5(line), 1, 8)) AS BIGINT))
+          AS BIGINT) AS fingerprint
+      FROM j GROUP BY 1 ORDER BY shard"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202,
-    q203, q204)
+    q203, q204, q205, q207, q208, q210, q211)
 }

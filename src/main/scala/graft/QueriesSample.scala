@@ -1458,7 +1458,77 @@ object QueriesSample {
         CAST(MAX(hd) AS BIGINT) AS max_hd
       FROM hilbert GROUP BY 1 ORDER BY bucket"""))
 
+  /** TOKENIZER FERTILITY BY LANGUAGE (the XLM-R / mC4 tokenizer-equity
+    * metric: subwords per word, and its inverse chars per subword, per
+    * language under ONE shared vocabulary): the q97-learned BPE merges
+    * encode the whole corpus (q99's dictionary-encode shape) and the
+    * census reads off which languages pay more subwords for the same
+    * text — the readout that decides whether a shared vocab is fair
+    * before multilingual training, and the denominator correction for
+    * token-budget planning (q207's mixture weights count WORDS; a
+    * high-fertility language consumes proportionally more SUBWORD
+    * budget). All-integer: exact char/word/subword sums, ppm ratios.
+    *
+    * Scale shape: identical to q99 — each DISTINCT word is folded once
+    * (vocabulary-sized work), code lengths join back to the occurrence
+    * stream on the word key, and only the |langs|-row census leaves
+    * the agg. Oracle chains the same training CTEs. */
+  private val q206 = Q(
+    "q206_token_fertility",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = BpeTrain.wordFreqs(docs, "text")
+      val ms = SharedBpe.merges(s, dir, rounds = 4)
+      val wl = words.select(col("word"),
+        size(BpeTrain.applyMerges(col("word"), ms)).cast("long")
+          .as("n_sub"),
+        length(col("word")).cast("long").as("n_chr"))
+      docs.select(col("lang"),
+          explode(filter(split(col("text"), " "),
+            t => length(t) > 0)).as("word"))
+        .join(wl, Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_subwords"),
+          sum(col("n_chr")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          col("n_chars"),
+          expr("n_subwords * 1000000 div n_words")
+            .as("fertility_ppm"),
+          expr("n_chars * 1000000 div n_subwords")
+            .as("chars_per_tok_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val encodeCtes = (1 to 4).map { k =>
+        s"""u$k AS (SELECT word, ${bpeFoldSql("string_split(seq, ' ')", "b.l", "b.r")} AS seq
+          FROM u${k - 1} CROSS JOIN b$k b)"""
+      }.mkString(",\n      ")
+      s"""WITH ${bpeTrainCtes(4)},
+      dwords AS (SELECT lang, tok FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      u0 AS (SELECT word, array_to_string(
+          list_transform(range(1, len(word)+1),
+            i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq FROM w),
+      $encodeCtes,
+      wl AS (SELECT word,
+          CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub,
+          CAST(len(word) AS BIGINT) AS n_chr FROM u4)
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(wl.n_sub) AS BIGINT) AS n_subwords,
+        CAST(SUM(wl.n_chr) AS BIGINT) AS n_chars,
+        CAST(SUM(wl.n_sub) AS BIGINT) * 1000000 //
+          CAST(COUNT(*) AS BIGINT) AS fertility_ppm,
+        CAST(SUM(wl.n_chr) AS BIGINT) * 1000000 //
+          CAST(SUM(wl.n_sub) AS BIGINT) AS chars_per_tok_ppm
+      FROM dwords d JOIN wl ON wl.word = d.tok
+      GROUP BY 1 ORDER BY lang"""
+    })
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q97, q99, q164, q178, q179, q180)
+    q90, q91, q92, q93, q94, q95, q97, q99, q164, q178, q179, q180,
+    q206)
 }
