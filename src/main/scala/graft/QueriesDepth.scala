@@ -958,12 +958,16 @@ object QueriesDepth {
       val boiler = grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
         .filter(col("ndocs") >= 3).select(col("gh"))
+      // covered positions stay per-doc: shipping one (doc, pos) row per
+      // boilerplate gram occurrence and expanding the 8-position window
+      // in a per-row array expr is an 8× smaller exchange than exploding
+      // the windows first and paying a corpus-wide distinct
       val cov = grams.join(boiler, Seq("gh"), "left_semi")
-        .select(col("doc_id"),
-          explode(sequence(col("p"), col("p") + 7)).as("cp"))
-        .distinct()
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("cp"))).as("covered"))
+        .agg(collect_list(col("p")).as("ps"))
+        .select(col("doc_id"),
+          array_sort(array_distinct(flatten(transform(col("ps"),
+            p => sequence(p, p + 7))))).as("covered"))
       val toks = graft.operators.TextAnalysis.tokens(col("txt"))
       docs.join(cov, Seq("doc_id"))
         .select(col("doc_id"),
@@ -1857,7 +1861,119 @@ object QueriesDepth {
           AS BIGINT) AS fingerprint
       FROM j GROUP BY 1 ORDER BY shard"""))
 
+  /** INCREMENTAL CONNECTED COMPONENTS — the clustering-stage
+    * completion of the incremental family (q96 maintains the PAIR set
+    * incrementally, q173/q191 the chunk/KMV indexes; this maintains
+    * the COMPONENT MAP): the stored artifact is the history docs'
+    * (doc, component) map (built once from history-only star edges);
+    * a delta batch contributes only q96's incremental candidate pairs
+    * (new-vs-index + new-vs-new — no history signature is ever
+    * recomputed), and the merge runs CC over stored-map STAR EDGES ∪
+    * delta pairs. Star edges preserve history reachability exactly
+    * and stored labels are component minima (real member ids), so
+    * incremental == from-scratch as a SET EQUALITY — which is
+    * precisely what the oracle certifies: it replays full-corpus CC
+    * from scratch (q40's recursive walk) and the hash must match.
+    *
+    * Scale shape: the merge graph is |history map| + |delta pairs|
+    * edges — independent of history PAIR volume (the point: a mature
+    * corpus's pair set dwarfs its component map); CC is the
+    * large/small-star loop (hash-only integer edges, O(log² n)
+    * rounds). */
+  private val q212 = Q(
+    "q212_incremental_cc",
+    (s, dir) => {
+      val banded = SharedLsh.bandKeys(s, dir)
+      val hist = banded.filter(col("doc_id") % 10 =!= 0)
+      val delta = banded.filter(col("doc_id") % 10 === 0)
+      val stored = Dedup.connectedComponents(
+        Dedup.lshStarEdgesFrom(hist, "doc_id"))
+      val deltaPairs = Dedup.incrementalCandidatePairs(
+        hist, delta, "doc_id")
+      val storedEdges = stored
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("component").as("doc_a"), col("doc_id").as("doc_b"))
+      Dedup.connectedComponents(storedEdges.union(deltaPairs).distinct())
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j =>
+          s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node AS doc_id, MIN(label) AS component
+      FROM walk GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** SIMPSON DIVERSITY / EFFECTIVE VOCABULARY per source — the
+    * second-moment companion to q198's hapax census (first moment:
+    * type counts; this: concentration): Simpson's index 1 − Σp_i²
+    * over the per-source token distribution, plus the effective
+    * vocabulary 1/Σp_i² (the "how many equally-common tokens would
+    * look like this" number a mixture planner compares across
+    * sources before weighting). ALL-INTEGER: Σtf² is an exact BIGINT,
+    * the two ratios run on DECIMAL(38) against n_tokens² (the
+    * overflow guard at corpus scale — Σtf² reaches n² when one token
+    * dominates), non-negative operands so div/// agree.
+    *
+    * Scale shape: one (source, token-hash) hash agg with map-side
+    * combine, then a |sources|-row census. Nothing else shuffles. */
+  private val q213 = Q(
+    "q213_simpson_diversity",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val tf = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("source"), md5(col("tok")).as("th"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("tf")).as("sum_tf2"))
+        .select(col("source"), col("n_distinct"), col("n_tokens"),
+          col("sum_tf2"),
+          expr("""1000000 - CAST(CAST(sum_tf2 AS DECIMAL(38,0)) * 1000000
+            div (n_tokens * n_tokens) AS BIGINT)""").as("simpson_ppm"),
+          expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens
+            div sum_tf2 AS BIGINT)""").as("eff_vocab"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tf AS (SELECT source, tok, COUNT(*) AS tf FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0 GROUP BY 1, 2),
+      ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+        FROM tf GROUP BY 1)
+      SELECT source, n_distinct, n_tokens, sum_tf2,
+        1000000 - CAST(CAST(sum_tf2 AS HUGEINT) * 1000000 //
+          (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS simpson_ppm,
+        CAST(CAST(n_tokens AS HUGEINT) * n_tokens // sum_tf2 AS BIGINT)
+          AS eff_vocab
+      FROM ag ORDER BY source"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202,
-    q203, q204, q205, q207, q208, q210, q211)
+    q203, q204, q205, q207, q208, q210, q211, q212, q213)
 }

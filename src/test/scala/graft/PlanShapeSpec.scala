@@ -430,4 +430,40 @@ class PlanShapeSpec extends SparkSpec {
       !l.contains("text#") && !l.contains("txt#") && !l.contains(" g#")),
       s"text or raw gram in a shuffle:\n$p")
   }
+
+  test("jsonl export: serialization and hashing stay map-side, no line in exchanges") {
+    // q211's pin: the serialized JSON line must be consumed by the
+    // length/md5 projections inside the scan stage — only (shard,
+    // partial sums) may shuffle. A `line#` in an exchange means a
+    // data-sized string started moving.
+    val p = planOf(Queries.all("q211_jsonl_export")(spark, sf()))
+    assert(!p.contains("Join"), s"map-only before the shard census:\n$p")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(l => !l.contains("line#")),
+      s"serialized line in a shuffle:\n$p")
+  }
+
+  test("alpha mixture: census first, bounded scalars broadcast") {
+    // q207 reads the corpus exactly once (the lang census); the token
+    // total and the sqrt-mass sum ride broadcast one-row frames — a
+    // SortMergeJoin here would mean a data-sized frame reached the
+    // scalar join.
+    val p = planOf(Queries.all("q207_alpha_mixture")(spark, sf()))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"scalars must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"unexpected data-sized join:\n$p")
+  }
+
+  test("quality classifier: tokens shuffle as md5 keys, never raw, text never") {
+    // q205's training agg and the doc-distinct scoring relation both
+    // key on md5(tok); the raw token column and document text must be
+    // projected out before every exchange.
+    val p = planOf(Queries.all("q205_quality_classifier")(spark, sf()))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty, s"expected exchanges:\n$p")
+    assert(exchangeLines.forall(l =>
+      !l.contains("text#") && !l.contains("txt#") && !l.contains("tok#")),
+      s"raw token or text in a shuffle:\n$p")
+  }
 }
