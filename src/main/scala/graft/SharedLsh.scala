@@ -40,6 +40,7 @@ object SharedLsh {
   private val sigCache = TrieMap.empty[Key, DataFrame]
   private val pairCache = TrieMap.empty[Key, DataFrame]
   private val candShCache = TrieMap.empty[Key, DataFrame]
+  private val incCache = TrieMap.empty[Key, DataFrame]
 
   /** Materialized (doc_id, bk) band table for the documents table —
     * via the NARROW signature path (per-row array min, zero shuffles;
@@ -101,10 +102,38 @@ object SharedLsh {
         Dedup.lshStarEdgesFrom(bandKeys(s, dir, p), "doc_id"))
         .localCheckpoint())
 
+  /** Materialized INCREMENTALLY-maintained component map (q212): the
+    * history docs' (doc_id % 10 ≠ 0) map is the stored artifact, a
+    * delta batch contributes only [[Dedup.incrementalCandidatePairs]],
+    * and CC runs over stored-map star edges ∪ delta pairs — the merge
+    * graph is |history map| + |delta pairs| edges, independent of
+    * history PAIR volume. Cached like [[components]]: both CC loops
+    * are deterministic exact fixpoints, and the merged map is
+    * precisely the artifact an incremental pipeline persists between
+    * batches. */
+  def incrementalComponents(s: SparkSession, dir: String,
+                            p: Params = Default): DataFrame =
+    incCache.getOrElseUpdate(Key(s, dir, p), {
+      import org.apache.spark.sql.functions.col
+      val banded = bandKeys(s, dir, p)
+      val hist = banded.filter(col("doc_id") % 10 =!= 0)
+      val delta = banded.filter(col("doc_id") % 10 === 0)
+      val stored = Dedup.connectedComponents(
+        Dedup.lshStarEdgesFrom(hist, "doc_id"))
+      val storedEdges = stored
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("component").as("doc_a"), col("doc_id").as("doc_b"))
+      val deltaPairs = Dedup.incrementalCandidatePairs(
+        hist, delta, "doc_id")
+      Dedup.connectedComponents(storedEdges.union(deltaPairs).distinct())
+        .localCheckpoint()
+    })
+
   /** Unpersist every cached artifact and empty the cache. */
   def clear(): Unit = synchronized {
     (bandCache.values ++ compCache.values ++ sigCache.values ++
-      pairCache.values ++ candShCache.values).foreach { df =>
+      pairCache.values ++ candShCache.values ++ incCache.values)
+      .foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     bandCache.clear()
@@ -112,6 +141,7 @@ object SharedLsh {
     sigCache.clear()
     pairCache.clear()
     candShCache.clear()
+    incCache.clear()
   }
 }
 
