@@ -246,6 +246,35 @@ object ScaleBench {
           graft.operators.BpeTrain.wordFreqs(docs, "text"), rounds = 3).size
           .toLong
       }
+      // round-7: the q205 NB-classifier shape — token class counts
+      // (vocab-sized hash agg), one broadcast totals row, doc-distinct
+      // tokens joined to the vocab on md5 keys, per-doc integer vote
+      // sum. Labels are synthetic (doc_id % 7); the measured shape,
+      // not the separation, is the point at this scale.
+      val nbScored = timedL("nb_classifier") {
+        val lab = docs.select(col("doc_id"),
+          (col("doc_id") % 7 === 0).as("hi"), col("text"))
+        val toks = lab.select(col("doc_id"), col("hi"),
+          explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(md5(col("tok")).as("th"))
+          .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("ch"),
+            sum(when(col("hi"), 0L).otherwise(1L)).as("cl"))
+          .filter(col("ch") + col("cl") >= 5L)
+        val tot = toks.agg(
+          sum(when(col("hi"), 1L).otherwise(0L)).as("nh"),
+          sum(when(col("hi"), 0L).otherwise(1L)).as("nl"))
+        toks.select(col("doc_id"), md5(col("tok")).as("th")).distinct()
+          .join(vocab, Seq("th"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            when(col("ch") * col("nl") > lit(2L) * col("cl") * col("nh"),
+              1L)
+              .when(col("cl") * col("nh") >
+                lit(2L) * col("ch") * col("nl"), -1L)
+              .otherwise(0L).as("v"))
+          .groupBy(col("doc_id")).agg(sum(col("v")).as("score"))
+          .count()
+      }
       // round-5 operators at the same synthetic scale: the inverted
       // index + BM25 read (dominant cost = the 60M-posting-row build),
       // DSIR importance scoring (two full bigram scans), the two-phase
@@ -435,7 +464,8 @@ object ScaleBench {
         f""""cdc_distinct_chunks":$cdcDistinct,""" +
         f""""lpa_communities":$lpaComms,""" +
         f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs,""" +
-        f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,"bpe_rounds":$bpeRounds}""")
+        f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,""" +
+        f""""bpe_rounds":$bpeRounds,"nb_scored":$nbScored}""")
       println(acc.toString)
     } finally spark.stop()
   }
