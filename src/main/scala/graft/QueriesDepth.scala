@@ -1965,7 +1965,70 @@ object QueriesDepth {
           AS eff_vocab
       FROM ag ORDER BY source"""))
 
+  /** NEAR-DUP COMPONENT-SIZE HISTOGRAM — the cluster-mass census a
+    * dedup run reports before applying keep-one: how many components
+    * of size 2, 3, 4, 5, 6–10, 11+ exist, how many documents they
+    * hold, and the dedup yield (docs − components = removals if one
+    * keeper per cluster). The distribution is the transitive-merge
+    * health readout next to q197's edge-density view: mass
+    * accumulating in the open 11+ bucket is the first sign CC is
+    * chaining unrelated families (q168's LPA contrast exists for
+    * exactly that case).
+    *
+    * Scale shape: rides the session-cached component map; one
+    * component-keyed count, one ≤6-row census. */
+  private val q215 = Q(
+    "q215_component_sizes",
+    (s, dir) => {
+      val sizes = SharedLsh.components(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      sizes.select(
+          when(col("sz") <= 5L, col("sz").cast("string"))
+            .when(col("sz") <= 10L, lit("6-10"))
+            .otherwise(lit("11+")).as("size_bucket"),
+          col("sz"))
+        .groupBy(col("size_bucket"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1L).as("n_removals"))
+        .orderBy(col("size_bucket"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j =>
+          s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comp AS (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1),
+      sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM comp GROUP BY 1)
+      SELECT CASE WHEN sz <= 5 THEN CAST(sz AS VARCHAR)
+          WHEN sz <= 10 THEN '6-10' ELSE '11+' END AS size_bucket,
+        COUNT(*) AS n_components,
+        CAST(SUM(sz) AS BIGINT) AS n_docs,
+        CAST(SUM(sz - 1) AS BIGINT) AS n_removals
+      FROM sz GROUP BY 1 ORDER BY size_bucket"""
+    })
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202,
-    q203, q204, q205, q207, q208, q210, q211, q212, q213)
+    q203, q204, q205, q207, q208, q210, q211, q212, q213, q215)
 }

@@ -1527,8 +1527,86 @@ object QueriesSample {
       GROUP BY 1 ORDER BY lang"""
     })
 
+  /** SUBWORD-BUDGET-CORRECTED MIXTURE — q207's α=0.5 temperature
+    * weights recomputed over SUBWORD mass instead of word mass, next
+    * to the word-based weights and the signed correction: q206 showed
+    * fertility differs by language under the shared q97 vocab, so a
+    * token BUDGET allocated on word counts over- or under-feeds
+    * languages in proportion to their fertility — this census is the
+    * number a mixture planner actually applies (subword mass is what
+    * the training loop consumes). Same engine-exact recipe as q207:
+    * one sqrt per LANGUAGE on the ⌊x·10⁶⌋ grid, every share and delta
+    * in integer ppm.
+    *
+    * Scale shape: q206's dictionary-encode aggregation (distinct
+    * words folded once, code lengths joined back on the word key)
+    * collapsed to a |langs|-row census; two bounded broadcast
+    * scalars. */
+  private val q214 = Q(
+    "q214_subword_mixture",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = BpeTrain.wordFreqs(docs, "text")
+      val ms = SharedBpe.merges(s, dir, rounds = 4)
+      val wl = words.select(col("word"),
+        size(BpeTrain.applyMerges(col("word"), ms)).cast("long")
+          .as("n_sub"))
+      val lt = docs.select(col("lang"),
+          explode(filter(split(col("text"), " "),
+            t => length(t) > 0)).as("word"))
+        .join(wl, Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          floor(sqrt(col("n_words").cast("double")) * 1e6)
+            .cast("long").as("sw"),
+          floor(sqrt(col("n_subwords").cast("double")) * 1e6)
+            .cast("long").as("ss"))
+      val tot = lt.agg(sum(col("sw")).as("tw"), sum(col("ss")).as("ts"))
+      lt.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          expr("sw * 1000000 div tw").as("w_word_ppm"),
+          expr("ss * 1000000 div ts").as("w_subword_ppm"),
+          expr("ss * 1000000 div ts - sw * 1000000 div tw")
+            .as("correction_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val encodeCtes = (1 to 4).map { k =>
+        s"""u$k AS (SELECT word, ${bpeFoldSql("string_split(seq, ' ')", "b.l", "b.r")} AS seq
+          FROM u${k - 1} CROSS JOIN b$k b)"""
+      }.mkString(",\n      ")
+      s"""WITH ${bpeTrainCtes(4)},
+      dwords AS (SELECT lang, tok FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      u0 AS (SELECT word, array_to_string(
+          list_transform(range(1, len(word)+1),
+            i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq FROM w),
+      $encodeCtes,
+      wl AS (SELECT word,
+          CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub FROM u4),
+      lt AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(wl.n_sub) AS BIGINT) AS n_subwords
+        FROM dwords d JOIN wl ON wl.word = d.tok GROUP BY 1),
+      sq AS (SELECT lang, n_words, n_subwords,
+          CAST(FLOOR(SQRT(CAST(n_words AS DOUBLE)) * 1000000) AS BIGINT)
+            AS sw,
+          CAST(FLOOR(SQRT(CAST(n_subwords AS DOUBLE)) * 1000000) AS BIGINT)
+            AS ss
+        FROM lt),
+      tot AS (SELECT CAST(SUM(sw) AS BIGINT) AS tw,
+          CAST(SUM(ss) AS BIGINT) AS ts FROM sq)
+      SELECT lang, n_words, n_subwords,
+        sw * 1000000 // tw AS w_word_ppm,
+        ss * 1000000 // ts AS w_subword_ppm,
+        ss * 1000000 // ts - sw * 1000000 // tw AS correction_ppm
+      FROM sq CROSS JOIN tot ORDER BY lang"""
+    })
+
   val list: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q97, q99, q164, q178, q179, q180,
-    q206)
+    q206, q214)
 }
