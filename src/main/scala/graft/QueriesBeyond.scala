@@ -425,7 +425,7 @@ object QueriesBeyond {
     * populates at every SF (q56/q165's discipline, both engines
     * identically): every doc_id % 13 == 0 contributes a tail-trimmed
     * copy (`substr(text, 1, greatest(length(text)-40, 50))`) under
-    * doc_id+10000000. Training and benchmark docs are banded TOGETHER
+    * doc_id+10¹² (an id space no realizable corpus reaches). Training and benchmark docs are banded TOGETHER
     * (one corpus-wide LSH pass, same n=5/k=8/2-band scheme as q17);
     * cross-set band collisions are the only pairs that pay the exact
     * kernel, which runs in q172's relational shape — distinct
@@ -438,8 +438,14 @@ object QueriesBeyond {
     "q199_benchmark_decontam",
     (s, dir) => {
       val base = Tables.documents(s, dir)
+      // Bench ids live at doc_id + 10¹² — far above any train id this
+      // engine will see (10¹² docs ≈ an exabyte corpus at 1 KB/doc;
+      // tools/make_sf1.py tops out near 10⁷). The old 10⁷ offset was
+      // boundary-tight against exactly that synthesizer; the constant
+      // is shared verbatim with the oracle's id-space split below.
+      val BenchIdBase = 1000000000000L
       val bench = base.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + BenchIdBase).as("doc_id"),
           expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
       val corpus = base.select(col("doc_id"), col("text")).union(bench)
       // Band each side SEPARATELY and join on the band key: banding the
@@ -456,24 +462,30 @@ object QueriesBeyond {
           Dedup.lshBandKeysNarrow(bench, "doc_id", "text", 5, 8, 2)
             .select(col("doc_id").as("bench_id"), col("bk"))), "bk")
         .select(col("train_id"), col("bench_id")).distinct()
+      // The confirm stage carries NO data-dependent broadcast: cross /
+      // cdocs / sizes all scale with contamination rate × corpus size,
+      // so a genuinely dirty crawl would blow a broadcast ceiling —
+      // every leg below is a shuffle-hash equi-join (hash-only keys,
+      // no sort). The only broadcast in this query is the bench-side
+      // band index above, which is benchmark-sized by construction.
       val cdocs = cross.select(col("train_id").as("doc_id"))
         .union(cross.select(col("bench_id"))).distinct()
-      val shc = corpus.join(broadcast(cdocs), "doc_id")
+      val shc = corpus.join(cdocs.hint("shuffle_hash"), "doc_id")
         .select(col("doc_id"),
           explode(Dedup.charShingles(col("text"), 5)).as("sh"))
         .distinct().localCheckpoint()
       val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = shc.select(col("doc_id").as("train_id"), col("sh"))
-        .join(broadcast(cross), "train_id")
+        .join(cross.hint("shuffle_hash"), "train_id")
         .join(shc.select(col("doc_id").as("bench_id"), col("sh"))
           .hint("shuffle_hash"), Seq("bench_id", "sh"))
         .groupBy(col("train_id"), col("bench_id"))
         .agg(count(lit(1)).as("i"))
       val scored = inter
-        .join(broadcast(sizes.select(col("doc_id").as("train_id"),
-          col("sz").as("szt"))), "train_id")
-        .join(broadcast(sizes.select(col("doc_id").as("bench_id"),
-          col("sz").as("szb"))), "bench_id")
+        .join(sizes.select(col("doc_id").as("train_id"),
+          col("sz").as("szt")).hint("shuffle_hash"), "train_id")
+        .join(sizes.select(col("doc_id").as("bench_id"),
+          col("sz").as("szb")).hint("shuffle_hash"), "bench_id")
         .filter(expr("i * 1000000 div (szt + szb - i)") >= 500000L)
       scored.groupBy(col("train_id"))
         .agg(count(lit(1)).as("n_bench_hits"))
@@ -487,7 +499,7 @@ object QueriesBeyond {
     Some(s"""WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 10000000,
+        SELECT doc_id + 1000000000000,
           substr(text, 1, greatest(length(text)-40, 50))
         FROM documents WHERE doc_id % 13 = 0),
       sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
@@ -496,7 +508,7 @@ object QueriesBeyond {
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
       crs AS (SELECT doc_a AS train_id, doc_b AS bench_id FROM cand
-        WHERE doc_a < 10000000 AND doc_b >= 10000000),
+        WHERE doc_a < 1000000000000 AND doc_b >= 1000000000000),
       cdocs AS (SELECT DISTINCT train_id AS doc_id FROM crs
         UNION SELECT DISTINCT bench_id FROM crs),
       shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN cdocs USING (doc_id)),

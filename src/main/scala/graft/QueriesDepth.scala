@@ -639,7 +639,10 @@ object QueriesDepth {
           coalesce(col("ka"), array().cast("array<bigint>")),
           coalesce(col("kb"), array().cast("array<bigint>")))), 1, k))
         .select(col("source"), size(col("m")).cast("long").as("fill"),
-          element_at(col("m"), k).as("kth"),
+          // try_element_at, not element_at: under ANSI a sub-filled
+          // sketch (fill < k — any small/skewed source) must yield the
+          // oracle's NULL kth, not INVALID_ARRAY_INDEX
+          try_element_at(col("m"), lit(k)).as("kth"),
           KmvSketch.estimateNdv("m", k).as("est_ndv"))
         .orderBy(col("source"))
     },
@@ -939,22 +942,22 @@ object QueriesDepth {
     * q55 sentinel (appended to every 7th doc) guarantees the path
     * executes on this corpus. Kernel: gram hashing is an exploded
     * codegen projection; covered positions shuffle as (doc, int)
-    * pairs; the splice is a per-row indexed filter over the token
-    * array against one bounded covered-position array. */
+    * pairs; the splice is a per-row SET COMPLEMENT (position range ∖
+    * covered, hash-set membership) followed by an indexed gather —
+    * O(tokens + covered) per document, never tokens × covered. */
   private val q196 = Q(
     "q196_boilerplate_removal",
     (s, dir) => {
-      val txt = when(col("doc_id") % 7 === 0,
-        concat_ws(" ", col("text"),
-          lit("all rights reserved contact site admin for removal")))
-        .otherwise(col("text"))
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), txt.as("txt"))
-      val grams = docs.select(col("doc_id"), posexplode(
-          graft.operators.TextAnalysis.wordNgrams(col("txt"), 8))
-          .as(Seq("pos0", "g")))
-        .select(col("doc_id"), (col("pos0") + 1).as("p"),
-          md5(col("g")).as("gh"))
+      val docs = SharedGrams.sentinelDocs(s, dir)
+        .select(col("doc_id"), col("txt"))
+      // ONE gram pass, shared with the q55 detector via the session
+      // cache (SharedGrams.sentinel8): the df-agg side and the
+      // covered-position probe side both read the same (doc, pos,
+      // 16-byte gh) artifact — the r7 plan had two Generate legs
+      // re-running the scan + tokenize + slice-join + md5 explosion,
+      // which the stage-split audit measured as the dominant cost
+      // (the rebuild was not).
+      val grams = SharedGrams.sentinel8(s, dir)
       val boiler = grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
         .filter(col("ndocs") >= 3).select(col("gh"))
@@ -969,13 +972,19 @@ object QueriesDepth {
           array_sort(array_distinct(flatten(transform(col("ps"),
             p => sequence(p, p + 7))))).as("covered"))
       val toks = graft.operators.TextAnalysis.tokens(col("txt"))
+      // O(n+m) splice, not O(n·m): the kept positions are the set
+      // complement sequence(1..n) ∖ covered — array_except hashes the
+      // right side once per row, so a boilerplate-saturated 30k-token
+      // doc pays ~60k ops, not the ~10⁹ the per-token
+      // array_contains(covered) scan cost (the r7 suite-max hazard);
+      // kept order is the left array's, i.e. ascending position
       docs.join(cov, Seq("doc_id"))
         .select(col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           size(col("covered")).cast("long").as("n_removed"),
-          md5(concat_ws(" ", filter(toks,
-            (t, i) => !array_contains(col("covered"), i + 1))))
-            .as("new_hash"))
+          md5(concat_ws(" ", transform(
+            array_except(sequence(lit(1), size(toks)), col("covered")),
+            p => element_at(toks, p)))).as("new_hash"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH d AS (SELECT doc_id,
@@ -1474,8 +1483,10 @@ object QueriesDepth {
         (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
       val sb = sig.select(col("doc_id").as("doc_b") +:
         (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+      // cand (pair-proportional) broadcasts; sb is the full signature
+      // table — corpus-proportional, never broadcast (q172's rule)
       sa.join(broadcast(cand), "doc_a")
-        .join(broadcast(sb), "doc_b")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
           (0 until 8).map(j =>
             when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
@@ -1785,8 +1796,13 @@ object QueriesDepth {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
         .select(col("lang"), col("n"), col("sum_d2"),
+          // the DENOMINATOR is widened too (not just Σd²): n(n²−1) in
+          // Long overflows past n ≈ 2.1M docs per language and ANSI
+          // would throw, while the oracle's HUGEINT keeps working —
+          // DECIMAL(38,0) mirrors that headroom exactly
           expr("""1000000 - CAST(CAST(sum_d2 AS DECIMAL(38,0)) * 6000000
-            div (n * (n * n - 1)) AS BIGINT)""").as("rho_ppm"))
+            div (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)""")
+            .as("rho_ppm"))
         .orderBy(col("lang"))
     },
     Some {

@@ -902,8 +902,12 @@ object QueriesMore {
         (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
       val sb = sig.select(col("doc_id").as("doc_b") +:
         (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+      // sb is the FULL per-doc signature table — corpus-proportional,
+      // so it carries no broadcast hint (that would pin a driver-memory
+      // ceiling at scale); the pair-proportional probe side joins it as
+      // a shuffle-hash equi-join on doc_b
       val est = sa.join(broadcast(cand), "doc_a")
-        .join(broadcast(sb), "doc_b")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (0 until 8).map(j =>
             when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))

@@ -31,14 +31,17 @@ object QueriesPipeline {
   private val q55 = Q(
     "q55_boilerplate_ngrams",
     (s, dir) => {
-      val txt = when(col("doc_id") % 7 === 0,
-        concat_ws(" ", col("text"),
-          lit("all rights reserved contact site admin for removal")))
-        .otherwise(col("text"))
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), txt.as("txt"))
-      val flagged = Curation.boilerplateDocs(docs, "doc_id", "txt",
-          n = 8, minDocs = 3)
+      // rides the shared sentinel-8-gram artifact (one explode pass per
+      // session serves this detector and the q196 rewriter); the
+      // per-position rows make countDistinct(doc_id) the df measure —
+      // identical to Curation.boilerplateDocs over distinct (doc, gh)
+      val docs = SharedGrams.sentinelDocs(s, dir)
+      val grams = SharedGrams.sentinel8(s, dir)
+      val boiler = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 3).select(col("gh"))
+      val flagged = grams.join(boiler, Seq("gh"), "left_semi")
+        .select(col("doc_id")).distinct()
         .withColumn("flag", lit(1))
       docs.join(flagged, Seq("doc_id"), "left")
         .groupBy(col("lang"))

@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
 
-/** Throwaway profiling main (not part of the driver contract). */
+/** Throwaway profiling main (not part of the driver contract).
+  * Current use: the q196 stage-split audit (r7 VERDICT finding #1). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -22,46 +22,44 @@ object Scratch {
       println(f"TIMER $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    // q196 stage split, mirroring the query's own structure
+    val txt = when(col("doc_id") % 7 === 0,
+      concat_ws(" ", col("text"),
+        lit("all rights reserved contact site admin for removal")))
+      .otherwise(col("text"))
     val docs = Tables.documents(spark, dir)
-    time("docs.count")(docs.count())
-    val cand0 = time("candidatePairs (1st: band ckpt)") {
-      SharedLsh.candidatePairs(spark, dir).localCheckpoint()
+      .select(col("doc_id"), txt.as("txt"))
+    time("warm: docs.count")(docs.count())
+    val grams = time("stage1: grams ckpt") {
+      docs.select(col("doc_id"), posexplode(
+          graft.operators.TextAnalysis.wordNgrams(col("txt"), 8))
+          .as(Seq("pos0", "g")))
+        .select(col("doc_id"), (col("pos0") + 1).as("p"),
+          unhex(md5(col("g"))).as("gh"))
+        .localCheckpoint()
     }
-    println(s"pairs: ${cand0.count()}")
-    val cand = time("candidatePairs (2nd)") {
-      SharedLsh.candidatePairs(spark, dir).localCheckpoint()
-    }
-    val sig = time("signatures (1st: ckpt)") {
-      SharedLsh.signatures(spark, dir)
-    }
-    time("sig.count")(sig.count())
-    val cdocs = time("cdocs distinct") {
-      val c = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b"))).distinct().localCheckpoint()
-      println(s"cdocs: ${c.count()}")
-      c
-    }
-    val shc = time("shc build+ckpt") {
-      docs.join(cdocs, "doc_id")
-        .select(col("doc_id"), explode(
-          Dedup.charShingles(col("text"), 5)).as("sh"))
-        .distinct().localCheckpoint()
-    }
-    println(s"shc rows: ${shc.count()}")
-    time("inter") {
-      cand
-        .join(shc.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(shc.select(col("doc_id").as("doc_b"), col("sh")),
-          Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("i")).count()
-    }
-    time("full q172 (fresh)") {
-      SparkEntry.queries("q172_minhash_calibration")(spark, dir).count()
-    }
-    time("full q172 (again)") {
-      SparkEntry.queries("q172_minhash_calibration")(spark, dir).count()
-    }
+    println(s"grams rows: ${grams.count()}")
+    val boiler = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 3).select(col("gh"))
+    time("stage2: boiler df-agg")(boiler.count())
+    val cov = grams.join(boiler, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("ps"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(flatten(transform(col("ps"),
+          p => sequence(p, p + 7))))).as("covered"))
+    time("stage3: cov semi+collect")(cov.count())
+    val toks = graft.operators.TextAnalysis.tokens(col("txt"))
+    val out = docs.join(cov, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        md5(concat_ws(" ", transform(
+          array_except(sequence(lit(1), size(toks)), col("covered")),
+          p => element_at(toks, p)))).as("new_hash"))
+      .orderBy(col("doc_id"))
+    time("stage4: rebuild (full query)")(out.count())
     spark.stop()
   }
 }

@@ -167,6 +167,41 @@ object SharedGrams {
         .repartition(org.apache.spark.sql.functions.col("h"))
         .localCheckpoint())
 
+  /** The boilerplate sentinel q55/q196 append to every 7th document —
+    * one constant so the detector and the rewriter can never drift. */
+  val BoilerSentinel = "all rights reserved contact site admin for removal"
+
+  /** Sentinel-injected (doc_id, lang, txt) projection — cheap map over
+    * the scan, not cached; both boilerplate consumers derive from it. */
+  def sentinelDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 7 === 0,
+        concat_ws(" ", col("text"), lit(BoilerSentinel)))
+        .otherwise(col("text")).as("txt"))
+  }
+
+  private val sentCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Word-8-gram position rows (doc_id, p, 16-byte gh) over the
+    * sentinel corpus — the shared first stage of the boilerplate
+    * detect (q55) → rewrite (q196) pairing. One materialization per
+    * session+input: each consumer otherwise re-runs the full scan +
+    * tokenize + slice-join + md5 explosion, which the r7 plan audit
+    * measured as the dominant cost of both. gh rides as BINARY(16)
+    * (unhex'd md5) — half the hex string's exchange width. */
+  def sentinel8(s: SparkSession, dir: String): DataFrame =
+    sentCache.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions._
+      sentinelDocs(s, dir)
+        .select(col("doc_id"), posexplode(
+          operators.TextAnalysis.wordNgrams(col("txt"), 8))
+          .as(Seq("pos0", "g")))
+        .select(col("doc_id"), (col("pos0") + 1).as("p"),
+          unhex(md5(col("g"))).as("gh"))
+        .localCheckpoint()
+    })
+
   /** The shared-8-gram similarity-graph edge list (q144 triangle
     * census + q145 degree histogram — and triangleCensus alone
     * consumes it five times: three join legs, degrees, edge count).
@@ -198,12 +233,13 @@ object SharedGrams {
     })
 
   def clear(): Unit = synchronized {
-    (cache.values ++ edgeCache.values ++
+    (cache.values ++ edgeCache.values ++ sentCache.values ++
       postCache.values.flatMap(p => Seq(p._1, p._2))).foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     cache.clear()
     edgeCache.clear()
+    sentCache.clear()
     postCache.clear()
   }
 }
