@@ -409,12 +409,11 @@ object QueriesAnalytics {
         .union(times.select(col("u"), lit("2_click_purchase").as("step"),
           (col("t3") - col("t2")).as("dur")))
         .filter(col("dur").isNotNull)
-      val w = Window.partitionBy(col("step"))
-        .orderBy(col("dur"), col("u"))
-      val ranked = durs
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt",
-          count(lit(1)).over(Window.partitionBy(col("step"))))
+      // two-phase range-partitioned ranks (GroupedRank): two step
+      // partitions over all conversions would otherwise sort in two
+      // tasks however large the event log
+      val ranked = graft.operators.GroupedRank.withRank(
+        durs, "step", Seq("dur", "u"))
       val base = ranked.groupBy(col("step"))
         .agg(count(lit(1)).as("n"), min(col("dur")).as("min_ms"),
           max(col("dur")).as("max_ms"))

@@ -802,33 +802,26 @@ object QueriesDepth {
     * source (q39's rank-filter kernel, lower-median convention, twice)
     * and the count of documents beyond 3 MADs — the outlier filter a
     * curation pipeline runs where mean/stddev would be dragged by the
-    * very outliers it hunts. All-integer; the per-source window sort
-    * is the documented q39 cost class (range-partitioned per-group
-    * sort at scale). */
+    * very outliers it hunts. All-integer; both rank passes ride
+    * GroupedRank's two-phase range-partitioned scan (bucket-bounded
+    * sorts — the q39 cost class, fixed rather than documented). */
   private val q194 = Q(
     "q194_length_outliers",
     (s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
+      import graft.operators.GroupedRank
       val lens = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"),
           graft.operators.TextAnalysis.tokenCount(col("text"))
             .cast("long").as("len"))
-      val w1 = W.partitionBy(col("source"))
-        .orderBy(col("len"), col("doc_id"))
-      val med = lens
-        .withColumn("rn", row_number().over(w1))
-        .withColumn("cnt", count(lit(1)).over(
-          W.partitionBy(col("source"))))
+      val med = GroupedRank.withRank(lens, "source",
+          Seq("len", "doc_id"))
         .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
         .select(col("source"), col("len").as("med"))
       val dev = lens.join(med, "source")
         .withColumn("dev", abs(col("len") - col("med")))
-      val w2 = W.partitionBy(col("source"))
-        .orderBy(col("dev"), col("doc_id"))
-      val mad = dev
-        .withColumn("rn", row_number().over(w2))
-        .withColumn("cnt", count(lit(1)).over(
-          W.partitionBy(col("source"))))
+      val mad = GroupedRank.withRank(dev
+          .select(col("source"), col("doc_id"), col("dev")), "source",
+          Seq("dev", "doc_id"))
         .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
         .select(col("source"), col("dev").as("mad"))
       dev.join(mad, "source")

@@ -319,24 +319,24 @@ object QueriesMore {
              COUNT(*) AS n
       FROM urls GROUP BY 1 ORDER BY canon"""))
 
-  /** Discrete (lower) median per group via row_number — deterministic
-    * exact quantile without interpolation-formula divergence between
-    * engines (the reason q35's percentile_approx carries no oracle).
+  /** Discrete (lower) median per group via exact rank-filter —
+    * deterministic exact quantile without interpolation-formula
+    * divergence between engines (the reason q35's percentile_approx
+    * carries no oracle).
     *
-    * Scale caveat: windows partitioned by a low-cardinality key give one
-    * task per group (5 here) regardless of data size — at 100 TB an
-    * exact per-group median needs a range-partitioned sort per group or
-    * settles for the approx sketch (q35). Documented in SCALE.md. */
+    * Ranks come from GroupedRank.withRank — the two-phase
+    * range-partitioned scan — NOT a Window.partitionBy(event_type)
+    * sort: a low-cardinality partition key gives one task per group
+    * regardless of data size, the straggler SCALE.md used to only
+    * document. Now fixed, and plan-guarded (no single-column-partition
+    * window in the median path). */
   private val q39 = Q(
     "q39_median_disc",
     (s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
+      graft.operators.GroupedRank.withRank(
+          Tables.events(s, dir)
+            .select(col("event_type"), col("value"), col("event_id")),
+          "event_type", Seq("value", "event_id"))
         // floor, not a bare int cast: DuckDB ROUNDS double→int casts
         // while Spark truncates — floor agrees everywhere
         .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))

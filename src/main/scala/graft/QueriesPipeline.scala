@@ -850,23 +850,21 @@ object QueriesPipeline {
     * p25/median/p75 of the quality score (×10⁶ fixed point) per
     * source — the table a filtering stage reads to set per-source
     * cutoffs instead of one global one (sources differ; q23 showed
-    * the means differ). The q39 rank-filter kernel: one row_number
-    * window per source partition, rank formulas shared verbatim with
-    * the oracle, ties broken by doc_id, conditional-MAX readout —
-    * no sort beyond the per-source window at any size. */
+    * the means differ). The q39 rank-filter kernel (GroupedRank's
+    * two-phase range-partitioned scan — bucket-bounded sorts, never a
+    * one-task-per-source window), rank formulas shared verbatim with
+    * the oracle, ties broken by doc_id, conditional-MAX readout. */
   private val q177 = Q(
     "q177_quality_percentiles",
     (s, dir) => {
       val score = floor(TextAnalysis.qualityScore(col("text")) * 1000000)
         .cast("long")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("score_fp"), col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"), score.as("score_fp"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      // GroupedRank: per-source ranks via the two-phase range scan, not
+      // a one-task-per-source window sort
+      graft.operators.GroupedRank.withRank(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"), score.as("score_fp")),
+          "source", Seq("score_fp", "doc_id"))
         .groupBy(col("source"))
         .agg(max(col("cnt")).as("n"),
           max(when(col("rn") === expr("greatest(1, (cnt + 1) div 4)"),

@@ -443,6 +443,28 @@ class PlanShapeSpec extends SparkSpec {
       s"serialized line in a shuffle:\n$p")
   }
 
+  test("exact-median family: no one-task-per-group window sort") {
+    // q39/q147/q177/q194 rank via GroupedRank's two-phase range scan;
+    // the only window allowed in their plans is the kernel's own,
+    // partitioned by (bucket, group). A window whose partition spec is
+    // a SINGLE expression is the regression this pins: one task per
+    // group — a guaranteed straggler for low-cardinality groups at
+    // scale (the r7 VERDICT's finding #2).
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    for (q <- Seq("q39_median_disc", "q147_conversion_latency",
+        "q177_quality_percentiles", "q194_length_outliers")) {
+      val df = Queries.all(q)(spark, sf())
+      def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+        p +: p.children.flatMap(nodes)
+      val wins = nodes(df.queryExecution.optimizedPlan)
+        .collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$q: expected the kernel's rank window")
+      for (w <- wins)
+        assert(w.partitionSpec.size >= 2,
+          s"$q: single-partition-per-group window sort is back:\n$w")
+    }
+  }
+
   test("alpha mixture: census first, bounded scalars broadcast") {
     // q207 reads the corpus exactly once (the lang census); the token
     // total and the sqrt-mass sum ride broadcast one-row frames — a
