@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GroupedRank, TextAnalysis}
+import Queries.Q
+
+/** Round-8 depth queries — compositions over the grouped two-phase
+  * prefix-sum kernel ([[graft.operators.GroupedRank.withCumSum]]),
+  * the scale-safe replacement for per-stream window scans: a
+  * source's rows spread over `buckets` range partitions instead of
+  * one task's sort, so a dominant source can never straggle the
+  * stage (the q39 cost class, fixed this round for ranks and reused
+  * here for running sums).
+  *
+  * Determinism: all-integer arithmetic (ppm grids, `div` on
+  * non-negative operands where Spark's truncation and DuckDB's `//`
+  * floor agree), md5-keyed orders, fingerprints by the q211
+  * leading-32-bit-md5 convention.
+  */
+object QueriesRound8 {
+
+  /** MULTI-LENGTH PACKING-WASTE CENSUS — q58's concatenate-and-chop
+    * packing kernel evaluated at the three context budgets a training
+    * run actually chooses between (512 / 2048 / 8192 tokens): per
+    * (budget, source) the sequence count, the number of documents
+    * split across a sequence boundary (attention-contamination
+    * proxy), the split share, and the tail padding the final partial
+    * sequence wastes. The doc-boundary fragmentation FALLS as budget
+    * grows while tail padding RISES — the census quantifies that
+    * trade so the budget choice is data-driven, not folklore.
+    *
+    * Scale shape: ONE grouped two-phase prefix sum per source stream
+    * (never a per-source single-task window), then a 3-budget
+    * explode that is a map-only projection — the window work is paid
+    * once, not per budget. Census rows: 3 × |sources|. */
+  private val q216 = Q(
+    "q216_packing_waste",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val pre = GroupedRank.withCumSum(docs, "source", Seq("doc_id"), "tok")
+        .withColumn("pre", col("cum") - col("tok"))
+      pre.select(col("source"), col("pre"), col("tok"),
+          explode(array(lit(512L), lit(2048L), lit(8192L))).as("budget"))
+        .select(col("budget"), col("source"), col("tok"),
+          expr("pre div budget").as("s0"),
+          expr("(pre + greatest(tok, 1L) - 1L) div budget").as("s1"))
+        .groupBy(col("budget"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          (max(col("s1")) + 1L).as("n_seqs"),
+          sum(when(col("s1") > col("s0"), 1L).otherwise(0L)).as("n_split"))
+        .select(col("budget"), col("source"), col("n_docs"),
+          col("n_tokens"), col("n_seqs"), col("n_split"),
+          expr("n_split * 1000000 div n_docs").as("split_ppm"),
+          (col("n_seqs") * col("budget") - col("n_tokens")).as("tail_pad"),
+          expr("(n_seqs * budget - n_tokens) * 1000000 div (n_seqs * budget)")
+            .as("pad_ppm"))
+        .orderBy(col("budget"), col("source"))
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        FROM documents),
+      c AS (SELECT source, tok,
+          COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        FROM d),
+      e AS (SELECT CAST(b.budget AS BIGINT) AS budget, c.source, c.tok,
+          c.pre // b.budget AS s0,
+          (c.pre + greatest(c.tok, 1) - 1) // b.budget AS s1
+        FROM c CROSS JOIN (VALUES (512), (2048), (8192)) b(budget)),
+      g AS (SELECT budget, source, COUNT(*) AS n_docs,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens,
+          CAST(MAX(s1) + 1 AS BIGINT) AS n_seqs,
+          CAST(SUM(CASE WHEN s1 > s0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_split
+        FROM e GROUP BY 1, 2)
+      SELECT budget, source, n_docs, n_tokens, n_seqs, n_split,
+        n_split * 1000000 // n_docs AS split_ppm,
+        n_seqs * budget - n_tokens AS tail_pad,
+        (n_seqs * budget - n_tokens) * 1000000 // (n_seqs * budget)
+          AS pad_ppm
+      FROM g ORDER BY budget, source"""))
+
+  /** PER-SOURCE BYTE-BALANCED JSONL SHARDS — the q211 × q107
+    * composition: each source stream is exported as 4 JSONL shards
+    * balanced by SERIALIZED BYTES (what object-store writers and
+    * dataloader workers actually care about), not document counts —
+    * a source mixing long and short documents shards evenly anyway.
+    * Assignment is deterministic: md5(doc_id)-keyed order, exclusive
+    * byte prefix · 4 div source total. Census per (source, shard):
+    * line count, byte mass, and the q211 serialization fingerprint
+    * (Σ leading-32-bit md5 of each line) — so the oracle pins the
+    * exact BYTES each shard would contain, not just its size.
+    *
+    * Scale shape: serialization + hashing are map-only codegen'd
+    * projections; the per-source running byte total is the grouped
+    * two-phase kernel (bounded driver state: buckets × |sources|
+    * offset rows); only (source, shard) census rows aggregate after
+    * that. Nothing corpus-sized ever sits in one task. */
+  private val q217 = Q(
+    "q217_shard_balance",
+    (s, dir) => {
+      val line = to_json(struct(col("doc_id"), col("lang"), col("text")))
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("k"), line.as("line"))
+        .select(col("source"), col("k"),
+          length(col("line")).cast("long").as("nb"),
+          conv(substring(md5(col("line")), 1, 8), 16, 10)
+            .cast("long").as("fp32"))
+      GroupedRank.withCumSum(docs, "source", Seq("k"), "nb")
+        .withColumn("shard", expr("(cum - nb) * 4 div gtotal"))
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("nb")).as("n_bytes"),
+          sum(col("fp32")).as("fingerprint"))
+        .orderBy(col("source"), col("shard"))
+    },
+    Some("""WITH j AS (SELECT source, doc_id,
+          md5(CAST(doc_id AS VARCHAR)) AS k,
+          to_json(struct_pack(doc_id := doc_id, lang := lang,
+            text := text))::VARCHAR AS line
+        FROM documents),
+      m AS (SELECT source, k, CAST(length(line) AS BIGINT) AS nb,
+          CAST(('0x' || substr(md5(line), 1, 8)) AS BIGINT) AS fp32
+        FROM j),
+      c AS (SELECT source, nb, fp32,
+          SUM(nb) OVER (PARTITION BY source ORDER BY k
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          SUM(nb) OVER (PARTITION BY source) AS total
+        FROM m)
+      SELECT source, CAST((cum - nb) * 4 // total AS BIGINT) AS shard,
+        COUNT(*) AS n_lines, CAST(SUM(nb) AS BIGINT) AS n_bytes,
+        CAST(SUM(fp32) AS BIGINT) AS fingerprint
+      FROM c GROUP BY 1, 2 ORDER BY source, shard"""))
+
+  val list: Seq[Q] = Seq(q216, q217)
+}

@@ -41,16 +41,46 @@ object GroupedRank {
   /** df ++ (`rn`: exact 1-based rank within `groupCol` ordered by
     * `orderCols`, `cnt`: group size), both LongType. */
   def withRank(df: DataFrame, groupCol: String, orderCols: Seq[String],
-               buckets: Int = 32): DataFrame = {
+               buckets: Int = 32): DataFrame =
+    twoPhase(df, groupCol, orderCols, buckets,
+      localCol = w => row_number().over(w),
+      bucketAgg = count(lit(1)),
+      outCol = "rn", totalCol = "cnt")
+
+  /** df ++ (`cum`: exact INCLUSIVE per-group prefix sum of `weightCol`
+    * (LongType) under the `orderCols` order, `gtotal`: per-group total)
+    * — the grouped generalization of
+    * [[WeightedSample.withCumWeight]], for per-stream byte/token
+    * budget splits (shard assignment, packing censuses) that must
+    * never fall back to a single-task-per-group window sort. */
+  def withCumSum(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                 weightCol: String, buckets: Int = 32): DataFrame =
+    twoPhase(df, groupCol, orderCols, buckets,
+      localCol = w => sum(col(weightCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      bucketAgg = sum(col(weightCol)),
+      outCol = "cum", totalCol = "gtotal")
+
+  /** Shared two-phase skeleton: `localCol` builds the running window
+    * column from the (bucket, group)-partitioned `orderCols`-ordered
+    * spec; `bucketAgg` the per-(bucket, group) contribution whose
+    * per-group running total becomes each bucket's starting offset.
+    * Exactness argument as in the scaladoc above. */
+  private def twoPhase(df: DataFrame, groupCol: String,
+                       orderCols: Seq[String], buckets: Int,
+                       localCol: org.apache.spark.sql.expressions.WindowSpec
+                         => org.apache.spark.sql.Column,
+                       bucketAgg: org.apache.spark.sql.Column,
+                       outCol: String, totalCol: String): DataFrame = {
     val ranged = df
       .repartitionByRange(buckets, (groupCol +: orderCols).map(col): _*)
       .withColumn("_b", spark_partition_id())
       .localCheckpoint()
     val local = ranged.withColumn("_rl",
-      row_number().over(Window.partitionBy(col("_b"), col(groupCol))
+      localCol(Window.partitionBy(col("_b"), col(groupCol))
         .orderBy(orderCols.map(col): _*)))
     val counts = ranged.groupBy(col("_b"), col(groupCol))
-      .agg(count(lit(1)).as("_n"))
+      .agg(bucketAgg.as("_n"))
     // bounded driver state: ≤ buckets × |groups| rows, the same budget
     // class as withCumWeight's per-bucket totals
     val collected = counts.collect()
@@ -70,11 +100,11 @@ object GroupedRank {
       StructField("_b", IntegerType, nullable = false),
       groupField,
       StructField("_off", LongType, nullable = false),
-      StructField("cnt", LongType, nullable = false)))
+      StructField(totalCol, LongType, nullable = false)))
     val offs = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(outRows: _*), schema)
     local.join(broadcast(offs), Seq("_b", groupCol))
-      .withColumn("rn", col("_rl").cast("long") + col("_off"))
+      .withColumn(outCol, col("_rl").cast("long") + col("_off"))
       .drop("_b", "_rl", "_off")
   }
 }

@@ -55,4 +55,40 @@ class GroupedRankSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq
     assert(got == (1L to 200L))
   }
+
+  private def cumReference(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("cum", sum(col("w")).over(
+      Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    .withColumn("gtotal", sum(col("w")).over(Window.partitionBy(col("g"))))
+
+  test("withCumSum matches the per-group running-sum window") {
+    val df = frame(1000).withColumn("w", (col("id") % 13) + 1L)
+    val want = cumReference(df)
+      .select(col("id"), col("g"), col("cum"), col("gtotal"))
+      .orderBy(col("id")).collect().toSeq
+    for (buckets <- Seq(1, 3, 8, 32)) {
+      val got = GroupedRank.withCumSum(df, "g", Seq("v", "id"), "w", buckets)
+        .select(col("id"), col("g"), col("cum"), col("gtotal"))
+        .orderBy(col("id")).collect().toSeq
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
+
+  test("withCumSum: zero weights and a single dominant group") {
+    // zero-weight rows must keep their ordinal place without moving the
+    // running sum; one group holding ~all rows is the straggler shape
+    // the kernel exists for
+    val df = spark.range(500).select(col("id"),
+      when(col("id") < 490, lit("big")).otherwise(lit("tail")).as("g"),
+      col("id").as("v"),
+      when(col("id") % 5 === 0, 0L).otherwise(2L).as("w"))
+    val want = cumReference(df)
+      .select(col("id"), col("cum"), col("gtotal"))
+      .orderBy(col("id")).collect().toSeq
+    val got = GroupedRank.withCumSum(df, "g", Seq("v", "id"), "w", 8)
+      .select(col("id"), col("cum"), col("gtotal"))
+      .orderBy(col("id")).collect().toSeq
+    assert(got == want)
+  }
 }
