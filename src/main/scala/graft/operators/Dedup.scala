@@ -168,14 +168,61 @@ object Dedup {
                   n: Int, k: Int, bands: Int): DataFrame =
     lshBandKeysPlan(docs, idCol, textCol, n, k, bands).localCheckpoint()
 
-  /** Candidate pairs (idA < idB) from a pre-built (id, bk) band table —
-    * a self equi-join on the band key. Pass a MATERIALIZED band table
-    * (checkpointed/cached); both join legs reference it. */
-  def lshCandidatePairsFrom(banded: DataFrame, idCol: String): DataFrame = {
-    val a = banded.select(col(idCol).as("doc_a"), col("bk"))
-    val b = banded.select(col(idCol).as("doc_b"), col("bk").as("bk2"))
-    a.join(b, col("bk") === col("bk2") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+  /** Candidate pairs (idA < idB) from a pre-built (id, bk) band table.
+    *
+    * A plain self equi-join on the band key puts EVERY row of a band
+    * bucket into one join partition, so a hot bucket of B docs
+    * generates its full C(B,2) pair set inside a single task — the
+    * measured sf1-synth pathology (round 8): a coarse 2-hash band
+    * configuration emitted 272.8M candidate pairs with one task
+    * grinding 23 minutes while 15 cores idled. The skew fix is the
+    * classic triangle split, applied SIZE-AWARE so the common path
+    * pays nothing:
+    *
+    *   - buckets with ≤ `hotBucket` rows: the plain self-join;
+    *   - hotter buckets: each doc gets slice s = pmod(hash(id), S);
+    *     the left leg replicates a doc to every target slice t ≥ s,
+    *     the right leg to every source slice s' ≤ its own — joining
+    *     on (bk, s, t) spreads C(B,2) comparisons over S(S+1)/2
+    *     tasks of (B/S)² work at an S× inflation of hot-bucket rows
+    *     only. least/greatest + the trailing distinct restore the
+    *     exact unordered pair set (same-slice pairs arrive twice,
+    *     normalized to one row).
+    *
+    * Output set is IDENTICAL to the naive join (spec-asserted), so
+    * every LSH consumer inherits the fix. The band table is
+    * checkpointed here because three plans read it (sizes + two
+    * legs). */
+  def lshCandidatePairsFrom(banded: DataFrame, idCol: String,
+                            hotBucket: Int = 1024,
+                            slices: Int = 16): DataFrame = {
+    val bt = banded.select(col(idCol).as("_id"), col("bk"))
+      .localCheckpoint()
+    val hot = bt.groupBy(col("bk")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotBucket).select(col("bk"))
+    // no broadcast hint: `hot` is usually empty/tiny and AQE will
+    // broadcast it at runtime, but its size is data-dependent (the
+    // q199 lesson) so the strategy choice stays the planner's
+    val cold = bt.join(hot, Seq("bk"), "left_anti")
+    val coldPairs = cold.select(col("_id").as("doc_a"), col("bk"))
+      .join(cold.select(col("_id").as("doc_b"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val sliced = bt.join(hot, Seq("bk"), "left_semi")
+      .select(col("_id"), col("bk"),
+        pmod(hash(col("_id")), lit(slices)).as("_s"))
+    val left = sliced.select(col("_id").as("_ida"), col("bk"),
+      col("_s").as("_sa"),
+      explode(sequence(col("_s"), lit(slices - 1))).as("_t"))
+    val right = sliced.select(col("_id").as("_idb"),
+      col("bk").as("_bk2"), col("_s").as("_tb"),
+      explode(sequence(lit(0), col("_s"))).as("_sb"))
+    val hotPairs = left.join(right,
+        col("bk") === col("_bk2") && col("_sa") === col("_sb") &&
+          col("_t") === col("_tb") && col("_ida") =!= col("_idb"))
+      .select(least(col("_ida"), col("_idb")).as("doc_a"),
+        greatest(col("_ida"), col("_idb")).as("doc_b"))
+    coldPairs.union(hotPairs).distinct()
   }
 
   /** LSH candidate pairs (idA < idB) from `bands` bands of `k/bands`

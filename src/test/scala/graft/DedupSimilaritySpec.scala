@@ -14,6 +14,30 @@ class DedupSimilaritySpec extends SparkSpec {
     (3L, "completely different text with no overlap at all zzz"))
     .toDF("doc_id", "text")
 
+  test("hot-bucket triangle split emits exactly the naive pair set") {
+    // band table with one HOT bucket (64 docs — every unordered pair),
+    // one warm bucket (5 docs), singletons, and a doc in two buckets
+    // (pair deduped across bands). hotBucket=8 forces the split path
+    // for the big bucket while the warm one stays on the plain join.
+    val banded = spark.range(64)
+        .select(col("id").as("doc_id"), lit("HOT").as("bk"))
+      .union(spark.range(100, 105)
+        .select(col("id").as("doc_id"), lit("WARM").as("bk")))
+      .union(spark.range(200, 203)
+        .select(col("id").as("doc_id"),
+          concat(lit("S"), col("id")).as("bk")))
+      .union(spark.range(63, 64) // doc 63 also in WARM: cross-band dup
+        .select(col("id").as("doc_id"), lit("WARM").as("bk")))
+    def pairSet(hotBucket: Int, slices: Int) =
+      Dedup.lshCandidatePairsFrom(banded, "doc_id", hotBucket, slices)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pairSet(hotBucket = 1 << 20, slices = 4) // all-cold
+    assert(naive.size == 64 * 63 / 2 + 6 * 5 / 2 &&
+      naive.contains((62L, 63L)) && naive.contains((63L, 104L)))
+    for ((hb, s) <- Seq((8, 4), (8, 16), (2, 3), (2, 64)))
+      assert(pairSet(hb, s) == naive, s"hotBucket=$hb slices=$s")
+  }
+
   test("identical docs get identical minhash signatures; LSH pairs them") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 5, k = 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString).toSeq).toMap
