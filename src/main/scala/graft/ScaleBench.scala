@@ -157,6 +157,36 @@ object ScaleBench {
       val boiler = timedL("boilerplate_ngrams") {
         Curation.boilerplateDocs(docs, "doc_id", "text", 8, 3).count()
       }
+      // the q196 REBUILD kernel (round 8's O(n+m) splice): one shared
+      // gram artifact (the SharedGrams discipline), df≥3 boilerplate
+      // set, per-doc covered windows, array_except set-complement
+      // splice + md5 of the rebuilt text — the full boilerplate-removal
+      // path, not just the census above
+      val boilerRebuilt = timedL("boilerplate_rebuild") {
+        val grams = docs.select(col("doc_id"), posexplode(
+            graft.operators.TextAnalysis.wordNgrams(col("text"), 8))
+            .as(Seq("pos0", "g")))
+          .select(col("doc_id"), (col("pos0") + 1).as("p"),
+            unhex(md5(col("g"))).as("gh"))
+          .localCheckpoint()
+        val boilerG = grams.groupBy(col("gh"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 3).select(col("gh"))
+        val cov = grams.join(boilerG, Seq("gh"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(collect_list(col("p")).as("ps"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(flatten(transform(col("ps"),
+              p => sequence(p, p + 7))))).as("covered"))
+        val toks = split(col("text"), " ")
+        val out = docs.join(cov, Seq("doc_id"))
+          .select(md5(concat_ws(" ", transform(
+            array_except(sequence(lit(1), size(toks)), col("covered")),
+            p => element_at(toks, p)))).as("h"))
+          .count()
+        grams.unpersist()
+        out
+      }
       // round-4 operators at the same synthetic scale
       val spans = timedL("exact_dup_spans") {
         graft.operators.ExactSubstring
@@ -459,6 +489,7 @@ object ScaleBench {
       acc.append(f""""n_docs":$n,"dup_groups":$dupGroups,"star_edges":$edges,""" +
         f""""components":$comps,"chunk_groups":$chunkKept,""" +
         f""""bloom_confirmed":$bloomConfirmed,"boiler_docs":$boiler,""" +
+        f""""boiler_rebuilt_docs":$boilerRebuilt,""" +
         f""""dup_span_docs":$spans,"dup_span_docs_sharded":$spansSharded,""" +
         f""""sa_positions":$saRows,"rebuilt_docs":$rebuilt,""" +
         f""""cdc_distinct_chunks":$cdcDistinct,""" +
