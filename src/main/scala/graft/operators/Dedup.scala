@@ -203,9 +203,19 @@ object Dedup {
     // no broadcast hint: `hot` is usually empty/tiny and AQE will
     // broadcast it at runtime, but its size is data-dependent (the
     // q199 lesson) so the strategy choice stays the planner's
+    // shuffle_hash on the pair-generating self-joins, never broadcast:
+    // a band table is often small enough for AQE to broadcast, and a
+    // broadcast join pins OUTPUT parallelism to the probe side's
+    // partition count (1-2 partitions off a narrow parquet chain) —
+    // the optimizer sizes joins by INPUT, but pair generation explodes
+    // on output, so the exchange must be forced to spread the
+    // explosion across the shuffle partitioning (measured: the sf1
+    // single-task 23-minute stage was exactly this)
     val cold = bt.join(hot, Seq("bk"), "left_anti")
     val coldPairs = cold.select(col("_id").as("doc_a"), col("bk"))
-      .join(cold.select(col("_id").as("doc_b"), col("bk").as("bk2")),
+      .hint("shuffle_hash")
+      .join(cold.select(col("_id").as("doc_b"), col("bk").as("bk2"))
+          .hint("shuffle_hash"),
         col("bk") === col("bk2") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
     val sliced = bt.join(hot, Seq("bk"), "left_semi")
@@ -217,7 +227,7 @@ object Dedup {
     val right = sliced.select(col("_id").as("_idb"),
       col("bk").as("_bk2"), col("_s").as("_tb"),
       explode(sequence(lit(0), col("_s"))).as("_sb"))
-    val hotPairs = left.join(right,
+    val hotPairs = left.hint("shuffle_hash").join(right.hint("shuffle_hash"),
         col("bk") === col("_bk2") && col("_sa") === col("_sb") &&
           col("_t") === col("_tb") && col("_ida") =!= col("_idb"))
       .select(least(col("_ida"), col("_idb")).as("doc_a"),
