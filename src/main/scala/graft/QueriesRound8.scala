@@ -136,5 +136,123 @@ object QueriesRound8 {
         CAST(SUM(fp32) AS BIGINT) AS fingerprint
       FROM c GROUP BY 1, 2 ORDER BY source, shard"""))
 
-  val list: Seq[Q] = Seq(q216, q217)
+  /** EPOCH-SHUFFLE FAIRNESS AUDIT — every training epoch reshuffles
+    * the corpus with a fresh deterministic permutation (order key
+    * md5(epoch:doc_id), the seeded-shuffle idiom that needs no RNG
+    * state); this certifies the property dataloaders assume but
+    * rarely test: the FIRST 10% of every epoch's order matches the
+    * corpus source mixture (no source is systematically front- or
+    * back-loaded by the hash). Per (epoch, source): head count, head
+    * share, corpus share, signed skew — all ppm-integer.
+    *
+    * Scale shape: the per-epoch global rank is the grouped two-phase
+    * kernel (group = epoch), NOT a single-task-per-epoch window sort
+    * — at 100 TB an epoch IS the whole corpus, the exact straggler
+    * the kernel exists for. Everything after is a ≤(epochs × sources)
+    * census. */
+  private val q218 = Q(
+    "q218_epoch_order",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val e = docs.select(col("doc_id"), col("source"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
+        .withColumn("ke", md5(concat(col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+      val ranked = GroupedRank.withRank(e, "epoch", Seq("ke"))
+      val head = ranked.filter(col("rn") * 10 <= col("cnt"))
+        .groupBy(col("epoch"), col("source"))
+        .agg(count(lit(1)).as("n_head"))
+      val headTot = head.groupBy(col("epoch"))
+        .agg(sum(col("n_head")).as("head_total"))
+      val corpus = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      head.join(headTot, "epoch").join(corpus, "source")
+        .crossJoin(broadcast(total))
+        .select(col("epoch"), col("source"), col("n_head"),
+          expr("n_head * 1000000 div head_total").as("head_ppm"),
+          expr("n_src * 1000000 div n_total").as("corpus_ppm"),
+          expr("""n_head * 1000000 div head_total
+            - n_src * 1000000 div n_total""").as("skew_ppm"))
+        .orderBy(col("epoch"), col("source"))
+    },
+    Some("""WITH e AS (SELECT CAST(b.e AS BIGINT) AS epoch, doc_id, source,
+          md5(CAST(b.e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS ke
+        FROM documents CROSS JOIN (VALUES (0), (1), (2)) b(e)),
+      r AS (SELECT epoch, source,
+          ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY ke) AS rn,
+          COUNT(*) OVER (PARTITION BY epoch) AS cnt FROM e),
+      h AS (SELECT epoch, source, COUNT(*) AS n_head
+        FROM r WHERE rn * 10 <= cnt GROUP BY 1, 2),
+      ht AS (SELECT epoch, CAST(SUM(n_head) AS BIGINT) AS head_total
+        FROM h GROUP BY 1),
+      c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+      t AS (SELECT COUNT(*) AS n_total FROM documents)
+      SELECT epoch, source, n_head,
+        n_head * 1000000 // head_total AS head_ppm,
+        n_src * 1000000 // n_total AS corpus_ppm,
+        n_head * 1000000 // head_total
+          - n_src * 1000000 // n_total AS skew_ppm
+      FROM h JOIN ht USING (epoch) JOIN c USING (source) CROSS JOIN t
+      ORDER BY epoch, source"""))
+
+  /** GRAM-SATURATION CURVE — the df-threshold sweep behind every
+    * "df ≥ K" knob in the dedup/boilerplate family (q55/q196 pin
+    * K=3; this measures what K trades away): for K ∈ {1,2,4,8,16},
+    * the share of 8-gram OCCURRENCES and of DISTINCT grams whose
+    * corpus document-frequency exceeds K. The occurrence curve is the
+    * removable-mass ceiling a boilerplate pass at that threshold
+    * could touch; where it flattens is where raising K stops buying
+    * precision.
+    *
+    * Scale shape: ONE gram aggregation (16-byte hash keys, map-side
+    * combine) shared across all five thresholds via a 5-way explode
+    * of the vocab-sized stats frame; census rows: 5. */
+  private val q219 = Q(
+    "q219_gram_saturation",
+    (s, dir) => {
+      val stats = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordNgrams(col("text"), 8)).as("g"))
+        .groupBy(unhex(md5(col("g"))).as("gh"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("occ"))
+      stats.select(col("df"), col("occ"),
+          explode(array(Seq(1, 2, 4, 8, 16).map(k => lit(k.toLong)): _*))
+            .as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("occ")).as("n_occ"),
+          sum(when(col("df") > col("k"), 1L).otherwise(0L))
+            .as("grams_over"),
+          sum(when(col("df") > col("k"), col("occ")).otherwise(0L))
+            .as("occ_over"))
+        .select(col("k"), col("grams_over"), col("occ_over"),
+          expr("grams_over * 1000000 div n_grams").as("gram_share_ppm"),
+          expr("occ_over * 1000000 div n_occ").as("occ_share_ppm"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents),
+      g AS (SELECT doc_id,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 7), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 6)) AS u(i)
+        WHERE len(ts) >= 8),
+      st AS (SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+          CAST(COUNT(*) AS BIGINT) AS occ
+        FROM g GROUP BY 1),
+      e AS (SELECT st.df, st.occ, CAST(b.k AS BIGINT) AS k
+        FROM st CROSS JOIN (VALUES (1), (2), (4), (8), (16)) b(k)),
+      a AS (SELECT k, COUNT(*) AS n_grams, CAST(SUM(occ) AS BIGINT) AS n_occ,
+          CAST(SUM(CASE WHEN df > k THEN 1 ELSE 0 END) AS BIGINT)
+            AS grams_over,
+          CAST(SUM(CASE WHEN df > k THEN occ ELSE 0 END) AS BIGINT)
+            AS occ_over
+        FROM e GROUP BY 1)
+      SELECT k, grams_over, occ_over,
+        grams_over * 1000000 // n_grams AS gram_share_ppm,
+        occ_over * 1000000 // n_occ AS occ_share_ppm
+      FROM a ORDER BY k"""))
+
+  val list: Seq[Q] = Seq(q216, q217, q218, q219)
 }
