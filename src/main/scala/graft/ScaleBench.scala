@@ -58,7 +58,17 @@ object ScaleBench {
     // OOMs a 48 GB heap (measured round 7) — ~40k docs per partition
     // keeps per-task state flat across the decade ladder while small
     // runs stay at one partition per core.
-    val shufflePartitions = math.max(cpus.toInt, (n / 40000L).toInt)
+    // SPARK_GRAFT_SCALE_PARTS overrides for sizing experiments.
+    // Default rule (round 8 recalibration): ~8k docs per partition,
+    // i.e. ~400-500k EXPANDED rows per task for the gram/token stages
+    // that explode 50-60 rows per doc — sizing by doc count alone
+    // (r7's n/40k) left the 1M-doc gram agg at 32 partitions with
+    // ~1.7M hash-map entries per task, measured 3.0x slower than the
+    // same stage at 256 partitions (192.6 s vs 63.5 s); per-task agg
+    // state, not total work, was the regime change.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SCALE_PARTS")
+      .map(_.toInt)
+      .getOrElse(math.max(cpus.toInt, (n / 8000L).toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-bench")
