@@ -488,4 +488,47 @@ class PlanShapeSpec extends SparkSpec {
       !l.contains("text#") && !l.contains("txt#") && !l.contains("tok#")),
       s"raw token or text in a shuffle:\n$p")
   }
+
+  test("round-8 prefix-sum family: no one-task-per-stream window sort") {
+    // q216/q217/q218 ride GroupedRank's two-phase kernel; the only
+    // windows allowed are the kernel's own, partitioned by (bucket,
+    // group) — the same pin as the exact-median family above.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    for (q <- Seq("q216_packing_waste", "q217_shard_balance",
+        "q218_epoch_order")) {
+      val df = Queries.all(q)(spark, sf())
+      def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+        p +: p.children.flatMap(nodes)
+      val wins = nodes(df.queryExecution.optimizedPlan)
+        .collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$q: expected the kernel's window")
+      for (w <- wins)
+        assert(w.partitionSpec.size >= 2,
+          s"$q: single-partition-per-stream window sort is back:\n$w")
+    }
+  }
+
+  test("q217: serialized lines and text stay out of every exchange") {
+    // bytes and fingerprints are computed in the scan stage; only
+    // (source, k, nb, fp32) rows may shuffle into the prefix-sum
+    // kernel, and only census rows after it.
+    val p = planOf(Queries.all("q217_shard_balance")(spark, sf()))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty, s"expected exchanges:\n$p")
+    assert(exchangeLines.forall(l =>
+      !l.contains("line#") && !l.contains("text#")),
+      s"serialized line or text in a shuffle:\n$p")
+  }
+
+  test("q219: grams shuffle as 16-byte hashes, never raw gram strings") {
+    // the df/occ aggregation keys on unhex(md5(gram)); the space-joined
+    // gram string must be consumed inside the scan stage.
+    val p = planOf(Queries.all("q219_gram_saturation")(spark, sf()))
+    assert(!p.contains("Join"), s"one-agg query grew a join:\n$p")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty, s"expected exchanges:\n$p")
+    assert(exchangeLines.forall(l =>
+      !l.contains("g#") && !l.contains("text#")),
+      s"raw gram or text in a shuffle:\n$p")
+  }
 }
