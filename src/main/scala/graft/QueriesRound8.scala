@@ -254,5 +254,73 @@ object QueriesRound8 {
         occ_over * 1000000 // n_occ AS occ_share_ppm
       FROM a ORDER BY k"""))
 
-  val list: Seq[Q] = Seq(q216, q217, q218, q219)
+  /** DELTA-BATCH NOVELTY SCORING — the crawl-ingest readout that
+    * complements the incremental dedup family (q96 pairs / q173
+    * chunks / q191 KMV / q212 components): a new batch (doc_id % 7
+    * == 0 — 7 is coprime to the corpus's 25-doc source blocks, so
+    * every source lands in the delta) is scored against the HISTORY
+    * corpus's stored 8-gram index — per source: gram mass, grams
+    * never seen in history, novelty ppm, and the count of
+    * high-novelty docs (>500k ppm) an ingest policy would fast-path
+    * past the near-dup stages. History text is never re-read beyond
+    * building the index once; at 100 TB the index IS the persisted
+    * artifact and the batch-side cost is one hash-keyed semi-join.
+    *
+    * Scale shape: history index = one distinct over 16-byte gram
+    * hashes; delta scoring = left join on gh (hash-only exchange);
+    * census per (source) after a per-doc aggregate. */
+  private val q220 = Q(
+    "q220_delta_novelty",
+    (s, dir) => {
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("source"),
+          explode(TextAnalysis.wordNgrams(col("text"), 8)).as("g"))
+          .select(col("doc_id"), col("source"),
+            unhex(md5(col("g"))).as("gh"))
+      val docs = Tables.documents(s, dir)
+      val hist = grams(docs.filter(col("doc_id") % 7 =!= 0))
+        .select(col("gh")).distinct()
+      val perDoc = grams(docs.filter(col("doc_id") % 7 === 0))
+        .join(hist.withColumn("seen", lit(1L)), Seq("gh"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("sum_grams"),
+          sum(col("n_novel")).as("sum_novel"),
+          sum(when(col("n_novel") * 2 > col("n_grams"), 1L)
+            .otherwise(0L)).as("high_novelty_docs"))
+        .select(col("source"), col("n_docs"), col("sum_grams"),
+          col("sum_novel"),
+          expr("sum_novel * 1000000 div greatest(sum_grams, 1L)")
+            .as("novelty_ppm"),
+          col("high_novelty_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, source,
+          string_split(text, ' ') AS ts FROM documents),
+      g AS (SELECT doc_id, source,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 7), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 6)) AS u(i)
+        WHERE len(ts) >= 8),
+      hist AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 <> 0),
+      pd AS (SELECT d.doc_id, d.source,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN h.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel
+        FROM g d LEFT JOIN hist h ON d.g = h.g
+        WHERE d.doc_id % 7 = 0
+        GROUP BY 1, 2)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+        CAST(SUM(n_novel) AS BIGINT) AS sum_novel,
+        CAST(SUM(n_novel) AS BIGINT) * 1000000
+          // greatest(CAST(SUM(n_grams) AS BIGINT), 1) AS novelty_ppm,
+        CAST(SUM(CASE WHEN n_novel * 2 > n_grams THEN 1 ELSE 0 END)
+          AS BIGINT) AS high_novelty_docs
+      FROM pd GROUP BY 1 ORDER BY source"""))
+
+  val list: Seq[Q] = Seq(q216, q217, q218, q219, q220)
 }
