@@ -322,5 +322,154 @@ object QueriesRound8 {
           AS BIGINT) AS high_novelty_docs
       FROM pd GROUP BY 1 ORDER BY source"""))
 
-  val list: Seq[Q] = Seq(q216, q217, q218, q219, q220)
+  /** CURRICULUM INTERLEAVE FAIRNESS — the q166 × q218 composition:
+    * after the curriculum cut (4 equal-rank quality stages via the
+    * two-phase global prefix-rank kernel, exactly q166's assignment),
+    * each stage's documents are shuffled by a seeded md5 key and the
+    * per-source POSITION distribution inside each stage is audited:
+    * a fair interleave puts every source's mean normalized position
+    * at ~500 000 ppm regardless of how skewed the stage's source
+    * mixture is. The readout a curriculum data loader needs before
+    * trusting "sorted by quality, shuffled within stage" — a source
+    * clumped at a stage's tail trains later than its share suggests.
+    *
+    * Scale shape: stage assignment is the global two-phase kernel
+    * (q137/q166's — no global window), the within-stage shuffle rank
+    * is the GROUPED two-phase kernel partitioned by stage (4 groups
+    * × 32 range buckets — no single-task-per-stage sort), and the
+    * census is |stages| × |sources| rows. Σrn per (stage, source) is
+    * O(n²) so the mean is computed in DECIMAL(38) (the q210
+    * discipline); everything else is integer ppm. */
+  private val q221 = Q(
+    "q221_curriculum_interleave",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"),
+        floor(TextAnalysis.qualityScore(col("text")) * 1000000)
+          .cast("long").as("score_fp"))
+      // same out-of-range guard convention as q137/q166: mis-ranking
+      // must fail loudly, never silently
+      val guarded = when(col("score_fp").between(0L, 999999999999999L),
+        col("score_fp"))
+        .otherwise(raise_error(concat(
+          lit("q221: score_fp outside the sort-key range: "),
+          col("score_fp").cast("string"))).cast("long"))
+      val keyed = scored.select(col("doc_id"), col("source"),
+        concat(
+          lpad((lit(1000000000000000L) - guarded).cast("string"), 16, "0"),
+          lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
+        lit(1L).as("one"))
+        .localCheckpoint() // count + withCumWeight read one lineage
+      val n = keyed.count()
+      val staged = graft.operators.WeightedSample
+        .withCumWeight(keyed, "k", "one")
+        .select(col("doc_id"), col("source"),
+          expr(s"CAST((cum - 1) * 4 div $n AS BIGINT)").as("stage"))
+      val e = staged.select(col("stage"), col("source"),
+        md5(col("doc_id").cast("string")).as("ke"))
+      GroupedRank.withRank(e, "stage", Seq("ke"))
+        .groupBy(col("stage"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("rn")).as("sum_rn"),
+          max(col("cnt")).as("cnt"))
+        .select(col("stage"), col("source"), col("n_docs"),
+          expr("n_docs * 1000000 div cnt").as("share_ppm"),
+          expr("""CAST(CAST(sum_rn AS DECIMAL(38,0)) * 1000000
+            div (n_docs * cnt) AS BIGINT)""").as("mean_pos_ppm"))
+        .orderBy(col("stage"), col("source"))
+    },
+    Some {
+      val stopList = TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH scored AS (
+        SELECT doc_id, source,
+          CAST(FLOOR((
+            LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+            (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+               / len(string_split(text, ' '))) * 0.3 +
+            (1.0 - LEAST(1.0,
+              len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2
+          ) * 1000000) AS BIGINT) AS score_fp
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rnk,
+          COUNT(*) OVER () AS n
+        FROM scored),
+      st AS (SELECT doc_id, source, (rnk - 1) * 4 // n AS stage
+        FROM ranked),
+      e AS (SELECT stage, source, md5(CAST(doc_id AS VARCHAR)) AS ke
+        FROM st),
+      r AS (SELECT stage, source,
+          ROW_NUMBER() OVER (PARTITION BY stage ORDER BY ke) AS rn,
+          COUNT(*) OVER (PARTITION BY stage) AS cnt
+        FROM e),
+      g AS (SELECT stage, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(rn) AS HUGEINT) AS sum_rn,
+          CAST(MAX(cnt) AS BIGINT) AS cnt
+        FROM r GROUP BY 1, 2)
+      SELECT CAST(stage AS BIGINT) AS stage, source, n_docs,
+        n_docs * 1000000 // cnt AS share_ppm,
+        CAST(sum_rn * 1000000 // (n_docs * cnt) AS BIGINT)
+          AS mean_pos_ppm
+      FROM g ORDER BY stage, source"""
+    })
+
+  /** PACKING CROSS-SOURCE CONTAMINATION CENSUS — the q216 follow-up
+    * question: when the WHOLE corpus is packed into fixed-budget
+    * sequences in one shuffled stream (md5 order — the realistic
+    * single-dataloader layout, vs q216's per-source streams), how
+    * many sequences mix documents from k distinct sources? Each
+    * packed sequence that mixes sources lets attention bleed across
+    * provenance boundaries; the histogram over (budget, n_sources)
+    * quantifies how much of that a budget choice buys. Documents are
+    * attributed to the sequence where they START (the deterministic
+    * bounded choice; a doc spanning sequences is counted once).
+    *
+    * Scale shape: the global running token total is the two-phase
+    * range-partitioned prefix-sum kernel (no global window at any
+    * size); the 3-budget fan-out is a map-only explode of the already
+    * cumsum'd rows; the per-(budget, seq) distinct-source count
+    * shuffles (budget, seq)-keyed rows once; census rows: 3 × ≤
+    * |sources| — bounded. Empty docs carry weight 1 so the pack
+    * order stays total and every doc occupies a slot. */
+  private val q222 = Q(
+    "q222_packing_contamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("source"),
+        md5(col("doc_id").cast("string")).as("ke"),
+        greatest(TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(1L)).as("w"))
+      val pre = graft.operators.WeightedSample
+        .withCumWeight(docs, "ke", "w")
+        .withColumn("pre", col("cum") - col("w"))
+      pre.select(col("source"), col("pre"),
+          explode(array(lit(512L), lit(2048L), lit(8192L))).as("budget"))
+        .select(col("budget"), col("source"),
+          expr("pre div budget").as("seq"))
+        .groupBy(col("budget"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .groupBy(col("budget"), col("n_sources"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"))
+        .orderBy(col("budget"), col("n_sources"))
+    },
+    Some("""WITH d AS (SELECT source,
+          md5(CAST(doc_id AS VARCHAR)) AS ke,
+          GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS w
+        FROM documents),
+      c AS (SELECT source, w,
+          COALESCE(SUM(w) OVER (ORDER BY ke
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        FROM d),
+      e AS (SELECT CAST(b.budget AS BIGINT) AS budget, source,
+          pre // b.budget AS seq
+        FROM c CROSS JOIN (VALUES (512), (2048), (8192)) b(budget)),
+      g AS (SELECT budget, seq, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM e GROUP BY 1, 2)
+      SELECT budget, n_sources, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1, 2 ORDER BY budget, n_sources"""))
+
+  val list: Seq[Q] = Seq(q216, q217, q218, q219, q220, q221, q222)
 }
