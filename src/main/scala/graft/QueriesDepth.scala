@@ -49,17 +49,10 @@ object QueriesDepth {
         .groupBy(col("source"))
         .agg(KmvSketch.lowestK(col("h"), k).as("kmv"))
         .localCheckpoint() // 1 row per source; read by both pair legs
-      val pairs = sk
-        .select(col("source").as("source_a"), col("kmv").as("ka"))
-        .join(sk.select(col("source").as("source_b"), col("kmv").as("kb")),
-          col("source_a") < col("source_b"))
-        .withColumn("m", slice(array_sort(array_union(col("ka"), col("kb"))),
-          1, k))
-        .withColumn("est_union", KmvSketch.estimateNdv("m", k))
-        .withColumn("k_int",
-          size(array_intersect(array_intersect(col("m"), col("ka")),
-            col("kb"))).cast("long"))
-        .withColumn("est_inter", expr(s"k_int * est_union div $k"))
+      // the set-algebra stage is the SHARED kernel — the streaming
+      // twin (StreamingKmvAlgebraSpec) certifies this same code path
+      val pairs = KmvSketch.pairEstimates(sk, "source", "kmv", k,
+        outA = "source_a", outB = "source_b")
       val exact = srcsh.select(col("source").as("source_a"), col("sh"))
         .join(srcsh.select(col("source").as("source_b"), col("sh")),
           Seq("sh"))

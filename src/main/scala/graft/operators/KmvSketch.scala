@@ -110,4 +110,31 @@ object KmvSketch {
     when(size(col(sketchCol)) < k, size(col(sketchCol)).cast("long"))
       .otherwise(expr(
         s"${(k - 1).toLong * HashSpace}L div element_at($sketchCol, $k)"))
+
+  /** The Beyer et al. SET-ALGEBRA stage over a frame of per-key
+    * sketches (one row per key, `sketchCol` a [[lowestK]] array): for
+    * every unordered key pair, the union estimate (k smallest of the
+    * two sketches' union IS the union's KMV sketch — the defining
+    * closure property), the intersection survivor count K∩, and the
+    * intersection estimate K∩ · NDV(A∪B) div k. All column-space
+    * integer arithmetic — the q181 estimator chain, shared verbatim so
+    * the batch query and the streaming twin certify the SAME kernel.
+    *
+    * Scale shape: |keys|² sketch ROWS (≤ k longs each), never data —
+    * the input frame is sketch-sized, so the self-join is bounded by
+    * the key census however large the corpus behind it. */
+  def pairEstimates(sk: org.apache.spark.sql.DataFrame, keyCol: String,
+                    sketchCol: String, k: Int,
+                    outA: String = "key_a",
+                    outB: String = "key_b"): org.apache.spark.sql.DataFrame =
+    sk.select(col(keyCol).as(outA), col(sketchCol).as("ka"))
+      .join(sk.select(col(keyCol).as(outB), col(sketchCol).as("kb")),
+        col(outA) < col(outB))
+      .withColumn("m", slice(array_sort(array_union(col("ka"), col("kb"))),
+        1, k))
+      .withColumn("est_union", estimateNdv("m", k))
+      .withColumn("k_int",
+        size(array_intersect(array_intersect(col("m"), col("ka")),
+          col("kb"))).cast("long"))
+      .withColumn("est_inter", expr(s"k_int * est_union div $k"))
 }

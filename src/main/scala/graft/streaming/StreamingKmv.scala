@@ -52,4 +52,37 @@ object StreamingKmv {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class StateRow(key: String, kmv: Array[Long])
+
+  /** Same fold, but each micro-batch emits the refreshed SKETCH ARRAY
+    * per touched key — the input the set-algebra stage
+    * ([[graft.operators.KmvSketch.pairEstimates]]) consumes. Because
+    * KMV merges are lossless, the emitted array equals the batch
+    * sketch of the full arrived prefix, so pair estimates computed
+    * from stream state equal the batch estimates EXACTLY after every
+    * micro-batch (StreamingKmvAlgebraSpec) — the live cross-source
+    * overlap matrix without re-scanning history. */
+  def sketchArrays(rows: DataFrame, keyCol: String, hashCol: String,
+                   k: Int): Dataset[StateRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    implicit val stEnc = Encoders.product[St]
+    implicit val outEnc = Encoders.product[StateRow]
+    val agg = new KmvSketch.LowestK(k)
+    val keyed = rows.select(col(keyCol).cast("string").as("key"),
+      col(hashCol).cast("long").as("h")).as[In]
+
+    def fn(key: String, batch: Iterator[In],
+           state: GroupState[St]): Iterator[StateRow] = {
+      val cur = state.getOption.map(_.vals).getOrElse(agg.zero)
+      val next = batch.foldLeft(cur)((b, r) => agg.reduce(b, r.h))
+      state.update(St(next))
+      Iterator.single(StateRow(key, next))
+    }
+
+    keyed.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }
