@@ -932,10 +932,12 @@ object QueriesAnalytics {
     * floors. One-row release readout next to the community census —
     * the number that says whether the LPA labels actually capture
     * structure (Q near 0 ⇒ no better than random) before anyone
-    * trusts them for dedup family grouping. Magnitudes: the ×10⁶
-    * numerator needs 4m² ≤ 9·10¹² ⇒ m ≤ ~1.5M edges; the shared-gram
-    * graph is df-capped so m stays bounded at any corpus size (at a
-    * true billion-edge graph, switch the final ratio to DECIMAL). */
+    * trusts them for dedup family grouping. Magnitudes: the ratio
+    * chain is DECIMAL(38,0) (HUGEINT in the oracle — the q210
+    * discipline), so the ×10⁶ numerator 4m²·10⁶ has headroom to
+    * m ≈ 10¹⁶ edges; only the BIGINT output columns themselves bound
+    * the readout (loud ANSI cast failure in BOTH engines past that,
+    * never silent wraparound). */
   private val q186 = Q(
     "q186_graph_modularity",
     (s, dir) => {
@@ -957,9 +959,11 @@ object QueriesAnalytics {
           col("n_comm").as("n_communities"),
           col("intra").as("intra_edges"),
           col("sumdsq").as("sum_deg_sq"),
-          expr("""CASE WHEN (4*m*intra - sumdsq) < 0
-            THEN -((-(4*m*intra - sumdsq)) * 1000000 div (4*m*m))
-            ELSE (4*m*intra - sumdsq) * 1000000 div (4*m*m) END""")
+          expr("""CASE WHEN (4*CAST(m AS DECIMAL(38,0))*intra - sumdsq) < 0
+            THEN -((-(4*CAST(m AS DECIMAL(38,0))*intra - sumdsq))
+              * 1000000 div (4*CAST(m AS DECIMAL(38,0))*m))
+            ELSE (4*CAST(m AS DECIMAL(38,0))*intra - sumdsq)
+              * 1000000 div (4*CAST(m AS DECIMAL(38,0))*m) END""")
             .as("modularity_ppm"))
     },
     Some(s"""$GramEdgesSql,
@@ -988,11 +992,12 @@ object QueriesAnalytics {
           CAST(COUNT(*) AS BIGINT) AS n_comm FROM dc)
       SELECT st.m AS n_edges, ds.n_comm AS n_communities,
         ie.intra AS intra_edges, ds.sumdsq AS sum_deg_sq,
-        CASE WHEN (4*st.m*ie.intra - ds.sumdsq) < 0
-          THEN -((-(4*st.m*ie.intra - ds.sumdsq)) * 1000000
-            // (4*st.m*st.m))
-          ELSE (4*st.m*ie.intra - ds.sumdsq) * 1000000
-            // (4*st.m*st.m) END AS modularity_ppm
+        CAST(CASE WHEN (4*CAST(st.m AS HUGEINT)*ie.intra - ds.sumdsq) < 0
+          THEN -((-(4*CAST(st.m AS HUGEINT)*ie.intra - ds.sumdsq))
+            * 1000000 // (4*CAST(st.m AS HUGEINT)*st.m))
+          ELSE (4*CAST(st.m AS HUGEINT)*ie.intra - ds.sumdsq) * 1000000
+            // (4*CAST(st.m AS HUGEINT)*st.m) END AS BIGINT)
+          AS modularity_ppm
       FROM st CROSS JOIN ie CROSS JOIN ds"""))
 
   /** L-DIVERSITY AUDIT (the step after q162's k-anonymity: group SIZE
@@ -1110,10 +1115,11 @@ object QueriesAnalytics {
     * r = (4E·Σdxdy − S²) / (2E·Σd² − S²), emitted as exact numerator
     * / denominator plus r in milli-units via the positive-operand
     * CASE division (q186's convention — r can be negative, Spark div
-    * truncates, DuckDB // floors). Magnitudes: ×1000 keeps the
-    * numerator ≤ 10¹⁷ for the df-capped graph at any gate SF; at a
-    * billion-edge graph switch the final ratio to DECIMAL (same note
-    * as q186).
+    * truncates, DuckDB // floors). Magnitudes: the moment products
+    * are DECIMAL(38,0) (HUGEINT in the oracle — the q210 discipline),
+    * so 4E·Σdxdy has headroom far past any df-capped graph; the
+    * BIGINT num/den OUTPUT casts bound the readout (loud ANSI cast
+    * failure in BOTH engines past ~10¹⁸, never silent wraparound).
     *
     * Scale shape: degrees is one hash agg over the bounded edge list;
     * the two degree joins are int-keyed broadcasts of a node-sized
@@ -1131,14 +1137,16 @@ object QueriesAnalytics {
           sum(col("dx") + col("dy")).as("sx"),
           sum(col("dx") * col("dx") + col("dy") * col("dy")).as("sxx"))
         .select(col("n_edges"),
-          (lit(4L) * col("n_edges") * col("sxy") - col("sx") * col("sx"))
-            .as("num"),
-          (lit(2L) * col("n_edges") * col("sxx") - col("sx") * col("sx"))
-            .as("den"))
-        .select(col("n_edges"), col("num"), col("den"),
-          expr("""CASE WHEN den = 0 THEN 0
-            WHEN num < 0 THEN -((-num) * 1000 div den)
-            ELSE num * 1000 div den END""").as("r_milli"))
+          expr("4 * CAST(n_edges AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx").as("numw"),
+          expr("2 * CAST(n_edges AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx").as("denw"))
+        .select(col("n_edges"),
+          col("numw").cast("long").as("num"),
+          col("denw").cast("long").as("den"),
+          expr("""CAST(CASE WHEN denw = 0 THEN 0
+            WHEN numw < 0 THEN -((-numw) * 1000 div denw)
+            ELSE numw * 1000 div denw END AS BIGINT)""").as("r_milli"))
     },
     Some(s"""$GramEdgesSql,
       ed AS (SELECT dx.d AS dx, dy.d AS dy FROM pairs p
@@ -1149,13 +1157,16 @@ object QueriesAnalytics {
           CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS sxx
         FROM ed),
       nd AS (SELECT n_edges,
-          CAST(4 * n_edges * sxy - sx * sx AS BIGINT) AS num,
-          CAST(2 * n_edges * sxx - sx * sx AS BIGINT) AS den
+          4 * CAST(n_edges AS HUGEINT) * sxy
+            - CAST(sx AS HUGEINT) * sx AS numw,
+          2 * CAST(n_edges AS HUGEINT) * sxx
+            - CAST(sx AS HUGEINT) * sx AS denw
         FROM mo)
-      SELECT n_edges, num, den,
-        CASE WHEN den = 0 THEN 0
-          WHEN num < 0 THEN -((-num) * 1000 // den)
-          ELSE num * 1000 // den END AS r_milli
+      SELECT n_edges, CAST(numw AS BIGINT) AS num,
+        CAST(denw AS BIGINT) AS den,
+        CAST(CASE WHEN denw = 0 THEN 0
+          WHEN numw < 0 THEN -((-numw) * 1000 // denw)
+          ELSE numw * 1000 // denw END AS BIGINT) AS r_milli
       FROM nd"""))
 
   val list: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144,
