@@ -520,6 +520,37 @@ class PlanShapeSpec extends SparkSpec {
       s"serialized line or text in a shuffle:\n$p")
   }
 
+  test("q221/q222: every window is bucket-partitioned, text never shuffles") {
+    // both ride the two-phase kernels (global withCumWeight: partition
+    // by _b; grouped withRank: partition by (_b, group)) — every
+    // window's partition spec must include the kernel's bucket column,
+    // pinning out both a global Window.orderBy (one task for the whole
+    // corpus) and a single-partition-per-group sort. Text is consumed
+    // by the score/tokenCount projections map-side, so no exchange may
+    // carry it.
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    for (q <- Seq("q221_curriculum_interleave",
+        "q222_packing_contamination")) {
+      val df = Queries.all(q)(spark, sf())
+      def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+        p +: p.children.flatMap(nodes)
+      val wins = nodes(df.queryExecution.optimizedPlan)
+        .collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$q: expected the kernel's window")
+      for (w <- wins)
+        assert(w.partitionSpec.exists {
+          case n: NamedExpression => n.name == "_b"
+          case _ => false
+        }, s"$q: window not bucket-partitioned — kernel bypassed:\n$w")
+      val p = planOf(df)
+      val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchangeLines.nonEmpty, s"$q: expected exchanges:\n$p")
+      assert(exchangeLines.forall(l => !l.contains("text#")),
+        s"$q: text in a shuffle:\n$p")
+    }
+  }
+
   test("q219: grams shuffle as 16-byte hashes, never raw gram strings") {
     // the df/occ aggregation keys on unhex(md5(gram)); the space-joined
     // gram string must be consumed inside the scan stage.
