@@ -471,5 +471,165 @@ object QueriesRound8 {
         CAST(SUM(n_docs) AS BIGINT) AS n_docs
       FROM g GROUP BY 1, 2 ORDER BY budget, n_sources"""))
 
-  val list: Seq[Q] = Seq(q216, q217, q218, q219, q220, q221, q222)
+  /** WINNOWING FINGERPRINT CENSUS (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS local fingerprinting scheme) — the guarantee-bearing
+    * member of the fingerprint family (q25 hashes whole docs, minhash
+    * sketches global similarity): from every window of w=4
+    * consecutive word-4-gram hashes select the minimum, so any shared
+    * substring of ≥ 7 tokens is GUARANTEED to share a fingerprint —
+    * the property plagiarism/near-dup span detection needs and random
+    * sampling can't give. Census per source: winnowable docs, grams,
+    * selected fingerprints, density ppm (theory: ~2/(w+1) of windows
+    * for random hashes), and fingerprints shared by ≥2 docs of the
+    * source (the local-copy signal). Docs with fewer than w grams
+    * (< 7 tokens) carry no windows and are excluded on BOTH sides.
+    *
+    * Scale shape: grams never shuffle as strings — the hash is
+    * computed map-side and the window fan-out (4×) explodes integer
+    * (doc, j, h) rows only; everything aggregates by (doc, window)
+    * then (source, fp) hash keys. All-integer arithmetic. */
+  private val q223 = Q(
+    "q223_winnowing",
+    (s, dir) => {
+      import graft.operators.KmvSketch
+      val w = 4
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
+        .select(col("doc_id"), col("source"),
+          size(col("gs")).cast("long").as("ng"), posexplode(col("gs")))
+        .filter(col("ng") >= w)
+        .select(col("doc_id"), col("source"), col("ng"),
+          col("pos").cast("long").as("p"),
+          KmvSketch.hash32(col("col")).as("h"))
+      val sel = grams
+        .select(col("doc_id"), col("source"), col("ng"), col("h"),
+          explode(sequence(greatest(col("p") - 3, lit(0L)),
+            least(col("p"), col("ng") - w))).as("j"))
+        .groupBy(col("doc_id"), col("source"), col("ng"), col("j"))
+        .agg(min(col("h")).as("fp"))
+      val perDoc = sel.groupBy(col("doc_id"), col("source"))
+        .agg(max(col("ng")).as("ngr"), countDistinct(col("fp")).as("nfp"))
+      val cen = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ngr")).as("n_grams"),
+          sum(col("nfp")).as("n_fp"))
+      val shared = sel.select(col("source"), col("doc_id"), col("fp"))
+        .distinct()
+        .groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shared_fp"))
+      cen.join(shared, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_grams"), col("n_fp"),
+          expr("n_fp * 1000000 div n_grams").as("density_ppm"),
+          coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, source,
+          string_split(text, ' ') AS ts FROM documents),
+      g AS (SELECT doc_id, source,
+          CAST(len(ts) - 3 AS BIGINT) AS ng, CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh AS (SELECT doc_id, source, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g WHERE ng >= 4),
+      win AS (SELECT doc_id, source, ng, h, CAST(j AS BIGINT) AS j
+        FROM gh, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      sel AS (SELECT doc_id, source, ng, j, MIN(h) AS fp
+        FROM win GROUP BY 1, 2, 3, 4),
+      pd AS (SELECT doc_id, source, MAX(ng) AS ngr,
+          CAST(COUNT(DISTINCT fp) AS BIGINT) AS nfp
+        FROM sel GROUP BY 1, 2),
+      cen AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(ngr) AS BIGINT) AS n_grams,
+          CAST(SUM(nfp) AS BIGINT) AS n_fp
+        FROM pd GROUP BY 1),
+      df2 AS (SELECT DISTINCT source, doc_id, fp FROM sel),
+      sh AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+        FROM (SELECT source, fp FROM df2
+          GROUP BY source, fp HAVING COUNT(*) >= 2)
+        GROUP BY 1)
+      SELECT cen.source, n_docs, n_grams, n_fp,
+        n_fp * 1000000 // n_grams AS density_ppm,
+        COALESCE(sh.n_shared_fp, 0) AS n_shared_fp
+      FROM cen LEFT JOIN sh ON sh.source = cen.source
+      ORDER BY cen.source"""))
+
+  /** BATCH-PADDING WASTE — the OTHER batching strategy next to q216's
+    * concatenate-and-chop packing: pad-to-longest batches of 32. Two
+    * loader orders through the SAME kernel: md5-shuffled (what a
+    * naive loader does) vs length-sorted (the lower bound a
+    * length-bucketing sampler approaches) — the padded-token mass and
+    * waste ppm of each, quantifying what length bucketing is worth
+    * before anyone builds it. Empty docs carry weight 1 (a pad slot
+    * is still a row).
+    *
+    * Scale shape: each order is one global two-phase prefix rank (no
+    * global window), batch stats are (batch)-keyed hash aggs, census
+    * is 2 rows. Waste ratio in DECIMAL(38) (q210 discipline) since
+    * padded mass is corpus-sized × max length. */
+  private val q224 = Q(
+    "q224_batch_padding",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        greatest(TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(1L)).as("tok"))
+      def strat(name: String, key: org.apache.spark.sql.Column) =
+        graft.operators.WeightedSample.withCumWeight(
+            base.select(col("doc_id"), col("tok"), key.as("k"),
+              lit(1L).as("one")), "k", "one")
+          .select(col("tok"), expr("(cum - 1) div 32").as("batch"))
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("nb"), max(col("tok")).as("mx"),
+            sum(col("tok")).as("st"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("nb") * col("mx")).as("padded_tokens"),
+            sum(col("st")).as("real_tokens"))
+          .select(lit(name).as("strategy"), col("n_batches"),
+            col("padded_tokens"), col("real_tokens"),
+            expr("""CAST(CAST(padded_tokens - real_tokens
+              AS DECIMAL(38,0)) * 1000000 div padded_tokens AS BIGINT)""")
+              .as("waste_ppm"))
+      strat("shuffled", md5(col("doc_id").cast("string")))
+        .unionAll(strat("sorted",
+          concat(lpad(col("tok").cast("string"), 12, "0"), lit("-"),
+            lpad(col("doc_id").cast("string"), 12, "0"))))
+        .orderBy(col("strategy"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+            AS tok FROM documents),
+      ra AS (SELECT tok, (ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1) // 32 AS batch
+        FROM d),
+      rb AS (SELECT tok, (ROW_NUMBER() OVER (
+            ORDER BY lpad(CAST(tok AS VARCHAR), 12, '0') || '-' ||
+              lpad(CAST(doc_id AS VARCHAR), 12, '0')) - 1) // 32
+          AS batch
+        FROM d),
+      ga AS (SELECT batch, COUNT(*) AS nb, MAX(tok) AS mx,
+          SUM(tok) AS st FROM ra GROUP BY 1),
+      gb AS (SELECT batch, COUNT(*) AS nb, MAX(tok) AS mx,
+          SUM(tok) AS st FROM rb GROUP BY 1),
+      sa AS (SELECT 'shuffled' AS strategy,
+          CAST(COUNT(*) AS BIGINT) AS n_batches,
+          CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens,
+          CAST(SUM(st) AS BIGINT) AS real_tokens FROM ga),
+      sb AS (SELECT 'sorted' AS strategy,
+          CAST(COUNT(*) AS BIGINT) AS n_batches,
+          CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens,
+          CAST(SUM(st) AS BIGINT) AS real_tokens FROM gb)
+      SELECT strategy, n_batches, padded_tokens, real_tokens,
+        CAST(CAST(padded_tokens - real_tokens AS HUGEINT) * 1000000
+          // padded_tokens AS BIGINT) AS waste_ppm
+      FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+      ORDER BY strategy"""))
+
+  val list: Seq[Q] = Seq(q216, q217, q218, q219, q220, q221, q222,
+    q223, q224)
 }
