@@ -551,6 +551,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q223: winnowing shuffles integer window rows, never gram strings") {
+    // the 4× window fan-out explodes (doc, j, h) integer rows; the
+    // word-4-gram string must be consumed by hash32 inside the scan
+    // stage — a `col#`/`g#`/text reference in an exchange means
+    // data-sized strings started moving through the fan-out.
+    val p = planOf(Queries.all("q223_winnowing")(spark, sf()))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty, s"expected exchanges:\n$p")
+    assert(exchangeLines.forall(l =>
+      !l.contains("text#") && !l.contains(" col#") && !l.contains(" g#") &&
+        !l.contains(" gs#")),
+      s"raw gram or text in a shuffle:\n$p")
+  }
+
+  test("q224: both batch orders ride the bucket-partitioned kernel") {
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    val df = Queries.all("q224_batch_padding")(spark, sf())
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: p.children.flatMap(nodes)
+    val wins = nodes(df.queryExecution.optimizedPlan)
+      .collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the kernel's windows")
+    for (w <- wins)
+      assert(w.partitionSpec.exists {
+        case n: NamedExpression => n.name == "_b"
+        case _ => false
+      }, s"window not bucket-partitioned — kernel bypassed:\n$w")
+  }
+
   test("q219: grams shuffle as 16-byte hashes, never raw gram strings") {
     // the df/occ aggregation keys on unhex(md5(gram)); the space-joined
     // gram string must be consumed inside the scan stage.
