@@ -2030,7 +2030,72 @@ object QueriesDepth {
       FROM sz GROUP BY 1 ORDER BY size_bucket"""
     })
 
+  /** DUPLICATE-PAIR SPACING IN THE TRAINING ORDER — the memorization
+    * readout that joins the dedup family to the loader-order family
+    * (q218/q221/q224): for every LSH-screened near-dup pair, how far
+    * apart do the two copies land in the md5-shuffled epoch order?
+    * Decile census over |rank_a − rank_b| (decile of the corpus span)
+    * with per-decile mean gap ppm. A uniform shuffle puts pair
+    * distances on the triangular law (P(d) ∝ n−d, so decile counts
+    * fall ~19%→1%); copies CLUMPED in early deciles mean gradient
+    * updates hit the duplicate twice within a short horizon — the
+    * spacing regime where verbatim memorization is strongest. The
+    * check a curriculum/shuffle design runs before trusting "dups are
+    * rare enough".
+    *
+    * Scale shape: ranks come from the global two-phase prefix-rank
+    * kernel (no global window); the pair joins ship (doc_id, rank)
+    * ints keyed by doc_id; census rows: 10. Mean gaps in DECIMAL(38)
+    * (Σdist ≤ |pairs|·n). */
+  private val q225 = Q(
+    "q225_dup_spacing",
+    (s, dir) => {
+      val cand = SharedLsh.candidatePairs(s, dir)
+      val ranks = graft.operators.WeightedSample.withCumWeight(
+          Tables.documents(s, dir).select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("ke"),
+            lit(1L).as("one")), "ke", "one")
+        .select(col("doc_id"), col("cum").as("rk"))
+      val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      cand
+        .join(ranks.select(col("doc_id").as("doc_a"), col("rk").as("ra")),
+          "doc_a")
+        .join(ranks.select(col("doc_id").as("doc_b"), col("rk").as("rb")),
+          "doc_b")
+        .select(abs(col("ra") - col("rb")).as("dist"))
+        .crossJoin(broadcast(tot))
+        .select(expr("dist * 10 div n").as("decile"), col("dist"),
+          col("n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("dist")).as("sd"),
+          max(col("n")).as("nn"))
+        .select(col("decile"), col("n_pairs"),
+          expr("""CAST(CAST(sd AS DECIMAL(38,0)) * 1000000
+            div (nn * n_pairs) AS BIGINT)""").as("avg_gap_ppm"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""WITH $lshSigSql,
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      r AS (SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk FROM documents),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      p AS (SELECT ABS(ra.rk - rb.rk) AS dist
+        FROM cand JOIN r ra ON ra.doc_id = cand.doc_a
+                  JOIN r rb ON rb.doc_id = cand.doc_b),
+      d AS (SELECT dist * 10 // n AS decile, dist, n
+        FROM p CROSS JOIN t)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(CAST(SUM(dist) AS HUGEINT) * 1000000
+          // (MAX(n) * COUNT(*)) AS BIGINT) AS avg_gap_ppm
+      FROM d GROUP BY 1 ORDER BY decile"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202,
-    q203, q204, q205, q207, q208, q210, q211, q212, q213, q215)
+    q203, q204, q205, q207, q208, q210, q211, q212, q213, q215, q225)
 }
