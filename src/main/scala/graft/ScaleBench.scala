@@ -197,6 +197,33 @@ object ScaleBench {
         grams.unpersist()
         out
       }
+      // round-8 second half: the q223 winnowing kernel — word-4-gram
+      // hash, 4× window fan-out of INTEGER (doc, j, h) rows, min per
+      // window, per-doc distinct-fingerprint census. The fan-out is
+      // the new cost class this stage sizes: 4 rows per gram, ~240
+      // per doc, all integer-keyed.
+      val winnowDocs = timedL("winnowing") {
+        import graft.operators.KmvSketch
+        val w = 4
+        val grams = docs
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
+          .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
+            posexplode(col("gs")))
+          .filter(col("ng") >= w)
+          .select(col("doc_id"), col("ng"),
+            col("pos").cast("long").as("p"),
+            KmvSketch.hash32(col("col")).as("h"))
+        grams
+          .select(col("doc_id"), col("h"),
+            explode(sequence(greatest(col("p") - 3, lit(0L)),
+              least(col("p"), col("ng") - w))).as("j"))
+          .groupBy(col("doc_id"), col("j"))
+          .agg(min(col("h")).as("fp"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("fp")).as("nfp"))
+          .count()
+      }
       // round-4 operators at the same synthetic scale
       val spans = timedL("exact_dup_spans") {
         graft.operators.ExactSubstring
@@ -506,6 +533,7 @@ object ScaleBench {
         f""""lpa_communities":$lpaComms,""" +
         f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs,""" +
         f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,""" +
+        f""""winnow_docs":$winnowDocs,""" +
         f""""bpe_rounds":$bpeRounds,"nb_scored":$nbScored}""")
       println(acc.toString)
     } finally spark.stop()
