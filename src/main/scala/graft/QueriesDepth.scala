@@ -2095,7 +2095,121 @@ object QueriesDepth {
           // (MAX(n) * COUNT(*)) AS BIGINT) AS avg_gap_ppm
       FROM d GROUP BY 1 ORDER BY decile"""))
 
+  /** WINNOWING vs MINHASH-LSH AS A DEDUP SCREEN — the calibration
+    * query for q223's fingerprints (the q172/q187/q160 family): pairs
+    * sharing ≥2 winnowed fingerprints (df-capped 2..16, the
+    * SharedGrams discipline — a boilerplate fingerprint must never
+    * drive pair generation) vs the production 2-band LSH candidate
+    * set. One-row census: each screen's volume, the agreement core,
+    * each side's exclusive pairs, and how much of the LSH screen
+    * winnowing captures (ppm). The two screens see DIFFERENT
+    * granularities by design — winnowing guarantees shared ≥7-token
+    * SPANS, banding estimates whole-document Jaccard — so the
+    * exclusive counts are the readout: winnow-only pairs are local
+    * syndication LSH's global signature dilutes away; LSH-only pairs
+    * are diffuse similarity with no verbatim span.
+    *
+    * Scale shape: both pair generators are hash-keyed self-joins over
+    * df-capped buckets (winnow side capped here, LSH side by the
+    * triangle-split kernel); the comparison is a full outer join of
+    * two pair SETS, int-keyed. */
+  private val q226 = Q(
+    "q226_winnow_screen",
+    (s, dir) => {
+      import graft.operators.KmvSketch
+      val w = 4
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
+        .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
+          posexplode(col("gs")))
+        .filter(col("ng") >= w)
+        .select(col("doc_id"), col("ng"),
+          col("pos").cast("long").as("p"),
+          KmvSketch.hash32(col("col")).as("h"))
+      val fpdoc = grams
+        .select(col("doc_id"), col("ng"), col("h"),
+          explode(sequence(greatest(col("p") - 3, lit(0L)),
+            least(col("p"), col("ng") - w))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(col("h")).as("fp"))
+        .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint() // read by the df-cap and both join legs
+      val usable = fpdoc.groupBy(col("fp"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, 16))
+        .select(col("fp"))
+      val capped = fpdoc.join(usable, "fp")
+      val wpairs = capped.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(capped.select(col("fp"), col("doc_id").as("doc_b")),
+          Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= 2)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_w"))
+      val lpairs = SharedLsh.candidatePairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_l"))
+      wpairs.join(lpairs, Seq("doc_a", "doc_b"), "full")
+        .agg(
+          sum(coalesce(col("in_w"), lit(0L))).as("n_winnow_pairs"),
+          sum(coalesce(col("in_l"), lit(0L))).as("n_lsh_pairs"),
+          sum(when(col("in_w").isNotNull && col("in_l").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("in_l").isNull, 1L).otherwise(0L))
+            .as("winnow_only"),
+          sum(when(col("in_w").isNull, 1L).otherwise(0L)).as("lsh_only"))
+        .select(col("n_winnow_pairs"), col("n_lsh_pairs"), col("n_both"),
+          col("winnow_only"), col("lsh_only"),
+          expr("n_both * 1000000 div greatest(n_lsh_pairs, 1L)")
+            .as("lsh_capture_ppm"))
+    },
+    Some(s"""WITH $lshSigSql,
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      lp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      g AS (SELECT doc_id, CAST(len(ts) - 3 AS BIGINT) AS ng,
+          CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh AS (SELECT doc_id, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g WHERE ng >= 4),
+      win AS (SELECT doc_id, ng, h, CAST(j AS BIGINT) AS j
+        FROM gh, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
+      fd AS (SELECT DISTINCT doc_id, fp FROM sel),
+      us AS (SELECT fp FROM fd GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND 16),
+      cap AS (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
+      wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      j AS (SELECT COALESCE(wp.doc_a, lp.doc_a) AS doc_a,
+          CASE WHEN wp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_w,
+          CASE WHEN lp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+        FROM wp FULL OUTER JOIN lp
+          ON wp.doc_a = lp.doc_a AND wp.doc_b = lp.doc_b)
+      SELECT CAST(SUM(in_w) AS BIGINT) AS n_winnow_pairs,
+        CAST(SUM(in_l) AS BIGINT) AS n_lsh_pairs,
+        CAST(SUM(in_w * in_l) AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN in_l = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS winnow_only,
+        CAST(SUM(CASE WHEN in_w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS lsh_only,
+        CAST(SUM(in_w * in_l) AS BIGINT) * 1000000
+          // greatest(CAST(SUM(in_l) AS BIGINT), 1) AS lsh_capture_ppm
+      FROM j"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202,
-    q203, q204, q205, q207, q208, q210, q211, q212, q213, q215, q225)
+    q203, q204, q205, q207, q208, q210, q211, q212, q213, q215, q225,
+    q226)
 }
