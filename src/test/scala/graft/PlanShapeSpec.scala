@@ -556,13 +556,15 @@ class PlanShapeSpec extends SparkSpec {
     // word-4-gram string must be consumed by hash32 inside the scan
     // stage — a `col#`/`g#`/text reference in an exchange means
     // data-sized strings started moving through the fan-out.
-    val p = planOf(Queries.all("q223_winnowing")(spark, sf()))
-    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchangeLines.nonEmpty, s"expected exchanges:\n$p")
-    assert(exchangeLines.forall(l =>
-      !l.contains("text#") && !l.contains(" col#") && !l.contains(" g#") &&
-        !l.contains(" gs#")),
-      s"raw gram or text in a shuffle:\n$p")
+    for (q <- Seq("q223_winnowing", "q226_winnow_screen")) {
+      val p = planOf(Queries.all(q)(spark, sf()))
+      val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchangeLines.nonEmpty, s"$q: expected exchanges:\n$p")
+      assert(exchangeLines.forall(l =>
+        !l.contains("text#") && !l.contains(" col#") && !l.contains(" g#") &&
+          !l.contains(" gs#")),
+        s"$q: raw gram or text in a shuffle:\n$p")
+    }
   }
 
   test("q224: both batch orders ride the bucket-partitioned kernel") {
