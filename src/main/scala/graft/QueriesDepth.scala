@@ -2161,7 +2161,10 @@ object QueriesDepth {
           sum(when(col("in_w").isNull, 1L).otherwise(0L)).as("lsh_only"))
         .select(col("n_winnow_pairs"), col("n_lsh_pairs"), col("n_both"),
           col("winnow_only"), col("lsh_only"),
-          expr("n_both * 1000000 div greatest(n_lsh_pairs, 1L)")
+          // pair masses × 10⁶ — DECIMAL(38) numerator (a crawl-scale
+          // candidate set passes 9.2e12 pairs; the q210 discipline)
+          expr("""CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000
+            div greatest(n_lsh_pairs, 1L) AS BIGINT)""")
             .as("lsh_capture_ppm"))
     },
     Some(s"""WITH $lshSigSql,
@@ -2204,8 +2207,9 @@ object QueriesDepth {
           AS winnow_only,
         CAST(SUM(CASE WHEN in_w = 0 THEN 1 ELSE 0 END) AS BIGINT)
           AS lsh_only,
-        CAST(SUM(in_w * in_l) AS BIGINT) * 1000000
-          // greatest(CAST(SUM(in_l) AS BIGINT), 1) AS lsh_capture_ppm
+        CAST(CAST(SUM(in_w * in_l) AS HUGEINT) * 1000000
+          // greatest(CAST(SUM(in_l) AS BIGINT), 1) AS BIGINT)
+          AS lsh_capture_ppm
       FROM j"""))
 
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,

@@ -56,7 +56,11 @@ object QueriesRound8 {
           col("n_tokens"), col("n_seqs"), col("n_split"),
           expr("n_split * 1000000 div n_docs").as("split_ppm"),
           (col("n_seqs") * col("budget") - col("n_tokens")).as("tail_pad"),
-          expr("(n_seqs * budget - n_tokens) * 1000000 div (n_seqs * budget)")
+          // token-mass × 10⁶ overflows Long past ~9.2e12 tokens per
+          // (budget, source) — DECIMAL(38) numerator, the q210
+          // discipline (doc-count ppms like split_ppm stay narrow)
+          expr("""CAST(CAST(n_seqs * budget - n_tokens AS DECIMAL(38,0))
+            * 1000000 div (n_seqs * budget) AS BIGINT)""")
             .as("pad_ppm"))
         .orderBy(col("budget"), col("source"))
     },
@@ -80,8 +84,8 @@ object QueriesRound8 {
       SELECT budget, source, n_docs, n_tokens, n_seqs, n_split,
         n_split * 1000000 // n_docs AS split_ppm,
         n_seqs * budget - n_tokens AS tail_pad,
-        (n_seqs * budget - n_tokens) * 1000000 // (n_seqs * budget)
-          AS pad_ppm
+        CAST(CAST(n_seqs * budget - n_tokens AS HUGEINT) * 1000000
+          // (n_seqs * budget) AS BIGINT) AS pad_ppm
       FROM g ORDER BY budget, source"""))
 
   /** PER-SOURCE BYTE-BALANCED JSONL SHARDS — the q211 × q107
@@ -227,8 +231,12 @@ object QueriesRound8 {
           sum(when(col("df") > col("k"), col("occ")).otherwise(0L))
             .as("occ_over"))
         .select(col("k"), col("grams_over"), col("occ_over"),
-          expr("grams_over * 1000000 div n_grams").as("gram_share_ppm"),
-          expr("occ_over * 1000000 div n_occ").as("occ_share_ppm"))
+          // gram/occurrence masses × 10⁶ need DECIMAL(38) headroom
+          // past ~9.2e12 corpus grams (the q210 discipline)
+          expr("""CAST(CAST(grams_over AS DECIMAL(38,0)) * 1000000
+            div n_grams AS BIGINT)""").as("gram_share_ppm"),
+          expr("""CAST(CAST(occ_over AS DECIMAL(38,0)) * 1000000
+            div n_occ AS BIGINT)""").as("occ_share_ppm"))
         .orderBy(col("k"))
     },
     Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts
@@ -250,8 +258,10 @@ object QueriesRound8 {
             AS occ_over
         FROM e GROUP BY 1)
       SELECT k, grams_over, occ_over,
-        grams_over * 1000000 // n_grams AS gram_share_ppm,
-        occ_over * 1000000 // n_occ AS occ_share_ppm
+        CAST(CAST(grams_over AS HUGEINT) * 1000000 // n_grams AS BIGINT)
+          AS gram_share_ppm,
+        CAST(CAST(occ_over AS HUGEINT) * 1000000 // n_occ AS BIGINT)
+          AS occ_share_ppm
       FROM a ORDER BY k"""))
 
   /** DELTA-BATCH NOVELTY SCORING — the crawl-ingest readout that
@@ -293,7 +303,9 @@ object QueriesRound8 {
             .otherwise(0L)).as("high_novelty_docs"))
         .select(col("source"), col("n_docs"), col("sum_grams"),
           col("sum_novel"),
-          expr("sum_novel * 1000000 div greatest(sum_grams, 1L)")
+          // gram mass × 10⁶ — DECIMAL(38) numerator (q210 discipline)
+          expr("""CAST(CAST(sum_novel AS DECIMAL(38,0)) * 1000000
+            div greatest(sum_grams, 1L) AS BIGINT)""")
             .as("novelty_ppm"),
           col("high_novelty_docs"))
         .orderBy(col("source"))
@@ -316,8 +328,9 @@ object QueriesRound8 {
       SELECT source, COUNT(*) AS n_docs,
         CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
         CAST(SUM(n_novel) AS BIGINT) AS sum_novel,
-        CAST(SUM(n_novel) AS BIGINT) * 1000000
-          // greatest(CAST(SUM(n_grams) AS BIGINT), 1) AS novelty_ppm,
+        CAST(CAST(SUM(n_novel) AS HUGEINT) * 1000000
+          // greatest(CAST(SUM(n_grams) AS BIGINT), 1) AS BIGINT)
+          AS novelty_ppm,
         CAST(SUM(CASE WHEN n_novel * 2 > n_grams THEN 1 ELSE 0 END)
           AS BIGINT) AS high_novelty_docs
       FROM pd GROUP BY 1 ORDER BY source"""))
@@ -522,7 +535,9 @@ object QueriesRound8 {
         .agg(count(lit(1)).as("n_shared_fp"))
       cen.join(shared, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("n_grams"), col("n_fp"),
-          expr("n_fp * 1000000 div n_grams").as("density_ppm"),
+          // fingerprint mass × 10⁶ — DECIMAL(38) numerator
+          expr("""CAST(CAST(n_fp AS DECIMAL(38,0)) * 1000000
+            div n_grams AS BIGINT)""").as("density_ppm"),
           coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
         .orderBy(col("source"))
     },
@@ -555,7 +570,8 @@ object QueriesRound8 {
           GROUP BY source, fp HAVING COUNT(*) >= 2)
         GROUP BY 1)
       SELECT cen.source, n_docs, n_grams, n_fp,
-        n_fp * 1000000 // n_grams AS density_ppm,
+        CAST(CAST(n_fp AS HUGEINT) * 1000000 // n_grams AS BIGINT)
+          AS density_ppm,
         COALESCE(sh.n_shared_fp, 0) AS n_shared_fp
       FROM cen LEFT JOIN sh ON sh.source = cen.source
       ORDER BY cen.source"""))
