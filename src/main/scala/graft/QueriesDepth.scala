@@ -347,7 +347,10 @@ object QueriesDepth {
         .crossJoin(broadcast(rn))
         .select(col("bands"), col("n_candidates"), col("n_ref"),
           col("n_captured"),
-          expr("n_captured * 1000000 div greatest(n_ref, 1)")
+          // pair mass × 10⁶ — DECIMAL(38) numerator (a crawl-scale
+          // candidate set passes 9.2e12 pairs)
+          expr("""CAST(CAST(n_captured AS DECIMAL(38,0)) * 1000000
+            div greatest(n_ref, 1) AS BIGINT)""")
             .as("capture_ppm"))
         .orderBy(col("bands"))
     },
@@ -391,7 +394,8 @@ object QueriesDepth {
       SELECT CAST(bands AS BIGINT) AS bands,
         CAST(n_candidates AS BIGINT) AS n_candidates, rn.n_ref,
         CAST(n_captured AS BIGINT) AS n_captured,
-        CAST(n_captured * 1000000 // greatest(rn.n_ref, 1) AS BIGINT)
+        CAST(CAST(n_captured AS HUGEINT) * 1000000
+          // greatest(rn.n_ref, 1) AS BIGINT)
           AS capture_ppm
       FROM rows0 CROSS JOIN rn ORDER BY bands"""))
 
@@ -443,7 +447,9 @@ object QueriesDepth {
             sum(col("len")).as("total_len"))
           .select(lit(scheme).as("scheme"), col("n_chunks"),
             col("n_distinct"),
-            expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
+            // chunk mass × 10⁶ — DECIMAL(38) numerator
+            expr("""CAST(CAST(n_chunks - n_distinct AS DECIMAL(38,0))
+              * 1000000 div n_chunks AS BIGINT)""")
               .as("dup_ppm"),
             expr("total_len * 100 div n_chunks").as("avg_len_x100"))
       census(withCuts, "cdc", cdcChunks)
@@ -485,7 +491,8 @@ object QueriesDepth {
           CAST(COUNT(DISTINCT md5(c)) AS BIGINT),
           CAST(SUM(length(c)) AS BIGINT) FROM fx)
       SELECT scheme, n_chunks, n_distinct,
-        CAST((n_chunks - n_distinct) * 1000000 // n_chunks AS BIGINT)
+        CAST(CAST(n_chunks - n_distinct AS HUGEINT) * 1000000
+          // n_chunks AS BIGINT)
           AS dup_ppm,
         CAST(total_len * 100 // n_chunks AS BIGINT) AS avg_len_x100
       FROM cc ORDER BY scheme"""))
@@ -1031,8 +1038,12 @@ object QueriesDepth {
           sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
         .select(col("source"), col("n_distinct"), col("n_tokens"),
           col("n_hapax"),
-          expr("n_hapax * 1000000 div n_distinct").as("hapax_ppm"),
-          expr("n_distinct * 1000000 div n_tokens").as("ttr_ppm"))
+          // vocab/token masses × 10⁶ — DECIMAL(38) numerators (the
+          // q210 discipline; Long overflows past ~9.2e12 units)
+          expr("""CAST(CAST(n_hapax AS DECIMAL(38,0)) * 1000000
+            div n_distinct AS BIGINT)""").as("hapax_ppm"),
+          expr("""CAST(CAST(n_distinct AS DECIMAL(38,0)) * 1000000
+            div n_tokens AS BIGINT)""").as("ttr_ppm"))
         .orderBy(col("source"))
     },
     Some("""WITH t AS (SELECT source, ts[CAST(i AS INT)] AS tok
@@ -1046,8 +1057,10 @@ object QueriesDepth {
             AS n_hapax
         FROM tf GROUP BY 1)
       SELECT source, n_distinct, n_tokens, n_hapax,
-        CAST(n_hapax * 1000000 // n_distinct AS BIGINT) AS hapax_ppm,
-        CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS ttr_ppm
+        CAST(CAST(n_hapax AS HUGEINT) * 1000000 // n_distinct AS BIGINT)
+          AS hapax_ppm,
+        CAST(CAST(n_distinct AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+          AS ttr_ppm
       FROM c ORDER BY source"""))
 
   /** NEAR-DUP CLUSTER COHESION CENSUS — how much of each connected
@@ -1657,10 +1670,18 @@ object QueriesDepth {
         sum(col("sqrt_fp")).as("ssum"))
       lt.crossJoin(broadcast(tot))
         .select(col("lang"), col("n_docs"), col("n_tokens"),
-          expr("n_tokens * 1000000 div tot").as("p_ppm"),
-          expr("sqrt_fp * 1000000 div ssum").as("w_ppm"),
-          expr("(sqrt_fp * 1000000 div ssum) * 1000000 div " +
-            "(n_tokens * 1000000 div tot)").as("boost_ppm"))
+          // token mass and Σ⌊√mass·10⁶⌋ × 10⁶ — DECIMAL(38)
+          // numerators; the boost replicates the two widened inner
+          // expressions token-identically (outer operands are ≤ 10⁶
+          // ppm values, Long-safe)
+          expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+            div tot AS BIGINT)""").as("p_ppm"),
+          expr("""CAST(CAST(sqrt_fp AS DECIMAL(38,0)) * 1000000
+            div ssum AS BIGINT)""").as("w_ppm"),
+          expr("""CAST(CAST(sqrt_fp AS DECIMAL(38,0)) * 1000000
+            div ssum AS BIGINT) * 1000000
+            div CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+            div tot AS BIGINT)""").as("boost_ppm"))
         .orderBy(col("lang"))
     },
     Some("""WITH lt AS (SELECT lang, COUNT(*) AS n_docs,
@@ -1673,10 +1694,14 @@ object QueriesDepth {
       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
           CAST(SUM(sqrt_fp) AS BIGINT) AS ssum FROM sq)
       SELECT lang, n_docs, n_tokens,
-        n_tokens * 1000000 // tot AS p_ppm,
-        sqrt_fp * 1000000 // ssum AS w_ppm,
-        (sqrt_fp * 1000000 // ssum) * 1000000 //
-          (n_tokens * 1000000 // tot) AS boost_ppm
+        CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot AS BIGINT)
+          AS p_ppm,
+        CAST(CAST(sqrt_fp AS HUGEINT) * 1000000 // ssum AS BIGINT)
+          AS w_ppm,
+        CAST(CAST(sqrt_fp AS HUGEINT) * 1000000 // ssum AS BIGINT)
+          * 1000000 //
+          CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot AS BIGINT)
+          AS boost_ppm
       FROM sq CROSS JOIN tot ORDER BY lang"""))
 
   /** MEMORIZATION-MASS CENSUS (Lee et al., "Deduplicating Training

@@ -683,7 +683,9 @@ object QueriesPipeline {
             .as("saved_tokens"),
           sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
         .withColumn("saved_ppm",
-          expr("saved_tokens * 1000000 div total_tokens"))
+          // token mass × 10⁶ — DECIMAL(38) numerator (q210 discipline)
+          expr("""CAST(CAST(saved_tokens AS DECIMAL(38,0)) * 1000000
+            div total_tokens AS BIGINT)"""))
         .orderBy(col("lang"))
     },
     Some("""WITH t AS (
@@ -704,7 +706,8 @@ object QueriesPipeline {
             AS n_dropped
         FROM k GROUP BY 1)
       SELECT lang, n_docs, total_tokens, kept_tokens, saved_tokens,
-        n_dropped, saved_tokens * 1000000 // total_tokens AS saved_ppm
+        n_dropped, CAST(CAST(saved_tokens AS HUGEINT) * 1000000
+          // total_tokens AS BIGINT) AS saved_ppm
       FROM g ORDER BY lang"""))
 
   /** INCREMENTAL CHUNK DEDUP — the delta-vs-stored-index analog of
