@@ -2223,8 +2223,109 @@ object QueriesDepth {
           AS lsh_capture_ppm
       FROM j"""))
 
+  /** INCREMENTAL WINNOWED-FINGERPRINT SCREEN — the continuous-crawl
+    * contract applied to q226's screen (the q96/q173/q191/q212
+    * incremental family): the stored (doc_id, fp) fingerprint INDEX
+    * of the already-ingested corpus (doc_id % 10 ≠ 0) is merged with
+    * the delta batch's fingerprints in index space — pair generation
+    * touches only fp buckets the delta lands in (probe cost scales
+    * with the delta, never the history) and NO history text is
+    * rescanned. The df-cap (2..16) is computed over the merged index,
+    * so incremental == from-scratch by construction — and the ORACLE
+    * replays the whole screen from scratch, making the equivalence
+    * itself the gate row (q212's framing). Census: delta docs in the
+    * index, new delta-touching pairs, delta×history vs delta×delta
+    * split, and how many delta docs found a partner.
+    *
+    * The ndelta ≥ 1 bucket prefilter is a pure optimization: a
+    * delta-touching pair shares every fp through a bucket that
+    * contains its delta endpoint, so dropping delta-free buckets
+    * changes nothing (set-equality argued in the oracle's
+    * from-scratch replay). */
+  private val q227 = Q(
+    "q227_incr_winnow",
+    (s, dir) => {
+      val idx = SharedWinnow.selected(s, dir)
+        .select(col("doc_id"), col("fp")).distinct()
+        .withColumn("is_delta", (col("doc_id") % 10 === 0).cast("long"))
+        .localCheckpoint() // df-cap + both join legs + the doc census
+      val usable = idx.groupBy(col("fp"))
+        .agg(count(lit(1)).as("nd"), sum(col("is_delta")).as("ndelta"))
+        .filter(col("nd").between(2, 16) && col("ndelta") >= 1)
+        .select(col("fp"))
+      val capped = idx.join(usable, "fp")
+      val dp = capped
+        .select(col("fp"), col("doc_id").as("doc_a"),
+          col("is_delta").as("da"))
+        .join(capped.select(col("fp"), col("doc_id").as("doc_b"),
+          col("is_delta").as("db")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(col("da") + col("db") >= 1)
+        .groupBy(col("doc_a"), col("doc_b"), col("da"), col("db"))
+        .agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= 2)
+        .localCheckpoint() // census + endpoint distinct read it twice
+      val ag = dp.agg(count(lit(1)).as("n_new_pairs"),
+        sum(col("da") * col("db")).as("n_dd_pairs"),
+        sum(when(col("da") + col("db") === 1, 1L).otherwise(0L))
+          .as("n_dh_pairs"))
+      val nd = idx.filter(col("is_delta") === 1)
+        .select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_delta_docs"))
+      val pd = dp.select(col("doc_a").as("d"), col("da").as("f"))
+        .unionAll(dp.select(col("doc_b").as("d"), col("db").as("f")))
+        .filter(col("f") === 1)
+        .select(col("d")).distinct()
+        .agg(count(lit(1)).as("n_delta_docs_paired"))
+      ag.crossJoin(broadcast(nd)).crossJoin(broadcast(pd))
+        .select(col("n_delta_docs"), col("n_new_pairs"),
+          col("n_dh_pairs"), col("n_dd_pairs"),
+          col("n_delta_docs_paired"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents),
+      g AS (SELECT doc_id, CAST(len(ts) - 3 AS BIGINT) AS ng,
+          CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh AS (SELECT doc_id, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g WHERE ng >= 4),
+      win AS (SELECT doc_id, ng, h, CAST(j AS BIGINT) AS j
+        FROM gh, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
+      fd AS (SELECT DISTINCT doc_id, fp FROM sel),
+      us AS (SELECT fp FROM fd GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND 16),
+      cap AS (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
+      wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      dp AS (SELECT doc_a, doc_b,
+          CASE WHEN doc_a % 10 = 0 THEN 1 ELSE 0 END AS da,
+          CASE WHEN doc_b % 10 = 0 THEN 1 ELSE 0 END AS db
+        FROM wp),
+      dt AS (SELECT * FROM dp WHERE da + db >= 1),
+      ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_new_pairs,
+          CAST(COALESCE(SUM(da * db), 0) AS BIGINT) AS n_dd_pairs,
+          CAST(COALESCE(SUM(CASE WHEN da + db = 1 THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_dh_pairs
+        FROM dt),
+      nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+          AS n_delta_docs FROM fd WHERE doc_id % 10 = 0),
+      pd AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT)
+          AS n_delta_docs_paired FROM (
+        SELECT doc_a AS d FROM dt WHERE da = 1
+        UNION SELECT doc_b AS d FROM dt WHERE db = 1))
+      SELECT n_delta_docs, n_new_pairs, n_dh_pairs, n_dd_pairs,
+        n_delta_docs_paired
+      FROM ag CROSS JOIN nd CROSS JOIN pd"""))
+
   val list: Seq[Q] = Seq(q181, q183, q184, q185, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q200, q201, q202,
     q203, q204, q205, q207, q208, q210, q211, q212, q213, q215, q225,
-    q226)
+    q226, q227)
 }
