@@ -632,6 +632,123 @@ object QueriesRound8 {
       FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
       ORDER BY strategy"""))
 
+  /** CURRICULUM-ORDER PACKING CONTAMINATION — the q221 × q222
+    * composition, answering the question the two leave open: does
+    * curriculum ordering (quality stages, shuffled within stage —
+    * q221's loader order) change how much cross-source mixing the
+    * packer produces vs the pure md5 shuffle (q222's order)? Same
+    * packing kernel, same 2048-token budget, BOTH orders side by
+    * side: per (strategy, n_sources-in-sequence) histogram. If
+    * quality correlates with source, curriculum ordering segregates
+    * sources into stages and the mixed-sequence mass drops — a
+    * subtle provenance effect of curriculum training this census
+    * makes visible before anyone trains on it.
+    *
+    * Scale shape: two global prefix sums (the two orders) through the
+    * same range-partitioned kernel; the curriculum key is the q166
+    * stage cut (one extra prefix-rank pass) concatenated with the
+    * within-stage md5 — all key construction map-side, census rows
+    * 2 × ≤ |sources|. */
+  private val q228 = Q(
+    "q228_curriculum_packing",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"),
+        floor(TextAnalysis.qualityScore(col("text")) * 1000000)
+          .cast("long").as("score_fp"),
+        greatest(TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(1L)).as("w"))
+      val guarded = when(col("score_fp").between(0L, 999999999999999L),
+        col("score_fp"))
+        .otherwise(raise_error(concat(
+          lit("q228: score_fp outside the sort-key range: "),
+          col("score_fp").cast("string"))).cast("long"))
+      val keyed = docs.select(col("doc_id"), col("source"), col("w"),
+        concat(
+          lpad((lit(1000000000000000L) - guarded).cast("string"), 16, "0"),
+          lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
+        lit(1L).as("one"))
+        .localCheckpoint()
+      val n = keyed.count()
+      val staged = graft.operators.WeightedSample
+        .withCumWeight(keyed, "k", "one")
+        .select(col("doc_id"), col("source"), col("w"),
+          expr(s"CAST((cum - 1) * 4 div $n AS BIGINT)").as("stage"))
+      def hist(name: String, ordered: org.apache.spark.sql.DataFrame) =
+        graft.operators.WeightedSample.withCumWeight(ordered, "ke", "w")
+          .withColumn("pre", col("cum") - col("w"))
+          .select(col("source"), expr("pre div 2048").as("seq"))
+          .groupBy(col("seq"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"))
+          .groupBy(col("n_sources"))
+          .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"))
+          .select(lit(name).as("strategy"), col("n_sources"),
+            col("n_seqs"), col("n_docs"))
+      val shuffled = staged.select(col("source"), col("w"),
+        md5(col("doc_id").cast("string")).as("ke"))
+      val curriculum = staged.select(col("source"), col("w"),
+        concat(col("stage").cast("string"), lit(":"),
+          md5(col("doc_id").cast("string"))).as("ke"))
+      hist("curriculum", curriculum).unionAll(hist("shuffled", shuffled))
+        .orderBy(col("strategy"), col("n_sources"))
+    },
+    Some {
+      val stopList = TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH scored AS (
+        SELECT doc_id, source,
+          GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS w,
+          CAST(FLOOR((
+            LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+            (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+               / len(string_split(text, ' '))) * 0.3 +
+            (1.0 - LEAST(1.0,
+              len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2
+          ) * 1000000) AS BIGINT) AS score_fp
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, source, w,
+          ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rnk,
+          COUNT(*) OVER () AS n
+        FROM scored),
+      st AS (SELECT doc_id, source, w, (rnk - 1) * 4 // n AS stage
+        FROM ranked),
+      oc AS (SELECT source, w,
+          CAST(stage AS VARCHAR) || ':' ||
+            md5(CAST(doc_id AS VARCHAR)) AS ke
+        FROM st),
+      os AS (SELECT source, w, md5(CAST(doc_id AS VARCHAR)) AS ke
+        FROM st),
+      cc AS (SELECT source,
+          COALESCE(SUM(w) OVER (ORDER BY ke
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 2048 AS seq
+        FROM oc),
+      cs AS (SELECT source,
+          COALESCE(SUM(w) OVER (ORDER BY ke
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 2048 AS seq
+        FROM os),
+      gc AS (SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM cc GROUP BY 1),
+      gs AS (SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM cs GROUP BY 1),
+      hc AS (SELECT 'curriculum' AS strategy, n_sources,
+          CAST(COUNT(*) AS BIGINT) AS n_seqs,
+          CAST(SUM(n_docs) AS BIGINT) AS n_docs
+        FROM gc GROUP BY 2),
+      hs AS (SELECT 'shuffled' AS strategy, n_sources,
+          CAST(COUNT(*) AS BIGINT) AS n_seqs,
+          CAST(SUM(n_docs) AS BIGINT) AS n_docs
+        FROM gs GROUP BY 2)
+      SELECT strategy, n_sources, n_seqs, n_docs
+      FROM (SELECT * FROM hc UNION ALL SELECT * FROM hs)
+      ORDER BY strategy, n_sources"""
+    })
+
   val list: Seq[Q] = Seq(q216, q217, q218, q219, q220, q221, q222,
-    q223, q224)
+    q223, q224, q228)
 }
