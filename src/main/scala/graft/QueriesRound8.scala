@@ -749,6 +749,65 @@ object QueriesRound8 {
       ORDER BY strategy, n_sources"""
     })
 
+  /** WINNOWING POSITION CENSUS — the STORAGE-cost readout q223's
+    * value census can't give: Schleimer et al.'s density theorem
+    * (2/(w+1) of positions selected in expectation) is about
+    * POSITIONS under the rightmost-minimum tie rule, and the number
+    * of stored (position, fingerprint) entries is what sizes a
+    * fingerprint index. Per source: winnowable docs, windows,
+    * distinct selected positions, and the position density ppm —
+    * read next to the ~400 000 ppm theory line (w = 4 ⇒ 2/5).
+    *
+    * Scale shape: one cheap view over the SharedWinnow artifact
+    * (which carries the rightmost-min position since this query
+    * landed); census rows: |sources|. Density in DECIMAL(38) —
+    * window mass is token-mass-scaled. */
+  private val q229 = Q(
+    "q229_winnow_positions",
+    (s, dir) => {
+      val sel = SharedWinnow.selected(s, dir)
+      sel.groupBy(col("doc_id"), col("source"), col("ng"))
+        .agg(countDistinct(col("spos")).as("n_pos"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ng") - 3L).as("n_windows"),
+          sum(col("n_pos")).as("n_positions"))
+        .select(col("source"), col("n_docs"), col("n_windows"),
+          col("n_positions"),
+          expr("""CAST(CAST(n_positions AS DECIMAL(38,0)) * 1000000
+            div n_windows AS BIGINT)""").as("pos_density_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, source,
+          string_split(text, ' ') AS ts FROM documents),
+      g AS (SELECT doc_id, source,
+          CAST(len(ts) - 3 AS BIGINT) AS ng, CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh AS (SELECT doc_id, source, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g WHERE ng >= 4),
+      win AS (SELECT doc_id, source, ng, p, h, CAST(j AS BIGINT) AS j
+        FROM gh, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      mins AS (SELECT doc_id, source, ng, j, MIN(h) AS fp
+        FROM win GROUP BY 1, 2, 3, 4),
+      sp AS (SELECT w.doc_id, w.source, w.ng, w.j, MAX(w.p) AS spos
+        FROM win w JOIN mins m
+          ON m.doc_id = w.doc_id AND m.j = w.j AND w.h = m.fp
+        GROUP BY 1, 2, 3, 4),
+      pd AS (SELECT doc_id, source, MAX(ng) AS ng,
+          CAST(COUNT(DISTINCT spos) AS BIGINT) AS n_pos
+        FROM sp GROUP BY 1, 2)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ng - 3) AS BIGINT) AS n_windows,
+        CAST(SUM(n_pos) AS BIGINT) AS n_positions,
+        CAST(CAST(SUM(n_pos) AS HUGEINT) * 1000000
+          // SUM(ng - 3) AS BIGINT) AS pos_density_ppm
+      FROM pd GROUP BY 1 ORDER BY source"""))
+
   val list: Seq[Q] = Seq(q216, q217, q218, q219, q220, q221, q222,
-    q223, q224, q228)
+    q223, q224, q228, q229)
 }

@@ -388,14 +388,17 @@ object SharedWinnow {
   private final case class Key(session: SparkSession, dir: String)
   private val cache = TrieMap.empty[Key, DataFrame]
 
-  /** (doc_id, source, ng, j, fp) — winnowing window w = 4 over word
-    * 4-grams; docs with fewer than 4 grams carry no rows. */
+  /** (doc_id, source, ng, j, fp, spos) — winnowing window w = 4 over
+    * word 4-grams; `fp` is the window's minimum hash, `spos` the
+    * RIGHTMOST gram position carrying it (Schleimer et al.'s tie
+    * rule — the position census q229 needs; value-set consumers
+    * ignore it). Docs with fewer than 4 grams carry no rows. */
   def selected(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(Key(s, dir), {
       import org.apache.spark.sql.functions._
       import graft.operators.{KmvSketch, TextAnalysis}
       val w = 4
-      Tables.documents(s, dir)
+      val win = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
         .select(col("doc_id"), col("source"),
@@ -405,10 +408,16 @@ object SharedWinnow {
           col("pos").cast("long").as("p"),
           KmvSketch.hash32(col("col")).as("h"))
         .select(col("doc_id"), col("source"), col("ng"), col("h"),
+          col("p"),
           explode(sequence(greatest(col("p") - 3, lit(0L)),
             least(col("p"), col("ng") - w))).as("j"))
+      win
         .groupBy(col("doc_id"), col("source"), col("ng"), col("j"))
-        .agg(min(col("h")).as("fp"))
+        .agg(min(col("h")).as("fp"),
+          // rightmost minimal: max p among rows tying the window min
+          // — min_by on (h asc, -p asc) picks exactly that row's p
+          min_by(col("p"), struct(col("h"), (-col("p")).as("np")))
+            .as("spos"))
         .localCheckpoint()
     })
 
