@@ -1780,28 +1780,27 @@ object QueriesDepth {
     * overflow guard; both engines' integer-division semantics agree
     * because the operand is non-negative).
     *
-    * Scale shape: two map-only score projections, one rank window per
-    * variable (lang-partitioned sort — the one shuffle), one
+    * Scale shape: two map-only score projections, one rank pass per
+    * variable through [[graft.operators.GroupedRank.withRank]]'s
+    * two-phase range-partitioned kernel (a real crawl is ~50% one
+    * language — a `Window.partitionBy(lang)` sort would put half the
+    * corpus in ONE task; the kernel's sorts are bucket-bounded), one
     * |langs|-row census. */
   private val q210 = Q(
     "q210_rank_correlation",
     (s, dir) => {
-      import graft.operators.TextAnalysis
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{GroupedRank, TextAnalysis}
       val scored = Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"),
           floor(TextAnalysis.qualityScore(col("text")) * 1e6)
             .cast("long").as("s1"),
           floor(TextAnalysis.repetitionRatio(col("text")) * 1e6)
             .cast("long").as("s2"))
-      val w1 = Window.partitionBy(col("lang"))
-        .orderBy(col("s1"), col("doc_id"))
-      val w2 = Window.partitionBy(col("lang"))
-        .orderBy(col("s2"), col("doc_id"))
-      scored
-        .select(col("lang"),
-          row_number().over(w1).cast("long").as("r1"),
-          row_number().over(w2).cast("long").as("r2"))
+      val ranked1 = GroupedRank.withRank(scored, "lang",
+          Seq("s1", "doc_id"))
+        .withColumnRenamed("rn", "r1").drop("cnt", "s1")
+      GroupedRank.withRank(ranked1, "lang", Seq("s2", "doc_id"))
+        .withColumnRenamed("rn", "r2").drop("cnt", "s2", "doc_id")
         .select(col("lang"),
           ((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("d2"))
         .groupBy(col("lang"))
@@ -2095,8 +2094,12 @@ object QueriesDepth {
         .agg(count(lit(1)).as("n_pairs"), sum(col("dist")).as("sd"),
           max(col("n")).as("nn"))
         .select(col("decile"), col("n_pairs"),
+          // denominator widened too: nn·n_pairs (corpus size ×
+          // per-decile pair count) overflows Long past ~9.2e18 well
+          // before the widened numerator matters
           expr("""CAST(CAST(sd AS DECIMAL(38,0)) * 1000000
-            div (nn * n_pairs) AS BIGINT)""").as("avg_gap_ppm"))
+            div (CAST(nn AS DECIMAL(38,0)) * n_pairs) AS BIGINT)""")
+            .as("avg_gap_ppm"))
         .orderBy(col("decile"))
     },
     Some(s"""WITH $lshSigSql,
@@ -2117,7 +2120,7 @@ object QueriesDepth {
       SELECT CAST(decile AS BIGINT) AS decile,
         CAST(COUNT(*) AS BIGINT) AS n_pairs,
         CAST(CAST(SUM(dist) AS HUGEINT) * 1000000
-          // (MAX(n) * COUNT(*)) AS BIGINT) AS avg_gap_ppm
+          // (CAST(MAX(n) AS HUGEINT) * COUNT(*)) AS BIGINT) AS avg_gap_ppm
       FROM d GROUP BY 1 ORDER BY decile"""))
 
   /** WINNOWING vs MINHASH-LSH AS A DEDUP SCREEN — the calibration
@@ -2146,9 +2149,13 @@ object QueriesDepth {
       val fpdoc = SharedWinnow.selected(s, dir)
         .select(col("doc_id"), col("fp")).distinct()
         .localCheckpoint() // read by the df-cap and both join legs
+      // df-cap is the ONE shared constant with the streaming twin
+      // (StreamingWinnowScreen.DfCap) — its parity spec pins THIS
+      // production screen, so the cap must not fork
       val usable = fpdoc.groupBy(col("fp"))
         .agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2, 16))
+        .filter(col("nd").between(2,
+          graft.streaming.StreamingWinnowScreen.DfCap))
         .select(col("fp"))
       val capped = fpdoc.join(usable, "fp")
       val wpairs = capped.select(col("fp"), col("doc_id").as("doc_a"))
@@ -2201,7 +2208,8 @@ object QueriesDepth {
       sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
       fd AS (SELECT DISTINCT doc_id, fp FROM sel),
       us AS (SELECT fp FROM fd GROUP BY fp
-        HAVING COUNT(*) BETWEEN 2 AND 16),
+        HAVING COUNT(*) BETWEEN 2 AND ${
+          graft.streaming.StreamingWinnowScreen.DfCap}),
       cap AS (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
       wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -2251,7 +2259,10 @@ object QueriesDepth {
         .localCheckpoint() // df-cap + both join legs + the doc census
       val usable = idx.groupBy(col("fp"))
         .agg(count(lit(1)).as("nd"), sum(col("is_delta")).as("ndelta"))
-        .filter(col("nd").between(2, 16) && col("ndelta") >= 1)
+        // same shared df-cap as q226 / the streaming twin
+        .filter(col("nd").between(2,
+          graft.streaming.StreamingWinnowScreen.DfCap) &&
+          col("ndelta") >= 1)
         .select(col("fp"))
       val capped = idx.join(usable, "fp")
       val dp = capped
@@ -2282,7 +2293,7 @@ object QueriesDepth {
           col("n_dh_pairs"), col("n_dd_pairs"),
           col("n_delta_docs_paired"))
     },
-    Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts
+    Some(s"""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts
         FROM documents),
       g AS (SELECT doc_id, CAST(len(ts) - 3 AS BIGINT) AS ng,
           CAST(i AS BIGINT) AS p,
@@ -2299,7 +2310,8 @@ object QueriesDepth {
       sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
       fd AS (SELECT DISTINCT doc_id, fp FROM sel),
       us AS (SELECT fp FROM fd GROUP BY fp
-        HAVING COUNT(*) BETWEEN 2 AND 16),
+        HAVING COUNT(*) BETWEEN 2 AND ${
+          graft.streaming.StreamingWinnowScreen.DfCap}),
       cap AS (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
       wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -386,8 +386,12 @@ object QueriesRound8 {
           max(col("cnt")).as("cnt"))
         .select(col("stage"), col("source"), col("n_docs"),
           expr("n_docs * 1000000 div cnt").as("share_ppm"),
+          // denominator widened too: cnt is stage size (~n/4), so
+          // n_docs·cnt is O(n²) and overflows Long past ~6e9 docs —
+          // exactly the scale the DECIMAL(38) numerator was bought for
           expr("""CAST(CAST(sum_rn AS DECIMAL(38,0)) * 1000000
-            div (n_docs * cnt) AS BIGINT)""").as("mean_pos_ppm"))
+            div (CAST(n_docs AS DECIMAL(38,0)) * cnt) AS BIGINT)""")
+            .as("mean_pos_ppm"))
         .orderBy(col("stage"), col("source"))
     },
     Some {
@@ -422,7 +426,7 @@ object QueriesRound8 {
         FROM r GROUP BY 1, 2)
       SELECT CAST(stage AS BIGINT) AS stage, source, n_docs,
         n_docs * 1000000 // cnt AS share_ppm,
-        CAST(sum_rn * 1000000 // (n_docs * cnt) AS BIGINT)
+        CAST(sum_rn * 1000000 // (CAST(n_docs AS HUGEINT) * cnt) AS BIGINT)
           AS mean_pos_ppm
       FROM g ORDER BY stage, source"""
     })

@@ -185,18 +185,46 @@ object QueriesScore {
     * corpus by score — CCNet's signature move (head = most
     * in-distribution, tail = candidate garbage), with per-bucket
     * census stats. The exact NTILE needs a total order (score desc,
-    * doc_id) — a single-partition window, fine for the correctness
-    * twin; the production path at 100 TB replaces it with two
-    * t-digest thresholds (q67's sketch) + a narrow filter, same
-    * buckets up to sketch error. Integer min/max/avg keep the readout
-    * hash-exact. */
+    * doc_id) — but NOT a single-partition window: the global rank
+    * comes from the q166 shape (composite inverted-score sort key
+    * through [[graft.operators.WeightedSample.withCumWeight]]'s
+    * two-phase range-partitioned prefix count, unit weights), and the
+    * tercile is re-derived from (rank, n) in pure integer arithmetic
+    * matching NTILE's first-(n mod 3)-tiles-get-the-extra-row rule —
+    * same buckets, same hash, zero single-partition stages at any
+    * scale. Integer min/max/avg keep the readout hash-exact. */
   private val q103 = Q(
     "q103_ccnet_buckets",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val scored = NgramLm.score(docs, docs)
-      val w = Window.orderBy(col("lm_score").desc, col("doc_id"))
-      scored.withColumn("bucket", ntile(3).over(w))
+      // lm_score is a non-negative integer ≤ 10⁶ by construction;
+      // out-of-range must fail loudly, not silently mis-rank (the
+      // q137/q166 sort-key guard convention)
+      val guarded = when(col("lm_score").between(0L, 999999999999999L),
+        col("lm_score"))
+        .otherwise(raise_error(concat(
+          lit("q103: lm_score outside the sort-key range: "),
+          col("lm_score").cast("string"))).cast("long"))
+      val keyed = scored.select(col("lm_score"),
+        concat(
+          lpad((lit(1000000000000000L) - guarded).cast("string"), 16, "0"),
+          lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
+        lit(1L).as("one"))
+        .localCheckpoint() // count + withCumWeight read one lineage
+      val n = keyed.count()
+      val tile = n / 3
+      val rem = n % 3
+      val cut = rem * (tile + 1) // last rank of the oversized tiles
+      // NTILE(3) from the exact rank: ranks 1..cut fall in the first
+      // `rem` tiles of size tile+1; the rest in tiles of size `tile`
+      // (never evaluated when tile = 0 — CASE short-circuits)
+      val bucket = expr(
+        s"""CAST(CASE WHEN cum <= $cut THEN (cum - 1) div ${tile + 1} + 1
+            ELSE $rem + (cum - $cut - 1) div ${math.max(tile, 1L)} + 1
+            END AS INT)""").as("bucket")
+      graft.operators.WeightedSample.withCumWeight(keyed, "k", "one")
+        .select(col("lm_score"), bucket)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("lm_score")).as("min_score"),

@@ -583,6 +583,29 @@ class PlanShapeSpec extends SparkSpec {
       }, s"window not bucket-partitioned — kernel bypassed:\n$w")
   }
 
+  test("q103/q210: rank kernels only — no single-partition window") {
+    // q103's tercile and q210's per-lang Spearman ranks ride the
+    // two-phase kernels (withCumWeight / GroupedRank.withRank); every
+    // window's partition spec must include the kernel's bucket column
+    // — a global Window.orderBy (the r8 verdict's one weak item) or a
+    // per-lang single-partition sort means the kernel was bypassed.
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    for (q <- Seq("q103_ccnet_buckets", "q210_rank_correlation")) {
+      val df = Queries.all(q)(spark, sf())
+      def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+        p +: p.children.flatMap(nodes)
+      val wins = nodes(df.queryExecution.optimizedPlan)
+        .collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$q: expected the kernel's window")
+      for (w <- wins)
+        assert(w.partitionSpec.exists {
+          case n: NamedExpression => n.name == "_b"
+          case _ => false
+        }, s"$q: window not bucket-partitioned — kernel bypassed:\n$w")
+    }
+  }
+
   test("q219: grams shuffle as 16-byte hashes, never raw gram strings") {
     // the df/occ aggregation keys on unhex(md5(gram)); the space-joined
     // gram string must be consumed inside the scan stage.
