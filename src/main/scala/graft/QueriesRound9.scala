@@ -81,5 +81,142 @@ object QueriesRound9 {
           END AS BIGINT) AS boost_ppm
       FROM sq CROSS JOIN tot ORDER BY lang"""))
 
-  val list: Seq[Q] = Seq(q230)
+  /** The window-minimum / rightmost-minimum-position SQL fragments the
+    * robust-winnowing fold needs at a window index `j` (1-based gram
+    * positions, w = 4) — generated once so the Spark expr and every
+    * CASE arm stay token-identical. */
+  private def winMinSql(j: String): String =
+    s"""least(element_at(hs, CAST(($j) AS INT)),
+      element_at(hs, CAST(($j) + 1 AS INT)),
+      element_at(hs, CAST(($j) + 2 AS INT)),
+      element_at(hs, CAST(($j) + 3 AS INT)))"""
+
+  private def rightmostMinSql(j: String): String =
+    s"""CASE WHEN element_at(hs, CAST(($j) + 3 AS INT)) = ${winMinSql(j)}
+        THEN ($j) + 3
+      WHEN element_at(hs, CAST(($j) + 2 AS INT)) = ${winMinSql(j)}
+        THEN ($j) + 2
+      WHEN element_at(hs, CAST(($j) + 1 AS INT)) = ${winMinSql(j)}
+        THEN ($j) + 1
+      ELSE ($j) END"""
+
+  /** ROBUST WINNOWING (Schleimer et al., §5) vs the standard rightmost
+    * -min rule — the exact twin the q223/q229 family was missing: on a
+    * TIE for the window minimum, keep the PREVIOUS window's selection
+    * if its position is still in the window and still carries the
+    * minimum; only otherwise chart the rightmost minimum. On
+    * repetitive text (equal gram hashes in runs — exactly what
+    * boilerplate produces) this records strictly fewer positions, so
+    * the per-source saving ppm is the index-size argument for the
+    * robust rule. The selection is a per-document SEQUENTIAL
+    * recurrence — implemented as the `aggregate` higher-order fold
+    * over the window indices (map-side, codegen'd per row, no shuffle
+    * of anything but census rows), mirrored in the oracle by DuckDB's
+    * `list_reduce`. Both sides fold 1-based positions with
+    * token-identical window-min/rightmost CASE arms. Oracle caveat:
+    * DuckDB 1.0's list_reduce CORRUPTS the fold when a lambda branch
+    * returns the accumulator unchanged (found here: a 100-element
+    * keep/append fold collapses to one element) — the keep branch
+    * therefore returns the slice copy `acc[1:len(acc)]`, which is
+    * semantically identical and dodges the bug.
+    *
+    * Scale shape: ONE pass over documents; the gram hashing, both
+    * selections, and the distinct-position counts are per-row array
+    * expressions; the only exchange is the |sources|-row census. */
+  private val q231 = Q(
+    "q231_robust_winnow",
+    (s, dir) => {
+      import graft.operators.KmvSketch
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          transform(TextAnalysis.wordNgrams(col("text"), 4),
+            g => KmvSketch.hash32(g)).as("hs"))
+        .filter(size(col("hs")) >= 4)
+        .withColumn("nw", (size(col("hs")) - 3).cast("long"))
+      val stdSel = expr(s"""array_distinct(transform(
+        sequence(1L, nw), j -> CAST(${rightmostMinSql("j")} AS BIGINT)))""")
+      val robSel = expr(s"""array_distinct(aggregate(
+        CASE WHEN nw >= 2 THEN sequence(2L, nw)
+          ELSE CAST(array() AS ARRAY<BIGINT>) END,
+        array(CAST(${rightmostMinSql("1")} AS BIGINT)),
+        (acc, j) -> CASE WHEN element_at(acc, -1) >= j
+            AND element_at(hs, CAST(element_at(acc, -1) AS INT))
+              = ${winMinSql("j")}
+          THEN acc
+          ELSE concat(acc, array(CAST(${rightmostMinSql("j")} AS BIGINT)))
+          END))""")
+      docs
+        .select(col("source"), col("nw"),
+          size(stdSel).cast("long").as("n_std"),
+          size(robSel).cast("long").as("n_rob"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_windows"),
+          sum(col("n_std")).as("std_positions"),
+          sum(col("n_rob")).as("robust_positions"))
+        .select(col("source"), col("n_docs"), col("n_windows"),
+          col("std_positions"), col("robust_positions"),
+          expr("""CAST(CAST(robust_positions AS DECIMAL(38,0)) * 1000000
+            div n_windows AS BIGINT)""").as("robust_density_ppm"),
+          expr("""CAST(CAST(std_positions - robust_positions
+            AS DECIMAL(38,0)) * 1000000
+            div std_positions AS BIGINT)""").as("saved_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+        FROM documents),
+      d AS (SELECT doc_id, source, CAST(len(ts) - 3 AS BIGINT) AS ng,
+          list_transform(range(1, len(ts) - 2), i ->
+            CAST(('0x' || substr(md5(array_to_string(
+              list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 3), ' ')),
+              1, 8)) AS BIGINT)) AS hs
+        FROM ts WHERE len(ts) >= 7),
+      w AS (SELECT doc_id, source, ng - 3 AS nw, hs
+        FROM d WHERE ng >= 4),
+      sel AS (SELECT doc_id, source, nw,
+          list_distinct(list_transform(range(1, nw + 1), j ->
+            CASE WHEN hs[j+3] = least(hs[j],hs[j+1],hs[j+2],hs[j+3])
+                THEN j + 3
+              WHEN hs[j+2] = least(hs[j],hs[j+1],hs[j+2],hs[j+3])
+                THEN j + 2
+              WHEN hs[j+1] = least(hs[j],hs[j+1],hs[j+2],hs[j+3])
+                THEN j + 1
+              ELSE j END)) AS stdsel,
+          list_distinct(list_reduce(
+            list_concat([[CAST(
+              CASE WHEN hs[4] = least(hs[1],hs[2],hs[3],hs[4]) THEN 4
+                WHEN hs[3] = least(hs[1],hs[2],hs[3],hs[4]) THEN 3
+                WHEN hs[2] = least(hs[1],hs[2],hs[3],hs[4]) THEN 2
+                ELSE 1 END AS BIGINT)]],
+              list_transform(range(2, nw + 1), j -> [j])),
+            (acc, e) -> CASE WHEN acc[len(acc)] >= e[1]
+                AND hs[acc[len(acc)]] =
+                  least(hs[e[1]],hs[e[1]+1],hs[e[1]+2],hs[e[1]+3])
+              THEN acc[1:len(acc)]
+              ELSE list_append(acc, CASE
+                WHEN hs[e[1]+3] =
+                  least(hs[e[1]],hs[e[1]+1],hs[e[1]+2],hs[e[1]+3])
+                  THEN e[1] + 3
+                WHEN hs[e[1]+2] =
+                  least(hs[e[1]],hs[e[1]+1],hs[e[1]+2],hs[e[1]+3])
+                  THEN e[1] + 2
+                WHEN hs[e[1]+1] =
+                  least(hs[e[1]],hs[e[1]+1],hs[e[1]+2],hs[e[1]+3])
+                  THEN e[1] + 1
+                ELSE e[1] END) END)) AS robsel
+        FROM w),
+      per AS (SELECT source, nw,
+          CAST(len(stdsel) AS BIGINT) AS n_std,
+          CAST(len(robsel) AS BIGINT) AS n_rob
+        FROM sel)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nw) AS BIGINT) AS n_windows,
+        CAST(SUM(n_std) AS BIGINT) AS std_positions,
+        CAST(SUM(n_rob) AS BIGINT) AS robust_positions,
+        CAST(CAST(SUM(n_rob) AS HUGEINT) * 1000000
+          // SUM(nw) AS BIGINT) AS robust_density_ppm,
+        CAST(CAST(SUM(n_std) - SUM(n_rob) AS HUGEINT) * 1000000
+          // SUM(n_std) AS BIGINT) AS saved_ppm
+      FROM per GROUP BY 1 ORDER BY source"""))
+
+  val list: Seq[Q] = Seq(q230, q231)
 }
