@@ -218,5 +218,88 @@ object QueriesRound9 {
           // SUM(n_std) AS BIGINT) AS saved_ppm
       FROM per GROUP BY 1 ORDER BY source"""))
 
-  val list: Seq[Q] = Seq(q230, q231)
+  /** LENGTH-BUCKETED BATCH PADDING — the production middle ground
+    * q224 motivates but doesn't measure: q224 showed md5-shuffled
+    * pad-to-longest wastes ~44% of batch tokens vs 0.5% fully sorted,
+    * but a fully length-sorted loader destroys shuffle randomness, so
+    * real samplers bucket by length and shuffle WITHIN buckets. This
+    * census runs the same pad-to-longest batches-of-32 kernel at
+    * L ∈ {1, 4, 16, 64} equi-depth length buckets (L = 1 IS q224's
+    * shuffled row; L = 64 approaches its sorted bound) — the
+    * diminishing-returns curve that picks a bucket count with data,
+    * not folklore.
+    *
+    * Scale shape: ONE global two-phase prefix rank for the equi-depth
+    * cut (no global window), then ONE grouped two-phase rank pass
+    * over the 4-way exploded frame covering all (L, bucket) groups at
+    * once; batch stats are hash aggs; census rows: 4. */
+  private val q232 = Q(
+    "q232_bucketed_padding",
+    (s, dir) => {
+      import graft.operators.{GroupedRank, WeightedSample}
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        greatest(TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(1L)).as("tok"))
+      val keyed = base.select(col("doc_id"), col("tok"),
+          concat(lpad(col("tok").cast("string"), 12, "0"), lit("-"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
+          lit(1L).as("one"))
+        .localCheckpoint() // count + withCumWeight read one lineage
+      val n = keyed.count()
+      val ranked = WeightedSample.withCumWeight(keyed, "k", "one")
+        .select(col("doc_id"), col("tok"), col("cum").as("rk"))
+      val bucketed = ranked.select(col("doc_id"), col("tok"),
+          explode(array(Seq(1, 4, 16, 64).map(l => lit(l.toLong)): _*))
+            .as("l"),
+          col("rk"))
+        .select(col("l"), col("doc_id"), col("tok"),
+          concat(col("l").cast("string"), lit(":"),
+            expr(s"(rk - 1) * l div $n").cast("string")).as("gkey"),
+          md5(col("doc_id").cast("string")).as("kd"))
+      GroupedRank.withRank(bucketed, "gkey", Seq("kd", "doc_id"))
+        .select(col("l"), col("gkey"), col("tok"),
+          expr("(rn - 1) div 32").as("batch"))
+        .groupBy(col("l"), col("gkey"), col("batch"))
+        .agg(count(lit(1)).as("nb"), max(col("tok")).as("mx"),
+          sum(col("tok")).as("st"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("nb") * col("mx")).as("padded_tokens"),
+          sum(col("st")).as("real_tokens"))
+        .select(col("l"), col("n_batches"), col("padded_tokens"),
+          col("real_tokens"),
+          expr("""CAST(CAST(padded_tokens - real_tokens
+            AS DECIMAL(38,0)) * 1000000 div padded_tokens AS BIGINT)""")
+            .as("waste_ppm"))
+        .orderBy(col("l"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+            AS tok FROM documents),
+      r AS (SELECT doc_id, tok,
+          CAST(ROW_NUMBER() OVER (
+            ORDER BY lpad(CAST(tok AS VARCHAR), 12, '0') || '-' ||
+              lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS BIGINT) AS rk,
+          COUNT(*) OVER () AS n
+        FROM d),
+      e AS (SELECT CAST(b.l AS BIGINT) AS l, doc_id, tok,
+          CAST(b.l AS VARCHAR) || ':' ||
+            CAST((rk - 1) * b.l // n AS VARCHAR) AS gkey
+        FROM r CROSS JOIN (VALUES (1), (4), (16), (64)) b(l)),
+      rn AS (SELECT l, gkey, tok,
+          (ROW_NUMBER() OVER (PARTITION BY gkey
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 32
+            AS batch
+        FROM e),
+      g AS (SELECT l, gkey, batch, COUNT(*) AS nb, MAX(tok) AS mx,
+          SUM(tok) AS st
+        FROM rn GROUP BY 1, 2, 3)
+      SELECT l, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens,
+        CAST(SUM(st) AS BIGINT) AS real_tokens,
+        CAST(CAST(SUM(nb * mx) - SUM(st) AS HUGEINT) * 1000000
+          // SUM(nb * mx) AS BIGINT) AS waste_ppm
+      FROM g GROUP BY 1 ORDER BY l"""))
+
+  val list: Seq[Q] = Seq(q230, q231, q232)
 }

@@ -224,6 +224,62 @@ object ScaleBench {
           .agg(countDistinct(col("fp")).as("nfp"))
           .count()
       }
+      // round-9: q219's gram-saturation kernel — ONE df/occ gram agg
+      // over 16-byte hash keys shared across the 5-threshold sweep via
+      // a vocab-sized explode. Sizes the largest single aggregation a
+      // df-threshold calibration pays at corpus scale.
+      val gramSat = timedL("gram_saturation") {
+        val stats = docs
+          .select(col("doc_id"),
+            explode(graft.operators.TextAnalysis
+              .wordNgrams(col("text"), 8)).as("g"))
+          .groupBy(unhex(md5(col("g"))).as("gh"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("occ"))
+        stats.select(col("df"), col("occ"),
+            explode(array(Seq(1, 2, 4, 8, 16)
+              .map(k => lit(k.toLong)): _*)).as("k"))
+          .groupBy(col("k"))
+          .agg(sum(when(col("df") > col("k"), col("occ")).otherwise(0L))
+            .as("occ_over"))
+          .count()
+      }
+      // round-9: the q221/q228 curriculum-packing chain — one global
+      // prefix-rank stage cut plus a within-stage packing prefix sum,
+      // both through the two-phase range-partitioned kernels. Kernel
+      // buckets grow with the data (~50k keys per bucket sort) but cap
+      // at 256 so the broadcast offset fold stays shallow.
+      val curPack = timedL("curriculum_packing") {
+        import graft.operators.{TextAnalysis, WeightedSample}
+        val b = math.min(256, math.max(32, (n / 50000L).toInt))
+        val scored = docs.select(col("doc_id"),
+          concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string"))
+            .as("source"),
+          floor(TextAnalysis.qualityScore(col("text")) * 1000000)
+            .cast("long").as("score_fp"),
+          greatest(TextAnalysis.tokenCount(col("text")).cast("long"),
+            lit(1L)).as("w"))
+        val keyed = scored.select(col("doc_id"), col("source"), col("w"),
+          concat(
+            lpad((lit(1000000000000000L) - col("score_fp"))
+              .cast("string"), 16, "0"),
+            lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
+          lit(1L).as("one")).localCheckpoint()
+        val nn = keyed.count()
+        val staged = WeightedSample.withCumWeight(keyed, "k", "one", b)
+          .select(col("doc_id"), col("source"), col("w"),
+            expr(s"CAST((cum - 1) * 4 div $nn AS BIGINT)").as("stage"))
+        val curriculum = staged.select(col("source"), col("w"),
+          concat(col("stage").cast("string"), lit(":"),
+            md5(col("doc_id").cast("string"))).as("ke"))
+        WeightedSample.withCumWeight(curriculum, "ke", "w", b)
+          .withColumn("pre", col("cum") - col("w"))
+          .select(col("source"), expr("pre div 2048").as("seq"))
+          .groupBy(col("seq"))
+          .agg(countDistinct(col("source")).as("n_sources"))
+          .groupBy(col("n_sources")).agg(count(lit(1)).as("n_seqs"))
+          .count()
+      }
       // round-4 operators at the same synthetic scale
       val spans = timedL("exact_dup_spans") {
         graft.operators.ExactSubstring
@@ -534,6 +590,7 @@ object ScaleBench {
         f""""audit_rows":$audited,"emb_bits":$bits,"neardup_pairs":$pairs,""" +
         f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,""" +
         f""""winnow_docs":$winnowDocs,""" +
+        f""""gram_sat_rows":$gramSat,"cur_pack_rows":$curPack,""" +
         f""""bpe_rounds":$bpeRounds,"nb_scored":$nbScored}""")
       println(acc.toString)
     } finally spark.stop()

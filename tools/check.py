@@ -42,6 +42,18 @@ def table_hash(df: pd.DataFrame) -> str:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # sf1-scale knobs (dev-only; defaults match the driver's gate):
+    # GRAFT_DUCK_TMP      spill directory (default: ./.tmp)
+    # GRAFT_DUCK_MEM      memory_limit, e.g. "24GB"
+    # GRAFT_DUCK_NO_ORDER=1  preserve_insertion_order=false — halves
+    #   spill for the giant DISTINCTs; output order is irrelevant here
+    #   because the comparison sorts rows and columns before hashing
+    if os.environ.get("GRAFT_DUCK_TMP"):
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCK_TMP']}'")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    if os.environ.get("GRAFT_DUCK_NO_ORDER"):
+        con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
