@@ -301,5 +301,90 @@ object QueriesRound9 {
           // SUM(nb * mx) AS BIGINT) AS waste_ppm
       FROM g GROUP BY 1 ORDER BY l"""))
 
-  val list: Seq[Q] = Seq(q230, q231, q232)
+  /** GRAM-INDEX EVICTION (TTL aging) — the incremental family's
+    * missing lifecycle stage: q96/q173/q191/q212/q227 all GROW their
+    * stored artifacts; a crawl-scale index must also SHRINK, or the
+    * history index eventually outweighs the corpus. The stored 8-gram
+    * index carries last_seen = max ingestion epoch per gram (epoch ≔
+    * (doc_id div 20) mod 5 — the block-cycled epoch; doc_id mod 5
+    * would alias with the corpus's doc_id-mod-20 source labels);
+    * eviction drops entries with last_seen < 2. The ORACLE replays the aged index FROM SCRATCH as
+    * "distinct grams of docs with epoch ≥ 2" — last_seen ≥ cutoff ⟺
+    * some retaining doc contains the gram, so the hash CERTIFIES that
+    * incremental last-seen eviction equals a window rebuild, the same
+    * certification shape as q212/q227. The delta batch
+    * (doc_id mod 10 = 0) is then scored for novelty against the AGED
+    * index — what an ingest pipeline actually consults. Delta is the
+    * q220 convention (doc_id mod 7 — coprime to the source cycle, so
+    * every source lands in the batch).
+    *
+    * Scale shape: index = one hash-keyed agg over 16-byte gram keys
+    * (map-side combined max); eviction is a narrow filter on the
+    * stored artifact, NOT a rebuild; delta scoring is one hash-only
+    * left join; the two index sizes ride a broadcast one-row frame. */
+  private val q233 = Q(
+    "q233_index_eviction",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def grams(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), col("source"),
+            explode(TextAnalysis.wordNgrams(col("text"), 8)).as("g"))
+          .select(col("doc_id"), col("source"),
+            unhex(md5(col("g"))).as("gh"))
+      val hist = grams(docs.filter(col("doc_id") % 7 =!= 0))
+      // the stored artifact: one row per gram, last_seen maintained by
+      // a map-side-combined max — the incremental path never re-reads
+      // history text to age the index
+      val idxFull = hist
+        .groupBy(col("gh"))
+        .agg(max(expr("(doc_id div 20) % 5")).as("last_seen"))
+        .localCheckpoint() // sizes + the aged join read one lineage
+      val aged = idxFull.filter(col("last_seen") >= 2)
+      val sizes = idxFull.agg(count(lit(1)).as("idx_full"),
+        sum(when(col("last_seen") >= 2, 1L).otherwise(0L)).as("idx_aged"))
+      val delta = grams(docs.filter(col("doc_id") % 7 === 0))
+        .select(col("doc_id"), col("source"), col("gh")).distinct()
+      delta
+        .join(aged.select(col("gh"), lit(1L).as("hit")), Seq("gh"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_delta_grams"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .crossJoin(broadcast(sizes))
+        .select(col("source"), col("n_delta_grams"), col("n_novel"),
+          expr("""CAST(CAST(n_novel AS DECIMAL(38,0)) * 1000000
+            div n_delta_grams AS BIGINT)""").as("novelty_ppm"),
+          col("idx_full"), col("idx_aged"),
+          expr("""CAST(CAST(idx_full - idx_aged AS DECIMAL(38,0))
+            * 1000000 div idx_full AS BIGINT)""").as("evicted_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, source,
+          string_split(text, ' ') AS ts FROM documents),
+      g AS (SELECT doc_id, source,
+          md5(array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 7), ' ')) AS gh
+        FROM ts, UNNEST(range(1, len(ts) - 6)) AS u(i)
+        WHERE len(ts) >= 8),
+      hfull AS (SELECT DISTINCT gh FROM g WHERE doc_id % 7 <> 0),
+      haged AS (SELECT DISTINCT gh FROM g
+        WHERE doc_id % 7 <> 0 AND (doc_id // 20) % 5 >= 2),
+      sz AS (SELECT (SELECT COUNT(*) FROM hfull) AS idx_full,
+          (SELECT COUNT(*) FROM haged) AS idx_aged),
+      d AS (SELECT DISTINCT doc_id, source, gh FROM g
+        WHERE doc_id % 7 = 0),
+      sc AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_delta_grams,
+          CAST(SUM(CASE WHEN haged.gh IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+        FROM d LEFT JOIN haged ON haged.gh = d.gh
+        GROUP BY 1)
+      SELECT source, n_delta_grams, n_novel,
+        CAST(CAST(n_novel AS HUGEINT) * 1000000 // n_delta_grams
+          AS BIGINT) AS novelty_ppm,
+        CAST(idx_full AS BIGINT) AS idx_full,
+        CAST(idx_aged AS BIGINT) AS idx_aged,
+        CAST(CAST(idx_full - idx_aged AS HUGEINT) * 1000000 // idx_full
+          AS BIGINT) AS evicted_ppm
+      FROM sc CROSS JOIN sz ORDER BY source"""))
+
+  val list: Seq[Q] = Seq(q230, q231, q232, q233)
 }
