@@ -54,6 +54,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
     if os.environ.get("GRAFT_DUCK_NO_ORDER"):
         con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
