@@ -386,5 +386,146 @@ object QueriesRound9 {
           AS BIGINT) AS evicted_ppm
       FROM sc CROSS JOIN sz ORDER BY source"""))
 
-  val list: Seq[Q] = Seq(q230, q231, q232, q233)
+  /** The winnowed-fingerprint selection as a DuckDB CTE chain —
+    * parameterized over the input relation (must provide doc_id,
+    * text) so q234's two sides (full corpus, truncated benchmark)
+    * winnow with token-identical SQL. Emits `$out` = DISTINCT
+    * (doc_id, fp). Mirrors SharedWinnow.fingerprintsOf exactly
+    * (q223's proven oracle fragment). */
+  private def winnowFpSql(in: String, out: String): String =
+    s"""${out}_g AS (SELECT doc_id,
+        CAST(len(ts) - 3 AS BIGINT) AS ng, CAST(i AS BIGINT) AS p,
+        array_to_string(list_slice(ts, CAST(i AS INT),
+          CAST(i AS INT) + 3), ' ') AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $in) t,
+        UNNEST(range(1, len(ts) - 2)) AS u(i)
+      WHERE len(ts) >= 4),
+      ${out}_h AS (SELECT doc_id, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM ${out}_g WHERE ng >= 4),
+      ${out}_w AS (SELECT doc_id, h, CAST(j AS BIGINT) AS j
+        FROM ${out}_h, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      $out AS (SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, j, MIN(h) AS fp FROM ${out}_w GROUP BY 1, 2))"""
+
+  /** WINNOW-BASED BENCHMARK DECONTAMINATION — q199's two-stage
+    * architecture (screen → exact confirm on candidates only) rebuilt
+    * on the winnowing fingerprint family instead of MinHash bands.
+    * The swap changes the GUARANTEE: LSH banding catches high global
+    * Jaccard probabilistically, while a shared winnow fingerprint is
+    * implied by ANY shared ≥7-token span (Schleimer's threshold
+    * guarantee) — exactly the evidence shape benchmark contamination
+    * takes (a verbatim question embedded in an otherwise-unrelated
+    * page has low global Jaccard and a long shared span; q226
+    * measured 62 such span-sharing pairs the 2-band screen never
+    * collides). Benchmark side: the q199 convention — doc_id % 13
+    * copies, truncated text, ids offset by 10¹² (far above any real
+    * train id). Screen: ≥2 shared fingerprints in a df-capped
+    * universe (corpus-side document frequency ≤
+    * StreamingWinnowScreen.DfCap — boilerplate fingerprints are
+    * stop-words of this index, and an uncapped hot fingerprint is the
+    * fan-out bomb at crawl scale). Confirm: UNCAPPED fingerprint
+    * containment of the bench doc in the train doc ≥ 50%, computed
+    * for candidate docs only. Census per train source: candidate
+    * pairs, confirmed links, distinct contaminated docs, and the
+    * screen's precision ppm.
+    *
+    * Scale shape: corpus fingerprints ride the SharedWinnow session
+    * artifact (paid once by the q223 family); only the benchmark-
+    * sized side winnows fresh. NO data-dependent broadcast anywhere —
+    * cand/ctrain/inter all scale with contamination rate × corpus
+    * size, so every screen/confirm leg is a shuffle-hash equi-join on
+    * hash-only keys (the q199 r7 lesson). The df-cap bounds the
+    * screen join's per-key fan-out at DfCap × |bench dups|. */
+  private val q234 = Q(
+    "q234_winnow_decontam",
+    (s, dir) => {
+      val DfCap = graft.streaming.StreamingWinnowScreen.DfCap
+      val base = Tables.documents(s, dir)
+      val BenchIdBase = 1000000000000L
+      val bench = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + BenchIdBase).as("doc_id"),
+          expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
+      val corpusFp = SharedWinnow.selected(s, dir)
+        .select(col("doc_id").as("train_id"), col("fp")).distinct()
+        .localCheckpoint() // df-cap + screen + confirm read one lineage
+      val benchFp = SharedWinnow.fingerprintsOf(bench)
+        .select(col("doc_id").as("bench_id"), col("fp")).distinct()
+        .localCheckpoint() // screen + szb + confirm read one lineage
+      val capped = corpusFp.join(
+        corpusFp.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") <= DfCap).select(col("fp"))
+          .hint("shuffle_hash"), "fp")
+      val cand = capped
+        .join(benchFp.hint("shuffle_hash"), "fp")
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("nsh"))
+        .filter(col("nsh") >= 2)
+        .select(col("train_id"), col("bench_id"))
+        .localCheckpoint() // screen census + confirm read one lineage
+      val inter = corpusFp
+        .join(cand.hint("shuffle_hash"), "train_id")
+        .join(benchFp.hint("shuffle_hash"), Seq("bench_id", "fp"))
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("i"))
+      val szb = benchFp.groupBy(col("bench_id")).agg(count(lit(1)).as("szb"))
+      val confirmed = inter.join(szb.hint("shuffle_hash"), "bench_id")
+        .filter(expr("i * 1000000 div szb") >= 500000L)
+        .select(col("train_id"), col("bench_id"))
+      val src = base.select(col("doc_id").as("train_id"), col("source"))
+      val candCen = cand.join(src.hint("shuffle_hash"), "train_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_cand_pairs"))
+      val confCen = confirmed.join(src.hint("shuffle_hash"), "train_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("train_id")).as("n_contaminated"))
+      candCen.join(confCen, Seq("source"), "left")
+        .select(col("source"), col("n_cand_pairs"),
+          coalesce(col("n_links"), lit(0L)).as("n_links"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          expr("""CAST(CAST(coalesce(n_links, 0) AS DECIMAL(38,0))
+            * 1000000 div n_cand_pairs AS BIGINT)""")
+            .as("precision_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH bench AS (SELECT doc_id + 1000000000000 AS doc_id,
+          substr(text, 1, greatest(length(text)-40, 50)) AS text
+        FROM documents WHERE doc_id % 13 = 0),
+      ${winnowFpSql("documents", "cfp")},
+      ${winnowFpSql("bench", "bfp")},
+      capped AS (SELECT doc_id AS train_id, fp FROM cfp
+        WHERE fp IN (SELECT fp FROM cfp GROUP BY fp
+          HAVING COUNT(*) <= ${graft.streaming.StreamingWinnowScreen.DfCap})),
+      cand AS (SELECT train_id, b.doc_id AS bench_id
+        FROM capped c JOIN bfp b ON b.fp = c.fp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      inter AS (SELECT c.train_id, c.bench_id, COUNT(*) AS i
+        FROM cand c
+        JOIN cfp t ON t.doc_id = c.train_id
+        JOIN bfp b ON b.doc_id = c.bench_id AND b.fp = t.fp
+        GROUP BY 1, 2),
+      szb AS (SELECT doc_id AS bench_id, COUNT(*) AS szb
+        FROM bfp GROUP BY 1),
+      confirmed AS (SELECT train_id, i.bench_id FROM inter i
+        JOIN szb ON szb.bench_id = i.bench_id
+        WHERE i * 1000000 // szb >= 500000),
+      candcen AS (SELECT d.source, CAST(COUNT(*) AS BIGINT)
+          AS n_cand_pairs
+        FROM cand JOIN documents d ON d.doc_id = cand.train_id
+        GROUP BY 1),
+      confcen AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_links,
+          CAST(COUNT(DISTINCT confirmed.train_id) AS BIGINT)
+            AS n_contaminated
+        FROM confirmed JOIN documents d ON d.doc_id = confirmed.train_id
+        GROUP BY 1)
+      SELECT candcen.source, n_cand_pairs,
+        COALESCE(n_links, 0) AS n_links,
+        COALESCE(n_contaminated, 0) AS n_contaminated,
+        CAST(CAST(COALESCE(n_links, 0) AS HUGEINT) * 1000000
+          // n_cand_pairs AS BIGINT) AS precision_ppm
+      FROM candcen LEFT JOIN confcen ON confcen.source = candcen.source
+      ORDER BY candcen.source"""))
+
+  val list: Seq[Q] = Seq(q230, q231, q232, q233, q234)
 }

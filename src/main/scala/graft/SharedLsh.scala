@@ -394,32 +394,42 @@ object SharedWinnow {
     * rule — the position census q229 needs; value-set consumers
     * ignore it). Docs with fewer than 4 grams carry no rows. */
   def selected(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(Key(s, dir), {
-      import org.apache.spark.sql.functions._
-      import graft.operators.{KmvSketch, TextAnalysis}
-      val w = 4
-      val win = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
-        .select(col("doc_id"), col("source"),
-          size(col("gs")).cast("long").as("ng"), posexplode(col("gs")))
-        .filter(col("ng") >= w)
-        .select(col("doc_id"), col("source"), col("ng"),
-          col("pos").cast("long").as("p"),
-          KmvSketch.hash32(col("col")).as("h"))
-        .select(col("doc_id"), col("source"), col("ng"), col("h"),
-          col("p"),
-          explode(sequence(greatest(col("p") - 3, lit(0L)),
-            least(col("p"), col("ng") - w))).as("j"))
-      win
-        .groupBy(col("doc_id"), col("source"), col("ng"), col("j"))
-        .agg(min(col("h")).as("fp"),
-          // rightmost minimal: max p among rows tying the window min
-          // — min_by on (h asc, -p asc) picks exactly that row's p
-          min_by(col("p"), struct(col("h"), (-col("p")).as("np")))
-            .as("spos"))
-        .localCheckpoint()
-    })
+    cache.getOrElseUpdate(Key(s, dir),
+      fingerprintsOf(Tables.documents(s, dir), Seq("source"))
+        .localCheckpoint())
+
+  /** The winnowing selection kernel over any (doc_id, text, extras…)
+    * frame — factored out so ad-hoc sides (q234's truncated benchmark
+    * set) winnow with the EXACT expressions the cached corpus artifact
+    * uses; a drifted copy would silently break the shared-span
+    * guarantee between the two sides of a screen. Returns
+    * (doc_id, extras…, ng, j, fp, spos); not cached. */
+  def fingerprintsOf(docs: DataFrame, extras: Seq[String] = Nil)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{KmvSketch, TextAnalysis}
+    val w = 4
+    val ex = extras.map(col)
+    val win = docs
+      .select(col("doc_id") +: ex :+
+        TextAnalysis.wordNgrams(col("text"), 4).as("gs"): _*)
+      .select(col("doc_id") +: ex :+
+        size(col("gs")).cast("long").as("ng") :+ posexplode(col("gs")): _*)
+      .filter(col("ng") >= w)
+      .select(col("doc_id") +: ex :+ col("ng") :+
+        col("pos").cast("long").as("p") :+
+        KmvSketch.hash32(col("col")).as("h"): _*)
+      .select(col("doc_id") +: ex :+ col("ng") :+ col("h") :+ col("p") :+
+        explode(sequence(greatest(col("p") - 3, lit(0L)),
+          least(col("p"), col("ng") - w))).as("j"): _*)
+    win
+      .groupBy(col("doc_id") +: ex :+ col("ng") :+ col("j"): _*)
+      .agg(min(col("h")).as("fp"),
+        // rightmost minimal: max p among rows tying the window min
+        // — min_by on (h asc, -p asc) picks exactly that row's p
+        min_by(col("p"), struct(col("h"), (-col("p")).as("np")))
+          .as("spos"))
+  }
 
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>

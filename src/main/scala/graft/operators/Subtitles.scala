@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WebVTT subtitle-track census — the TEXT leg of the video modality
+  * ([[graft.operators.VideoContainer]] parses the container; subtitle
+  * tracks are where a training pipeline actually harvests video-paired
+  * text). Parsing follows the public W3C WebVTT grammar: a `WEBVTT`
+  * header block, blank-line-separated cue blocks of
+  * `[id\n] start --> end [settings]\npayload…`, with NOTE/STYLE/REGION
+  * blocks legal and skipped. Per track the census reads: cue count,
+  * malformed-block count (the log sources' tolerance discipline —
+  * junk is COUNTED, never thrown on), payload chars after inline-tag
+  * stripping (`<i>`, `<c.cls>`, `<v Name>` …), summed cue duration,
+  * track span, fixed-point chars-per-second (the readability cut
+  * subtitle corpora filter on), and out-of-order/overlap violations
+  * (cues must be start-ordered; a violation is a mux bug upstream).
+  *
+  * Everything is per-row array/regex expressions over the payload
+  * string — codegen'd, no UDF, no shuffle: at 100 TB this runs
+  * entirely inside the scan stage, and the census output is one row
+  * per track. Timestamps become integer milliseconds
+  * (`(hh:)?mm:ss.mmm`); all ratios are integer fixed-point. */
+object Subtitles {
+
+  private val Ts = "(?:\\d+:)?\\d{2}:\\d{2}\\.\\d{3}"
+  private val TimingLine =
+    s"(?m)^[ \\t]*($Ts)[ \\t]*-->[ \\t]*($Ts)[^\\n]*$$"
+
+  /** `(hh:)?mm:ss.mmm` → integer milliseconds (null on non-match —
+    * callers pre-filter blocks on [[TimingLine]]). */
+  private def tsMs(c: Column): Column = {
+    val parts = split(c, ":")
+    val secs = regexp_replace(element_at(parts, -1), "\\.", "")
+      .cast("long")
+    val mins = element_at(parts, -2).cast("long")
+    val hrs = when(size(parts) >= 3, element_at(parts, -3).cast("long"))
+      .otherwise(lit(0L))
+    hrs * 3600000L + mins * 60000L + secs
+  }
+
+  /** Census over a string column holding one WebVTT payload per row.
+    * Tracks without the `WEBVTT` header are `valid = false` with a
+    * null census (never a throw); cue blocks lacking a timing line —
+    * other than NOTE/STYLE/REGION — count as `n_malformed`. */
+  def withCueCensus(tracks: DataFrame, idCol: String,
+                    vttCol: String): DataFrame = {
+    val blocks = split(
+      regexp_replace(col(vttCol), "\\r\\n?", "\n"), "\n{2,}")
+    val headed = element_at(blocks, 1)
+      .rlike("^\\x{FEFF}?WEBVTT(?:[ \\t][^\\n]*)?(?:\\n|$)")
+    val body = expr("slice(_blocks, 2, greatest(size(_blocks) - 1, 0))")
+    val cues = filter(col("_body"), b => b.rlike(TimingLine))
+    val skippable = (b: Column) =>
+      b.rlike("^[ \\t]*(NOTE|STYLE|REGION)(?:[ \\t\\n]|$)")
+    val malformed = filter(col("_body"),
+      b => !b.rlike(TimingLine) && !skippable(b) &&
+        (trim(b) =!= ""))
+    val starts = transform(col("_cues"),
+      b => tsMs(regexp_extract(b, TimingLine, 1)))
+    val ends = transform(col("_cues"),
+      b => tsMs(regexp_extract(b, TimingLine, 2)))
+    // payload = everything after the timing line, inline tags and
+    // line breaks collapsed; a cue-id line above the timing line is
+    // dropped with it
+    val chars = transform(col("_cues"),
+      b => length(trim(regexp_replace(regexp_replace(
+        regexp_replace(b, "(?s)^.*?-->[^\\n]*\\n?", ""),
+        "<[^>]*>", ""), "\\s+", " "))).cast("long"))
+    tracks
+      .withColumn("_blocks", blocks)
+      .withColumn("_valid", coalesce(headed, lit(false)))
+      .withColumn("_body", when(col("_valid"), body)
+        .otherwise(array().cast("array<string>")))
+      .withColumn("_cues", cues)
+      .withColumn("_n_mal", size(malformed).cast("long"))
+      .withColumn("_starts", starts)
+      .withColumn("_ends", ends)
+      .withColumn("_nch", coalesce(aggregate(chars, lit(0L),
+        (a, x) => a + x), lit(0L)))
+      .withColumn("_sub", coalesce(aggregate(
+        zip_with(col("_starts"), col("_ends"), (s, e) => e - s),
+        lit(0L), (a, x) => a + greatest(x, lit(0L))), lit(0L)))
+      .select(
+        col(idCol),
+        col("_valid").as("valid"),
+        when(col("_valid"), size(col("_cues")).cast("long"))
+          .as("n_cues"),
+        when(col("_valid"), col("_n_mal")).as("n_malformed"),
+        when(col("_valid"), col("_nch")).as("n_chars"),
+        when(col("_valid"), col("_sub")).as("sub_ms"),
+        when(col("_valid") && size(col("_cues")) > 0,
+          array_max(col("_ends")) - array_min(col("_starts")))
+          .as("span_ms"),
+        // fixed-point chars/sec ×1000: chars·10⁶ div summed cue ms
+        when(col("_valid"), expr("""CASE WHEN _sub > 0
+            THEN _nch * 1000000 div _sub END""")).as("cps_milli"),
+        // guarded: sequence(1, 0) would count DOWN, and element_at
+        // past the array end throws under ANSI
+        when(col("_valid"), when(size(col("_cues")) >= 2,
+          size(filter(sequence(lit(1), size(col("_cues")) - 1),
+            i => element_at(col("_starts"), i + 1) <
+              element_at(col("_ends"), i))).cast("long"))
+          .otherwise(lit(0L))).as("n_overlaps"))
+  }
+}

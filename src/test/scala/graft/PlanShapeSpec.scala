@@ -556,7 +556,8 @@ class PlanShapeSpec extends SparkSpec {
     // word-4-gram string must be consumed by hash32 inside the scan
     // stage — a `col#`/`g#`/text reference in an exchange means
     // data-sized strings started moving through the fan-out.
-    for (q <- Seq("q223_winnowing", "q226_winnow_screen")) {
+    for (q <- Seq("q223_winnowing", "q226_winnow_screen",
+        "q234_winnow_decontam")) {
       val p = planOf(Queries.all(q)(spark, sf()))
       val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
       assert(exchangeLines.nonEmpty, s"$q: expected exchanges:\n$p")
@@ -606,6 +607,21 @@ class PlanShapeSpec extends SparkSpec {
           case _ => false
         }, s"$q: window not bucket-partitioned — kernel bypassed:\n$w")
     }
+  }
+
+  test("q234: screen/confirm legs shuffle-hash only — no data-dependent broadcast") {
+    // cand/inter/census frames all scale with contamination rate ×
+    // corpus size (the q199 r7 lesson): a BroadcastExchange anywhere
+    // in this plan means AQE sized a data-dependent frame by INPUT
+    // bytes and would pin output parallelism — or OOM — on a dirty
+    // crawl. The one outer census join may sort-merge (|sources| rows).
+    val p = planOf(Queries.all("q234_winnow_decontam")(spark, sf()))
+    assert(!p.contains("BroadcastExchange") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"data-dependent frame broadcast or exploded:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"screen/confirm equi-joins must build hash maps, not sort:\n$p")
   }
 
   test("q219: grams shuffle as 16-byte hashes, never raw gram strings") {

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.Subtitles
+
+/** WebVTT cue census: exact timing math, tag stripping, NOTE/STYLE
+  * skipping, malformed-block counting (tolerance, never a throw),
+  * overlap detection, and the headerless-track invalid path. */
+class SubtitlesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def census(rows: (Long, String)*): Map[Long, Row] =
+    Subtitles.withCueCensus(rows.toSeq.toDF("track_id", "vtt"),
+        "track_id", "vtt")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  private val good =
+    """WEBVTT - demo track
+      |
+      |intro
+      |00:00:01.000 --> 00:00:04.000
+      |<i>Hello</i> there
+      |
+      |NOTE this block is a comment, not a cue
+      |
+      |00:00:04.000 --> 01:00:00.500 align:start
+      |Second <v Ann>cue</v> line one
+      |line two
+      |""".stripMargin
+
+  test("exact cue math on a well-formed track") {
+    val r = census((1L, good))(1L)
+    assert(r.getBoolean(1)) // valid
+    assert(r.getLong(2) == 2, "n_cues")
+    assert(r.getLong(3) == 0, "n_malformed")
+    // "Hello there" = 11 chars; "Second cue line one line two" = 28
+    assert(r.getLong(4) == 39, "n_chars")
+    // 3000 ms + (3600000.5s - 4s → 3596500 ms)
+    assert(r.getLong(5) == 3000L + 3596500L, "sub_ms")
+    assert(r.getLong(6) == 3599500L, "span_ms")
+    assert(r.getLong(7) == 39L * 1000000L / (3000L + 3596500L),
+      "cps_milli")
+    assert(r.getLong(8) == 0, "n_overlaps")
+  }
+
+  test("hour-less timestamps, overlap, and id-less cues") {
+    val vtt =
+      """WEBVTT
+        |
+        |00:10.000 --> 00:20.000
+        |abc
+        |
+        |00:15.000 --> 00:25.000
+        |defg
+        |""".stripMargin
+    val r = census((2L, vtt))(2L)
+    assert(r.getLong(2) == 2 && r.getLong(8) == 1,
+      "second cue starts before the first ends")
+    assert(r.getLong(5) == 20000L && r.getLong(6) == 15000L)
+    assert(r.getLong(4) == 7)
+  }
+
+  test("malformed blocks are counted, never thrown on") {
+    val vtt =
+      """WEBVTTx nope
+        |""".stripMargin
+    val r = census((3L, vtt))(3L)
+    assert(!r.getBoolean(1) && r.isNullAt(2),
+      "headerless track is invalid with a null census")
+
+    val junk =
+      """WEBVTT
+        |
+        |this block has no timing line at all
+        |
+        |STYLE
+        |::cue { color: red }
+        |
+        |00:00:00.000 --> 00:00:01.000
+        |ok
+        |""".stripMargin
+    val r2 = census((4L, junk))(4L)
+    assert(r2.getBoolean(1) && r2.getLong(2) == 1 && r2.getLong(3) == 1,
+      "one cue, one malformed block, STYLE skipped")
+  }
+
+  test("null and empty payloads take the invalid path") {
+    val rows = Seq((5L, null.asInstanceOf[String]), (6L, ""))
+    val m = census(rows: _*)
+    assert(!m(5L).getBoolean(1) && !m(6L).getBoolean(1))
+  }
+
+  test("census is per-row scan work: no exchange in the plan") {
+    val df = Subtitles.withCueCensus(
+      Seq((1L, good)).toDF("track_id", "vtt"), "track_id", "vtt")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"per-row census must not shuffle:\n$p")
+  }
+}
