@@ -24,7 +24,9 @@ object QueriesBeyond {
     * Dedup.minhashSignatures' slice scheme (component j = MIN of hex
     * slice j%4 of md5('m{j/4}' || shingle)). Interpolated by BOTH q17
     * and q82 so the scheme lives in one place. */
-  private val MinhashBandsSql = {
+  // shared with QueriesRound9's q235 (the winnow-vs-LSH decontam
+  // calibration bands the SAME way so the comparison is apples-to-apples)
+  private[graft] val MinhashBandsSql = {
     val mins = (0 until 8)
       .map(j => s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
       .mkString(", ")

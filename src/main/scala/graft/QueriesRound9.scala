@@ -527,5 +527,160 @@ object QueriesRound9 {
       FROM candcen LEFT JOIN confcen ON confcen.source = candcen.source
       ORDER BY candcen.source"""))
 
-  val list: Seq[Q] = Seq(q230, q231, q232, q233, q234)
+  /** WINNOW-vs-LSH DECONTAMINATION CALIBRATION — q226's screen
+    * comparison transplanted to the decontamination task: the SAME
+    * benchmark set (q199/q234 convention) screened BOTH ways —
+    * MinHash-LSH band collision (q199's screen, global-Jaccard
+    * evidence) and ≥2 shared winnowed fingerprints in the df-capped
+    * universe (q234's screen, shared-span evidence) — then ONE
+    * confirm pass (uncapped fingerprint containment ≥ 50%) over the
+    * UNION of candidates, and each confirmed link attributed to the
+    * screen(s) that surfaced it. The one-row census is the decision
+    * artifact for which screen a decontamination pipeline ships: per-
+    * screen candidate volume (the cost) against per-screen recall of
+    * confirmed links (the benefit). q226 measured 62 span-sharing
+    * dedup pairs the 2-band screen never collides; this query asks
+    * the same question where it matters most — benchmark leakage.
+    *
+    * Scale shape: corpus band table and corpus fingerprints BOTH ride
+    * session artifacts (SharedLsh / SharedWinnow); only the
+    * benchmark-sized side is banded/winnowed fresh, and the only
+    * broadcast is the bench band index (benchmark-sized by
+    * construction, q199's rule). Candidate-scaled frames are
+    * shuffle-hash joined throughout. */
+  private val q235 = Q(
+    "q235_decontam_calibration",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val DfCap = graft.streaming.StreamingWinnowScreen.DfCap
+      val base = Tables.documents(s, dir)
+      val BenchIdBase = 1000000000000L
+      val bench = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + BenchIdBase).as("doc_id"),
+          expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
+      // winnow screen (q234's kernel)
+      val corpusFp = SharedWinnow.selected(s, dir)
+        .select(col("doc_id").as("train_id"), col("fp")).distinct()
+        .localCheckpoint()
+      val benchFp = SharedWinnow.fingerprintsOf(bench)
+        .select(col("doc_id").as("bench_id"), col("fp")).distinct()
+        .localCheckpoint()
+      val capped = corpusFp.join(
+        corpusFp.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") <= DfCap).select(col("fp"))
+          .hint("shuffle_hash"), "fp")
+      val wcand = capped
+        .join(benchFp.hint("shuffle_hash"), "fp")
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("nsh"))
+        .filter(col("nsh") >= 2)
+        .select(col("train_id"), col("bench_id"))
+      // LSH screen (q199's kernel: corpus bands from the session
+      // artifact, fresh bench-side banding, bench index broadcast)
+      val lcand = SharedLsh.bandKeys(s, dir)
+        .select(col("doc_id").as("train_id"), col("bk"))
+        .join(broadcast(
+          Dedup.lshBandKeysNarrow(bench, "doc_id", "text", 5, 8, 2)
+            .select(col("doc_id").as("bench_id"), col("bk"))), "bk")
+        .select(col("train_id"), col("bench_id")).distinct()
+      val cand = wcand.withColumn("w", lit(1L)).withColumn("l", lit(0L))
+        .union(lcand.withColumn("w", lit(0L)).withColumn("l", lit(1L)))
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(max(col("w")).as("w"), max(col("l")).as("l"))
+        .localCheckpoint() // screen census + confirm read one lineage
+      // one confirm pass over the union (q234's containment rule)
+      val inter = corpusFp
+        .join(cand.select(col("train_id"), col("bench_id"))
+          .hint("shuffle_hash"), "train_id")
+        .join(benchFp.hint("shuffle_hash"), Seq("bench_id", "fp"))
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("i"))
+      val szb = benchFp.groupBy(col("bench_id")).agg(count(lit(1)).as("szb"))
+      val conf = inter.join(szb.hint("shuffle_hash"), "bench_id")
+        .filter(expr("i * 1000000 div szb") >= 500000L)
+        .select(col("train_id"), col("bench_id"), lit(1L).as("c"))
+      cand.join(conf, Seq("train_id", "bench_id"), "left")
+        .agg(
+          sum(col("w")).as("n_winnow_cand"),
+          sum(col("l")).as("n_lsh_cand"),
+          sum(coalesce(col("c"), lit(0L))).as("n_confirmed"),
+          sum(when(col("c").isNotNull && col("w") === 1L
+            && col("l") === 1L, 1L).otherwise(0L)).as("n_both_conf"),
+          sum(when(col("c").isNotNull && col("w") === 1L
+            && col("l") === 0L, 1L).otherwise(0L)).as("n_winnow_only_conf"),
+          sum(when(col("c").isNotNull && col("w") === 0L
+            && col("l") === 1L, 1L).otherwise(0L)).as("n_lsh_only_conf"))
+        .select(col("n_winnow_cand"), col("n_lsh_cand"),
+          col("n_confirmed"), col("n_both_conf"),
+          col("n_winnow_only_conf"), col("n_lsh_only_conf"),
+          expr("""CAST(CASE WHEN n_confirmed > 0
+            THEN CAST(n_both_conf + n_winnow_only_conf AS DECIMAL(38,0))
+              * 1000000 div n_confirmed END AS BIGINT)""")
+            .as("winnow_recall_ppm"),
+          expr("""CAST(CASE WHEN n_confirmed > 0
+            THEN CAST(n_both_conf + n_lsh_only_conf AS DECIMAL(38,0))
+              * 1000000 div n_confirmed END AS BIGINT)""")
+            .as("lsh_recall_ppm"))
+    },
+    Some(s"""WITH bench AS (SELECT doc_id + 1000000000000 AS doc_id,
+          substr(text, 1, greatest(length(text)-40, 50)) AS text
+        FROM documents WHERE doc_id % 13 = 0),
+      ${winnowFpSql("documents", "cfp")},
+      ${winnowFpSql("bench", "bfp")},
+      capped AS (SELECT doc_id AS train_id, fp FROM cfp
+        WHERE fp IN (SELECT fp FROM cfp GROUP BY fp
+          HAVING COUNT(*) <= ${graft.streaming.StreamingWinnowScreen.DfCap})),
+      wcand AS (SELECT train_id, b.doc_id AS bench_id
+        FROM capped c JOIN bfp b ON b.fp = c.fp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM bench),
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM corpus, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      ${QueriesBeyond.MinhashBandsSql},
+      lcand AS (SELECT DISTINCT a.doc_id AS train_id,
+          b.doc_id AS bench_id
+        FROM bands a JOIN bands b ON a.bk = b.bk
+        WHERE a.doc_id < 1000000000000 AND b.doc_id >= 1000000000000),
+      cand AS (SELECT train_id, bench_id, MAX(w) AS w, MAX(l) AS l
+        FROM (SELECT train_id, bench_id, 1 AS w, 0 AS l FROM wcand
+          UNION ALL
+          SELECT train_id, bench_id, 0 AS w, 1 AS l FROM lcand)
+        GROUP BY 1, 2),
+      inter AS (SELECT c.train_id, c.bench_id, COUNT(*) AS i
+        FROM cand c
+        JOIN cfp t ON t.doc_id = c.train_id
+        JOIN bfp b ON b.doc_id = c.bench_id AND b.fp = t.fp
+        GROUP BY 1, 2),
+      szb AS (SELECT doc_id AS bench_id, COUNT(*) AS szb
+        FROM bfp GROUP BY 1),
+      conf AS (SELECT train_id, i.bench_id, 1 AS c FROM inter i
+        JOIN szb ON szb.bench_id = i.bench_id
+        WHERE i * 1000000 // szb >= 500000),
+      j AS (SELECT cand.train_id, cand.bench_id, w, l,
+          COALESCE(c, 0) AS c
+        FROM cand LEFT JOIN conf ON conf.train_id = cand.train_id
+          AND conf.bench_id = cand.bench_id),
+      agg AS (SELECT CAST(SUM(w) AS BIGINT) AS n_winnow_cand,
+          CAST(SUM(l) AS BIGINT) AS n_lsh_cand,
+          CAST(SUM(c) AS BIGINT) AS n_confirmed,
+          CAST(SUM(CASE WHEN c = 1 AND w = 1 AND l = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both_conf,
+          CAST(SUM(CASE WHEN c = 1 AND w = 1 AND l = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_winnow_only_conf,
+          CAST(SUM(CASE WHEN c = 1 AND w = 0 AND l = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lsh_only_conf
+        FROM j)
+      SELECT n_winnow_cand, n_lsh_cand, n_confirmed, n_both_conf,
+        n_winnow_only_conf, n_lsh_only_conf,
+        CAST(CASE WHEN n_confirmed > 0
+          THEN CAST(n_both_conf + n_winnow_only_conf AS HUGEINT)
+            * 1000000 // n_confirmed END AS BIGINT)
+          AS winnow_recall_ppm,
+        CAST(CASE WHEN n_confirmed > 0
+          THEN CAST(n_both_conf + n_lsh_only_conf AS HUGEINT)
+            * 1000000 // n_confirmed END AS BIGINT) AS lsh_recall_ppm
+      FROM agg"""))
+
+  val list: Seq[Q] = Seq(q230, q231, q232, q233, q234, q235)
 }

@@ -557,7 +557,7 @@ class PlanShapeSpec extends SparkSpec {
     // stage — a `col#`/`g#`/text reference in an exchange means
     // data-sized strings started moving through the fan-out.
     for (q <- Seq("q223_winnowing", "q226_winnow_screen",
-        "q234_winnow_decontam")) {
+        "q234_winnow_decontam", "q235_decontam_calibration")) {
       val p = planOf(Queries.all(q)(spark, sf()))
       val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
       assert(exchangeLines.nonEmpty, s"$q: expected exchanges:\n$p")
