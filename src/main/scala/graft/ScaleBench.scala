@@ -244,6 +244,43 @@ object ScaleBench {
             .as("occ_over"))
           .count()
       }
+      // round-9 second half: the q226/q234 winnow-screen chain ON TOP
+      // of the fp derivation the `winnowing` stage times — distinct
+      // (doc, fp), the df-cap filter, and capped-bucket pair
+      // generation with FORCED shuffle on the self-join legs (scale
+      // lesson #4: broadcast would pin output parallelism). Sizes the
+      // candidate-pair stage a fingerprint dedup/decontam screen pays.
+      val winnowPairs = timedL("winnow_screen") {
+        import graft.operators.KmvSketch
+        val w = 4
+        val fd = docs
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.wordNgrams(col("text"), 4).as("gs"))
+          .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
+            posexplode(col("gs")))
+          .filter(col("ng") >= w)
+          .select(col("doc_id"), col("ng"),
+            col("pos").cast("long").as("p"),
+            KmvSketch.hash32(col("col")).as("h"))
+          .select(col("doc_id"), col("h"),
+            explode(sequence(greatest(col("p") - 3, lit(0L)),
+              least(col("p"), col("ng") - w))).as("j"))
+          .groupBy(col("doc_id"), col("j"))
+          .agg(min(col("h")).as("fp"))
+          .select(col("doc_id"), col("fp")).distinct()
+          .localCheckpoint()
+        val capped = fd.join(
+          fd.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+            .filter(col("nd").between(2, 16)).select(col("fp"))
+            .hint("shuffle_hash"), "fp")
+        capped.select(col("fp"), col("doc_id").as("a"))
+          .join(capped.select(col("fp"), col("doc_id").as("b"))
+            .hint("shuffle_hash"), Seq("fp"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nsh"))
+          .filter(col("nsh") >= 2)
+          .count()
+      }
       // round-9: the q221/q228 curriculum-packing chain — one global
       // prefix-rank stage cut plus a within-stage packing prefix sum,
       // both through the two-phase range-partitioned kernels. Kernel
@@ -591,6 +628,7 @@ object ScaleBench {
         f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,""" +
         f""""winnow_docs":$winnowDocs,""" +
         f""""gram_sat_rows":$gramSat,"cur_pack_rows":$curPack,""" +
+        f""""winnow_pairs":$winnowPairs,""" +
         f""""bpe_rounds":$bpeRounds,"nb_scored":$nbScored}""")
       println(acc.toString)
     } finally spark.stop()
