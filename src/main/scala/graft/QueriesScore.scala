@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,6 +265,42 @@ object QueriesScore {
         MIN(lm_score) AS min_score, MAX(lm_score) AS max_score,
         CAST(SUM(lm_score) // COUNT(*) AS BIGINT) AS avg_score
       FROM bucketed GROUP BY 1 ORDER BY bucket"""))
+
+  /** The PRODUCTION tercile cut (q35/q73's plan-guarded approx-twin
+    * pattern, closing the r8-verdict "documented, not implemented"
+    * note): two t-digest thresholds + ONE broadcast + a narrow
+    * bucket-assignment filter — no rank at all, not even the two-phase
+    * kernel the exact q103 rides. At 100 TB this is the shape a CCNet
+    * pipeline ships: the sketch is mergeable executor state, the
+    * threshold frame is 1 row, and the scoring scan is read once for
+    * thresholds (sketch agg) and once for assignment. Approximation
+    * contract: bucket boundaries land on sketch quantiles, so bucket
+    * SIZES drift by the t-digest error plus score-tie mass (ties all
+    * fall on one side of a threshold, where exact NTILE splits them);
+    * CcnetApproxSpec bounds that drift against the exact twin and
+    * pins the plan window-free. */
+  private[graft] def ccnetBucketsApprox(s: SparkSession,
+                                        dir: String): DataFrame = {
+    import graft.operators.QuantileSketch
+    val docs = Tables.documents(s, dir)
+    // thresholds + assignment read one lineage
+    val scored = NgramLm.score(docs, docs).localCheckpoint()
+    val th = scored.agg(QuantileSketch.quantiles(
+      col("lm_score").cast("double"), Seq(1.0 / 3, 2.0 / 3), 100).as("qs"))
+    scored.crossJoin(broadcast(th))
+      .select(col("lm_score"),
+        when(col("lm_score").cast("double") > element_at(col("qs"), 2),
+          lit(1))
+          .when(col("lm_score").cast("double") > element_at(col("qs"), 1),
+            lit(2))
+          .otherwise(lit(3)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lm_score")).as("min_score"),
+        max(col("lm_score")).as("max_score"),
+        expr("sum(lm_score) div count(1)").as("avg_score"))
+      .orderBy(col("bucket"))
+  }
 
   /** QUALITY-AWARE DEDUP RETENTION: q44 keeps each LSH cluster's
     * min-id doc; real curation pipelines keep the BEST member — here
