@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{StreamingWinnowDecontam, StreamingWinnowScreen}
+
+/** Stream == batch for the winnow-based decontamination screen: the
+  * streamed ≥2-shared-fingerprint hit set against a static benchmark
+  * index equals the uncapped batch screen for any slicing, with a
+  * brand-new query per slice (state recovery) and out-of-order
+  * arrival; each hit is emitted exactly once across slices. */
+class StreamingWinnowDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** q234's benchmark convention on a small id range: every 13th doc,
+    * truncated, offset into the bench id space. */
+  private def benchAll: DataFrame = Tables.documents(spark, sf())
+    .filter(col("doc_id") < 260 && col("doc_id") % 13 === 0)
+    .select((col("doc_id") + 1000000000000L).as("doc_id"),
+      expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
+
+  private def docsAll: DataFrame = Tables.documents(spark, sf())
+    .filter(col("doc_id") < 260)
+    .select(col("doc_id"), col("text"))
+
+  /** Uncapped batch screen: train fps × bench fps, ≥2 distinct shared. */
+  private def batchHits(docs: DataFrame): Set[(Long, Long)] = {
+    val t = StreamingWinnowScreen
+      .fingerprintsNarrow(docs, "doc_id", "text")
+      .select(col("docId").as("train_id"), col("fp"))
+    val b = StreamingWinnowDecontam.benchIndex(benchAll, "doc_id", "text")
+    t.join(b, "fp")
+      .groupBy(col("train_id"), col("benchId"))
+      .agg(count(lit(1)).as("nsh"))
+      .filter(col("nsh") >= 2)
+      .select(col("train_id"), col("benchId"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def runSlicing(tag: String,
+                         slices: Seq[DataFrame => DataFrame]): Unit = {
+    val d = Files.createTempDirectory(s"graft-swd-$tag")
+    val in = d.resolve("in"); Files.createDirectories(in)
+    val ckpt = d.resolve("ckpt").toString
+    val out = d.resolve("out").toString
+    val benchIdx = StreamingWinnowDecontam
+      .benchIndex(benchAll, "doc_id", "text").localCheckpoint()
+
+    var ingested: Option[DataFrame] = None
+    for ((slice, i) <- slices.zipWithIndex) {
+      val part = slice(docsAll)
+      part.coalesce(1).write.mode("append").parquet(in.toString)
+      ingested = Some(ingested.fold(part)(_.union(part)))
+
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(in.toString)
+      val q = StreamingWinnowDecontam
+        .hits(stream, "doc_id", "text", benchIdx)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val emitted = spark.read.parquet(out)
+        .as[(Long, Long)].collect()
+      assert(emitted.length == emitted.distinct.length,
+        s"$tag slice $i: a hit was emitted more than once")
+      val reference = batchHits(ingested.get)
+      assert(emitted.toSet == reference,
+        s"$tag slice $i: streamed hit set != uncapped batch screen")
+    }
+    assert(batchHits(ingested.get).nonEmpty,
+      s"$tag: the bench set must actually contaminate")
+  }
+
+  test("hit set equals the batch screen after every slice") {
+    runSlicing("asc", Seq(
+      _.filter(col("doc_id") < 90),
+      _.filter(col("doc_id") >= 90 && col("doc_id") < 180),
+      _.filter(col("doc_id") >= 180)))
+  }
+
+  test("parity holds for out-of-order arrival") {
+    runSlicing("desc", Seq(
+      _.filter(col("doc_id") >= 180),
+      _.filter(col("doc_id") >= 90 && col("doc_id") < 180),
+      _.filter(col("doc_id") < 90)))
+  }
+}
