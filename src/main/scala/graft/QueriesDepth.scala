@@ -964,20 +964,28 @@ object QueriesDepth {
         .select(col("doc_id"),
           array_sort(array_distinct(flatten(transform(col("ps"),
             p => sequence(p, p + 7))))).as("covered"))
-      val toks = graft.operators.TextAnalysis.tokens(col("txt"))
       // O(n+m) splice, not O(n·m): the kept positions are the set
       // complement sequence(1..n) ∖ covered — array_except hashes the
       // right side once per row, so a boilerplate-saturated 30k-token
       // doc pays ~60k ops, not the ~10⁹ the per-token
       // array_contains(covered) scan cost (the r7 suite-max hazard);
-      // kept order is the left array's, i.e. ascending position
+      // kept order is the left array's, i.e. ascending position.
+      // The token array is materialized as its OWN projection first:
+      // element_at(toks, p) sits inside the transform lambda, where
+      // subexpression elimination cannot reach — an inline toks would
+      // re-run split(txt) once per KEPT TOKEN (the wordBigrams
+      // hot-path rule, round 9)
       docs.join(cov, Seq("doc_id"))
         .select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
+          graft.operators.TextAnalysis.tokens(col("txt")).as("_t"),
+          col("covered"))
+        .select(col("doc_id"),
+          size(col("_t")).cast("long").as("n_tokens"),
           size(col("covered")).cast("long").as("n_removed"),
           md5(concat_ws(" ", transform(
-            array_except(sequence(lit(1), size(toks)), col("covered")),
-            p => element_at(toks, p)))).as("new_hash"))
+            array_except(sequence(lit(1), size(col("_t"))),
+              col("covered")),
+            p => element_at(col("_t"), p)))).as("new_hash"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH d AS (SELECT doc_id,
@@ -1796,6 +1804,9 @@ object QueriesDepth {
             .cast("long").as("s1"),
           floor(TextAnalysis.repetitionRatio(col("text")) * 1e6)
             .cast("long").as("s2"))
+        // the kernel's range sampler + exchange would otherwise
+        // re-evaluate the scoring expressions 2-3×
+        .localCheckpoint()
       val ranked1 = GroupedRank.withRank(scored, "lang",
           Seq("s1", "doc_id"))
         .withColumnRenamed("rn", "r1").drop("cnt", "s1")

@@ -188,11 +188,15 @@ object ScaleBench {
           .select(col("doc_id"),
             array_sort(array_distinct(flatten(transform(col("ps"),
               p => sequence(p, p + 7))))).as("covered"))
-        val toks = split(col("text"), " ")
+        // tokens as their own projection: element_at inside the lambda
+        // would otherwise re-run split(text) once per kept token (the
+        // round-9 wordBigrams hot-path rule; q196 carries the same fix)
         val out = docs.join(cov, Seq("doc_id"))
+          .select(split(col("text"), " ").as("_t"), col("covered"))
           .select(md5(concat_ws(" ", transform(
-            array_except(sequence(lit(1), size(toks)), col("covered")),
-            p => element_at(toks, p)))).as("h"))
+            array_except(sequence(lit(1), size(col("_t"))),
+              col("covered")),
+            p => element_at(col("_t"), p)))).as("h"))
           .count()
         grams.unpersist()
         out

@@ -46,14 +46,21 @@ object TextAnalysis {
       stopwordRatio(text) * 0.3 +
       (lit(1.0) - least(lit(1.0), punctCount(text) / lit(20.0))) * 0.2
 
-  /** Word-bigram list. try_element_at: a single-token doc's lone index
-    * would make ANSI element_at throw on the out-of-bounds i+1; callers
-    * guard the n<2 case on the OUTPUT (see repetitionRatio), this just
-    * keeps the expression total. */
+  /** Word-bigram list, built with zip_with over two slices instead of
+    * per-index element_at lambdas. The distinction is the HOT-PATH
+    * rule for higher-order functions: expressions INSIDE a lambda are
+    * re-evaluated per element and excluded from subexpression
+    * elimination, so the old `try_element_at(t, i)` form re-ran
+    * split(text) ~2×|tokens| times per row (measured 0.8 ms/doc —
+    * 4 s at sf0.1, hours at crawl scale); as HOF *arguments* the
+    * token array and slices evaluate once per row and the lambda
+    * touches only its own variables. Single-token docs yield [] —
+    * the only caller (repetitionRatio) guards n<2 on the output. */
   def wordBigrams(text: Column): Column = {
     val t = tokens(text)
-    transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
-      i => concat_ws(" ", try_element_at(t, i), try_element_at(t, i + 1)))
+    val n1 = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
   }
 
   /** Word n-gram list (space-joined), empty for docs with fewer than n
@@ -99,9 +106,25 @@ object TextAnalysis {
     * array arithmetic (O(distinct·n) per row, bounded by doc length),
     * no shuffle. */
   def maxTokenFreq(text: Column): Column = {
-    val t = tokens(text)
-    array_max(transform(array_distinct(t),
-      d => size(filter(t, x => x === d))))
+    // longest run in the SORTED token array == max token frequency.
+    // The old form — filter(t, x => x === d) inside a transform over
+    // array_distinct(t) — referenced t inside a lambda, where
+    // subexpression elimination cannot reach: split(text) re-ran per
+    // distinct element (O(distinct · n · |text|) per row). As a fold
+    // over one sorted HOF argument the array evaluates once per row
+    // and the lambda touches only its own variables.
+    val s = array_sort(tokens(text))
+    aggregate(
+      s,
+      struct(lit(0).as("best"), lit(0).as("cur"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val cur = when(acc("prev").isNull || acc("prev") =!= x, lit(1))
+          .otherwise(acc("cur") + 1)
+        struct(greatest(acc("best"), cur).as("best"), cur.as("cur"),
+          x.as("prev"))
+      },
+      acc => acc("best"))
   }
 
   /** Gopher-family quality rules (Rae et al. 2021 §A.1.1, thresholds
