@@ -67,12 +67,29 @@ object TextAnalysis {
     * tokens. Same per-row array-expression shape as [[wordBigrams]] —
     * codegen'd, no UDF, no shuffle. Used by cross-document boilerplate
     * detection (q55) and n-gram decontamination (q56), where the grams
-    * are hashed before any shuffle so only 16-byte keys move. */
+    * are hashed before any shuffle so only 16-byte keys move.
+    *
+    * Built as a fold of zip_with over n shifted slices rather than a
+    * transform over positions: the old `slice(t, i, n)` sat inside the
+    * lambda, where subexpression elimination cannot reach, so
+    * split(text) re-ran once per GRAM (~|tokens| times per row — the
+    * whole gram/winnow family's hot path). As HOF arguments the n
+    * slices evaluate the token array n times per ROW, and every
+    * lambda touches only its own variables. Gram strings identical. */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - lit(n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
+    // linear fold of zip_with over shifted slices. A doubling
+    // composition (k-grams from (k/2)-grams) was measured SLOWER
+    // head-to-head at 1M docs (n=8: 11.3 s vs the fold's 9.7 s;
+    // duplicated argument subtrees are not CSE'd across zip_with
+    // arguments, and the intermediate slice copies outweigh the
+    // saved string churn) — the fold is the measured winner at both
+    // n=4 (3.4× over the old form) and n=8 (1.65×)
+    val m = greatest(size(t) - lit(n - 1), lit(0))
+    val grams = (2 to n).foldLeft(slice(t, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(t, lit(k), m), (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(t) < n, array().cast("array<string>")).otherwise(grams)
   }
 
   /** Non-overlapping `n`-word chunk list (space-joined, trailing partial
