@@ -3,77 +3,110 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** WebVTT subtitle-track census — the TEXT leg of the video modality
+/** Subtitle-track censuses — the TEXT leg of the video modality
   * ([[graft.operators.VideoContainer]] parses the container; subtitle
   * tracks are where a training pipeline actually harvests video-paired
-  * text). Parsing follows the public W3C WebVTT grammar: a `WEBVTT`
-  * header block, blank-line-separated cue blocks of
-  * `[id\n] start --> end [settings]\npayload…`, with NOTE/STYLE/REGION
-  * blocks legal and skipped. Per track the census reads: cue count,
-  * malformed-block count (the log sources' tolerance discipline —
-  * junk is COUNTED, never thrown on), payload chars after inline-tag
-  * stripping (`<i>`, `<c.cls>`, `<v Name>` …), summed cue duration,
-  * track span, fixed-point chars-per-second (the readability cut
-  * subtitle corpora filter on), and out-of-order/overlap violations
-  * (cues must be start-ordered; a violation is a mux bug upstream).
+  * text). Two public grammars:
+  *
+  *  - WebVTT (W3C): a `WEBVTT` header block, blank-line-separated cue
+  *    blocks of `[id\n] start --> end [settings]\npayload…`, dot
+  *    millisecond separator, NOTE/STYLE/REGION blocks legal and
+  *    skipped.
+  *  - SubRip (.srt): no header, numeric index line per cue, comma
+  *    millisecond separator, nothing skippable.
+  *
+  * Per track the census reads: cue count, malformed-block count (the
+  * log sources' tolerance discipline — junk is COUNTED, never thrown
+  * on), payload chars after inline-tag stripping (`<i>`, `<c.cls>`,
+  * `<v Name>` …), summed cue duration, track span, fixed-point
+  * chars-per-second (the readability cut subtitle corpora filter on),
+  * and start-order/overlap violations (a mux bug upstream).
   *
   * Everything is per-row array/regex expressions over the payload
   * string — codegen'd, no UDF, no shuffle: at 100 TB this runs
   * entirely inside the scan stage, and the census output is one row
-  * per track. Timestamps become integer milliseconds
-  * (`(hh:)?mm:ss.mmm`); all ratios are integer fixed-point. */
+  * per track. Timestamps become integer milliseconds; all ratios are
+  * integer fixed-point. */
 object Subtitles {
-
-  private val Ts = "(?:\\d+:)?\\d{2}:\\d{2}\\.\\d{3}"
-  private val TimingLine =
-    s"(?m)^[ \\t]*($Ts)[ \\t]*-->[ \\t]*($Ts)[^\\n]*$$"
-
-  /** `(hh:)?mm:ss.mmm` → integer milliseconds (null on non-match —
-    * callers pre-filter blocks on [[TimingLine]]). */
-  private def tsMs(c: Column): Column = {
-    val parts = split(c, ":")
-    val secs = regexp_replace(element_at(parts, -1), "\\.", "")
-      .cast("long")
-    val mins = element_at(parts, -2).cast("long")
-    val hrs = when(size(parts) >= 3, element_at(parts, -3).cast("long"))
-      .otherwise(lit(0L))
-    hrs * 3600000L + mins * 60000L + secs
-  }
 
   /** Census over a string column holding one WebVTT payload per row.
     * Tracks without the `WEBVTT` header are `valid = false` with a
     * null census (never a throw); cue blocks lacking a timing line —
     * other than NOTE/STYLE/REGION — count as `n_malformed`. */
   def withCueCensus(tracks: DataFrame, idCol: String,
-                    vttCol: String): DataFrame = {
+                    vttCol: String): DataFrame =
+    census(tracks, idCol, vttCol,
+      ts = "(?:\\d+:)?\\d{2}:\\d{2}\\.\\d{3}", decSep = "\\.",
+      vtt = true)
+
+  /** Census over a string column holding one SubRip (.srt) payload per
+    * row: `hh:mm:ss,mmm` timings (comma separator), numeric cue-index
+    * lines, no header and no comment blocks. A track with zero
+    * parseable cues is `valid = false` (SRT has no header to check);
+    * blocks without a timing line count as `n_malformed`. Same census
+    * columns as [[withCueCensus]]. */
+  def withSrtCueCensus(tracks: DataFrame, idCol: String,
+                       srtCol: String): DataFrame =
+    census(tracks, idCol, srtCol,
+      ts = "(?:\\d+:)?\\d{2}:\\d{2},\\d{3}", decSep = ",",
+      vtt = false)
+
+  /** Shared cue machinery. `vtt = true` gates validity on the WEBVTT
+    * header and skips NOTE/STYLE/REGION blocks; `vtt = false` (SRT)
+    * treats every block as a cue candidate and gates validity on
+    * having at least one parseable cue. */
+  private def census(tracks: DataFrame, idCol: String, srcCol: String,
+                     ts: String, decSep: String, vtt: Boolean)
+      : DataFrame = {
+    val timing = s"(?m)^[ \\t]*($ts)[ \\t]*-->[ \\t]*($ts)[^\\n]*$$"
+    // `(hh:)?mm:ss<sep>mmm` → integer milliseconds (callers pre-filter
+    // blocks on the timing regex, so the cast never sees junk)
+    def tsMs(c: Column): Column = {
+      val parts = split(c, ":")
+      val secs = regexp_replace(element_at(parts, -1), decSep, "")
+        .cast("long")
+      val mins = element_at(parts, -2).cast("long")
+      val hrs = when(size(parts) >= 3, element_at(parts, -3).cast("long"))
+        .otherwise(lit(0L))
+      hrs * 3600000L + mins * 60000L + secs
+    }
     val blocks = split(
-      regexp_replace(col(vttCol), "\\r\\n?", "\n"), "\n{2,}")
+      regexp_replace(col(srcCol), "\\r\\n?", "\n"), "\n{2,}")
     val headed = element_at(blocks, 1)
       .rlike("^\\x{FEFF}?WEBVTT(?:[ \\t][^\\n]*)?(?:\\n|$)")
-    val body = expr("slice(_blocks, 2, greatest(size(_blocks) - 1, 0))")
-    val cues = filter(col("_body"), b => b.rlike(TimingLine))
+    val body =
+      if (vtt) expr("slice(_blocks, 2, greatest(size(_blocks) - 1, 0))")
+      else coalesce(col("_blocks"), array().cast("array<string>"))
+    val cues = filter(col("_body"), b => b.rlike(timing))
     val skippable = (b: Column) =>
-      b.rlike("^[ \\t]*(NOTE|STYLE|REGION)(?:[ \\t\\n]|$)")
+      if (vtt) b.rlike("^[ \\t]*(NOTE|STYLE|REGION)(?:[ \\t\\n]|$)")
+      else lit(false)
     val malformed = filter(col("_body"),
-      b => !b.rlike(TimingLine) && !skippable(b) &&
-        (trim(b) =!= ""))
+      b => !b.rlike(timing) && !skippable(b) && (trim(b) =!= ""))
     val starts = transform(col("_cues"),
-      b => tsMs(regexp_extract(b, TimingLine, 1)))
+      b => tsMs(regexp_extract(b, timing, 1)))
     val ends = transform(col("_cues"),
-      b => tsMs(regexp_extract(b, TimingLine, 2)))
+      b => tsMs(regexp_extract(b, timing, 2)))
     // payload = everything after the timing line, inline tags and
-    // line breaks collapsed; a cue-id line above the timing line is
-    // dropped with it
+    // line breaks collapsed; a cue-id/index line above the timing
+    // line is dropped with it
     val chars = transform(col("_cues"),
       b => length(trim(regexp_replace(regexp_replace(
         regexp_replace(b, "(?s)^.*?-->[^\\n]*\\n?", ""),
         "<[^>]*>", ""), "\\s+", " "))).cast("long"))
-    tracks
+    val preGate = tracks
       .withColumn("_blocks", blocks)
-      .withColumn("_valid", coalesce(headed, lit(false)))
-      .withColumn("_body", when(col("_valid"), body)
-        .otherwise(array().cast("array<string>")))
-      .withColumn("_cues", cues)
+    val gated =
+      if (vtt) preGate
+        .withColumn("_valid", coalesce(headed, lit(false)))
+        .withColumn("_body", when(col("_valid"), body)
+          .otherwise(array().cast("array<string>")))
+        .withColumn("_cues", cues)
+      else preGate
+        .withColumn("_body", body)
+        .withColumn("_cues", cues)
+        .withColumn("_valid", size(col("_cues")) > 0)
+    gated
       .withColumn("_n_mal", size(malformed).cast("long"))
       .withColumn("_starts", starts)
       .withColumn("_ends", ends)

@@ -96,7 +96,13 @@ object TextAnalysis {
     * chunk included) — the unit of chunk-level dedup (q60), the
     * line/paragraph-dedup family for a corpus whose documents carry no
     * newlines. Pure per-row array expression; chunk i covers tokens
-    * [i*n+1, i*n+n]. */
+    * [i*n+1, i*n+n].
+    *
+    * Audit note (SCALE.md lesson #5): `t` is referenced inside the
+    * lambda, so split re-runs once per CHUNK — a bounded ⌈tokens/n⌉
+    * multiplier (≈7 at n=8), not the per-gram ~|tokens| that made
+    * wordNgrams hot; the strided starts have no zip_with equivalent,
+    * so the simple form stays until a profile says otherwise. */
   def wordChunks(text: Column, n: Int): Column = {
     val t = tokens(text)
     transform(

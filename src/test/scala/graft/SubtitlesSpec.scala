@@ -91,6 +91,31 @@ class SubtitlesSpec extends SparkSpec {
     assert(!m(5L).getBoolean(1) && !m(6L).getBoolean(1))
   }
 
+  test("SRT: comma timings, index lines, headerless validity") {
+    val srt =
+      """1
+        |00:00:01,000 --> 00:00:04,000
+        |Hello there
+        |
+        |2
+        |00:01:00,500 --> 00:01:02,000
+        |<i>Bye</i>
+        |""".stripMargin
+    val m = Subtitles.withSrtCueCensus(
+        Seq((7L, srt), (8L, "not a subtitle file"),
+          (9L, null.asInstanceOf[String])).toDF("track_id", "vtt"),
+        "track_id", "vtt")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r = m(7L)
+    assert(r.getBoolean(1) && r.getLong(2) == 2, "two cues parse")
+    assert(r.getLong(3) == 0, "index lines ride their cue blocks")
+    assert(r.getLong(4) == 14, "'Hello there' + 'Bye' after tag strip")
+    assert(r.getLong(5) == 3000L + 1500L && r.getLong(6) == 61000L)
+    assert(!m(8L).getBoolean(1) && m(8L).isNullAt(2),
+      "zero parseable cues => invalid, null census")
+    assert(!m(9L).getBoolean(1), "null payload => invalid")
+  }
+
   test("census is per-row scan work: no exchange in the plan") {
     val df = Subtitles.withCueCensus(
       Seq((1L, good)).toDF("track_id", "vtt"), "track_id", "vtt")
