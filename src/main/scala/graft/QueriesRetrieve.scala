@@ -130,10 +130,15 @@ object QueriesRetrieve {
     * are what actually grow): per 50-document bucket of FIRST
     * APPEARANCE, how many new shingles the bucket introduces, plus the
     * running vocabulary size. The min-doc-per-shingle aggregation is
-    * one shingle-keyed shuffle; the cumulative window runs over the
-    * BUCKET census only (corpus/50 rows — at real scale widen the
-    * bucket so the census row count stays bounded, the shape is
-    * width-agnostic). */
+    * one shingle-keyed shuffle; the running vocab_size is the global
+    * prefix sum of the bucket census, computed by the two-phase
+    * range-partitioned kernel (WeightedSample.withCumWeight — bucket
+    * is a unique key, so the prefix sum in bucket order IS the
+    * cumulative vocabulary): per-range-bucket running sums plus
+    * broadcast starting offsets, NO single-partition window at any
+    * census width. The census is corpus/50 rows — unbounded in corpus
+    * size, which is exactly why the kernel (not a global
+    * Window.orderBy) must carry it. */
   private val q124 = Q(
     "q124_vocab_growth",
     (s, dir) => {
@@ -145,11 +150,11 @@ object QueriesRetrieve {
           explode(graft.operators.Dedup.charShingles(col("text"), 5))
             .as("sh"))
         .groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
-      first.groupBy(expr("fd div 50").as("bucket"))
+      val census = first.groupBy(expr("fd div 50").as("bucket"))
         .agg(count(lit(1)).as("new_shingles"))
-        .withColumn("vocab_size",
-          sum(col("new_shingles")).over(Window.orderBy(col("bucket"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      graft.operators.WeightedSample
+        .withCumWeight(census, "bucket", "new_shingles")
+        .withColumnRenamed("cum", "vocab_size")
         .orderBy(col("bucket"))
     },
     Some("""WITH sh AS (

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * on), payload chars after inline-tag stripping (`<i>`, `<c.cls>`,
   * `<v Name>` …), summed cue duration, track span, fixed-point
   * chars-per-second (the readability cut subtitle corpora filter on),
-  * and start-order/overlap violations (a mux bug upstream).
+  * and overlap violations — cues whose start rewinds behind the
+  * running max of ALL prior ends in file order, so a long cue
+  * overlapping non-adjacent later cues is counted per overlapped cue
+  * (a mux bug upstream).
   *
   * Everything is per-row array/regex expressions over the payload
   * string — codegen'd, no UDF, no shuffle: at 100 TB this runs
@@ -32,7 +35,11 @@ object Subtitles {
   /** Census over a string column holding one WebVTT payload per row.
     * Tracks without the `WEBVTT` header are `valid = false` with a
     * null census (never a throw); cue blocks lacking a timing line —
-    * other than NOTE/STYLE/REGION — count as `n_malformed`. */
+    * other than NOTE/STYLE/REGION — count as `n_malformed`. A cue
+    * sharing the header block (no blank line after `WEBVTT`, tolerated
+    * by real-world parsers) is recognized when it carries a timing
+    * line; timing-less header remainder is header metadata (e.g.
+    * `X-TIMESTAMP-MAP`), counted neither as cue nor malformed. */
   def withCueCensus(tracks: DataFrame, idCol: String,
                     vttCol: String): DataFrame =
     census(tracks, idCol, vttCol,
@@ -75,7 +82,18 @@ object Subtitles {
     val headed = element_at(blocks, 1)
       .rlike("^\\x{FEFF}?WEBVTT(?:[ \\t][^\\n]*)?(?:\\n|$)")
     val body =
-      if (vtt) expr("slice(_blocks, 2, greatest(size(_blocks) - 1, 0))")
+      if (vtt) {
+        // real-world tolerance: a cue may share the header block (no
+        // blank line after WEBVTT). The header LINE is stripped and the
+        // remainder kept as a cue candidate iff it carries a timing
+        // line; timing-less header metadata (X-TIMESTAMP-MAP …) stays
+        // with the header — neither a cue nor malformed.
+        val rest = expr("slice(_blocks, 2, greatest(size(_blocks) - 1, 0))")
+        val headRest = regexp_replace(element_at(col("_blocks"), 1),
+          "^\\x{FEFF}?WEBVTT[^\\n]*\\n?", "")
+        when(headRest.rlike(timing), concat(array(headRest), rest))
+          .otherwise(rest)
+      }
       else coalesce(col("_blocks"), array().cast("array<string>"))
     val cues = filter(col("_body"), b => b.rlike(timing))
     val skippable = (b: Column) =>
@@ -129,12 +147,24 @@ object Subtitles {
         // fixed-point chars/sec ×1000: chars·10⁶ div summed cue ms
         when(col("_valid"), expr("""CASE WHEN _sub > 0
             THEN _nch * 1000000 div _sub END""")).as("cps_milli"),
-        // guarded: sequence(1, 0) would count DOWN, and element_at
-        // past the array end throws under ANSI
+        // overlap = cue start rewinds behind the RUNNING max of all
+        // prior ends (not just the adjacent cue — a long cue overlaps
+        // later non-adjacent cues too): fold (maxEnd, count) over cue
+        // index 2..n. Guarded: sequence(2, 1) would count DOWN, and
+        // element_at past the array end throws under ANSI. _starts /
+        // _ends are attributes — safe inside the lambda per the HOF
+        // subexpression-elimination rule.
         when(col("_valid"), when(size(col("_cues")) >= 2,
-          size(filter(sequence(lit(1), size(col("_cues")) - 1),
-            i => element_at(col("_starts"), i + 1) <
-              element_at(col("_ends"), i))).cast("long"))
+          aggregate(sequence(lit(2), size(col("_cues"))),
+            struct(element_at(col("_ends"), 1).as("mx"),
+              lit(0L).as("cnt")),
+            (acc, i) => struct(
+              greatest(acc.getField("mx"),
+                element_at(col("_ends"), i)).as("mx"),
+              (acc.getField("cnt") +
+                when(element_at(col("_starts"), i) < acc.getField("mx"),
+                  lit(1L)).otherwise(lit(0L))).as("cnt")),
+            acc => acc.getField("cnt")))
           .otherwise(lit(0L))).as("n_overlaps"))
   }
 }

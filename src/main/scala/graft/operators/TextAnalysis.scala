@@ -54,8 +54,12 @@ object TextAnalysis {
     * split(text) ~2×|tokens| times per row (measured 0.8 ms/doc —
     * 4 s at sf0.1, hours at crawl scale); as HOF *arguments* the
     * token array and slices evaluate once per row and the lambda
-    * touches only its own variables. Single-token docs yield [] —
-    * the only caller (repetitionRatio) guards n<2 on the output. */
+    * touches only its own variables. Docs with FEWER THAN 2 tokens
+    * yield `[]` — a deliberate behavior change from the pre-r9 form,
+    * which returned a 1-element array holding the lone token
+    * (concat_ws dropped the null partner); `[]` is the correct bigram
+    * set and the in-repo caller (repetitionRatio) guards n<2 either
+    * way. External callers should expect the empty array. */
   def wordBigrams(text: Column): Column = {
     val t = tokens(text)
     val n1 = greatest(size(t) - 1, lit(0))

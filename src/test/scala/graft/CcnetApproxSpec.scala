@@ -27,6 +27,11 @@ class CcnetApproxSpec extends SparkSpec {
     assert(approx.map(_.getLong(1)).sum == exact.map(_.getLong(1)).sum,
       "approx buckets must cover the corpus exactly")
     val byBucket = approx.map(r => r.getInt(0) -> r).toMap
+    // degenerate thresholds (tie mass / coincident t-digest quantiles)
+    // would EMPTY a bucket — surface that as a readable failure, not a
+    // NoSuchElementException in the dominance loop below
+    assert(byBucket.keySet == (1 to approx.length).toSet,
+      s"expected buckets 1..${approx.length}, got ${byBucket.keySet}")
     // strict threshold rule: every bucket-b score > q_cut >= every
     // bucket-(b+1) score, so min(b) must strictly beat max(b+1)
     for (b <- 1 until approx.length)

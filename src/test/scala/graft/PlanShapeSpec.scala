@@ -584,17 +584,18 @@ class PlanShapeSpec extends SparkSpec {
       }, s"window not bucket-partitioned — kernel bypassed:\n$w")
   }
 
-  test("q103/q210/q232: rank kernels only — no single-partition window") {
-    // q103's tercile, q210's per-lang Spearman ranks and q232's
-    // bucketed-padding ranks ride the two-phase kernels (withCumWeight
-    // / GroupedRank.withRank); every window's partition spec must
-    // include the kernel's bucket column — a global Window.orderBy
-    // (the r8 verdict's one weak item) or a per-group
-    // single-partition sort means the kernel was bypassed.
+  test("q103/q210/q232/q124: rank kernels only — no single-partition window") {
+    // q103's tercile, q210's per-lang Spearman ranks, q232's
+    // bucketed-padding ranks and q124's running-vocabulary prefix sum
+    // ride the two-phase kernels (withCumWeight / GroupedRank
+    // .withRank); every window's partition spec must include the
+    // kernel's bucket column — a global Window.orderBy (the r8/r9
+    // verdicts' weak items) or a per-group single-partition sort means
+    // the kernel was bypassed.
     import org.apache.spark.sql.catalyst.expressions.NamedExpression
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
     for (q <- Seq("q103_ccnet_buckets", "q210_rank_correlation",
-        "q232_bucketed_padding")) {
+        "q232_bucketed_padding", "q124_vocab_growth")) {
       val df = Queries.all(q)(spark, sf())
       def nodes(p: LogicalPlan): Seq[LogicalPlan] =
         p +: p.children.flatMap(nodes)

@@ -85,6 +85,56 @@ class SubtitlesSpec extends SparkSpec {
       "one cue, one malformed block, STYLE skipped")
   }
 
+  test("a long cue overlapping non-adjacent later cues counts each") {
+    // cue1 spans 0-100 s; cue2 (10-20) and cue3 (30-40) BOTH rewind
+    // behind the running max end (100 s) even though cue3 does not
+    // overlap its adjacent predecessor — the adjacent-pair rule would
+    // report 1, the running-max rule reports 2
+    val vtt =
+      """WEBVTT
+        |
+        |00:00:00.000 --> 00:01:40.000
+        |long
+        |
+        |00:00:10.000 --> 00:00:20.000
+        |a
+        |
+        |00:00:30.000 --> 00:00:40.000
+        |b
+        |""".stripMargin
+    val r = census((10L, vtt))(10L)
+    assert(r.getLong(2) == 3 && r.getLong(8) == 2,
+      "both later cues rewind behind the running max of prior ends")
+  }
+
+  test("a cue sharing the header block is still parsed") {
+    val vtt =
+      """WEBVTT
+        |00:00:01.000 --> 00:00:02.000
+        |glued to the header
+        |
+        |00:00:03.000 --> 00:00:04.000
+        |normal
+        |""".stripMargin
+    val r = census((11L, vtt))(11L)
+    assert(r.getBoolean(1) && r.getLong(2) == 2 && r.getLong(3) == 0,
+      "header-sharing cue is a cue, not dropped or malformed")
+    assert(r.getLong(4) == 19 + 6, "both payloads counted")
+
+    // timing-less header metadata stays with the header: not a cue,
+    // not malformed
+    val meta =
+      """WEBVTT
+        |X-TIMESTAMP-MAP=LOCAL:00:00:00.000,MPEGTS:0
+        |
+        |00:00:03.000 --> 00:00:04.000
+        |normal
+        |""".stripMargin
+    val r2 = census((12L, meta))(12L)
+    assert(r2.getBoolean(1) && r2.getLong(2) == 1 && r2.getLong(3) == 0,
+      "metadata line is neither cue nor malformed")
+  }
+
   test("null and empty payloads take the invalid path") {
     val rows = Seq((5L, null.asInstanceOf[String]), (6L, ""))
     val m = census(rows: _*)
