@@ -1328,8 +1328,10 @@ object QueriesDepth {
   private val q202 = Q(
     "q202_span_corruption",
     (s, dir) => {
+      // FENCED (r10 audit): keeps the split out of the pushed predicate
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"),
+          graft.plans.FenceExpr.fence(split(col("text"), " ")).as("toks"))
         .filter(size(col("toks")) >= 1)
       docs
         .select(col("doc_id"), col("lang"), col("toks"),

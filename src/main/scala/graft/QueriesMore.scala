@@ -830,8 +830,11 @@ object QueriesMore {
   private val q54 = Q(
     "q54_quantize",
     (s, dir) => {
+      // FENCED (r10 audit): posexplode's inferred size/not-null filters
+      // otherwise re-expand the asDouble transform into the predicate
       val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
-        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+        graft.plans.FenceExpr.fence(
+          graft.operators.Similarity.asDouble(col("embedding"))).as("v"))
       val codes = graft.operators.Quantize.encode(
         e, graft.operators.Quantize.dimStats(e))
       codes.groupBy(col("d"))

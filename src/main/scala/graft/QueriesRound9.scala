@@ -127,10 +127,13 @@ object QueriesRound9 {
     "q231_robust_winnow",
     (s, dir) => {
       import graft.operators.KmvSketch
+      // FENCED (r10 audit): the ≥4-gram filter otherwise re-expands the
+      // whole gram+hash32 kernel into the predicate — 2× the map stage
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
-          transform(TextAnalysis.wordNgrams(col("text"), 4),
-            g => KmvSketch.hash32(g)).as("hs"))
+          graft.plans.FenceExpr.fence(
+            transform(TextAnalysis.wordNgrams(col("text"), 4),
+              g => KmvSketch.hash32(g))).as("hs"))
         .filter(size(col("hs")) >= 4)
         .withColumn("nw", (size(col("hs")) - 3).cast("long"))
       val stdSel = expr(s"""array_distinct(transform(

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main (not part of the driver contract).
-  * Current use: the q196 stage-split audit (r7 VERDICT finding #1). */
+  * Current use: r10 fence A/B — interleaved fenced vs unfenced for the
+  * q54 (posexplode over asDouble) and q118 (Dsir grams) shapes. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -12,54 +13,62 @@ object Scratch {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def time[A](label: String)(f: => A): A = {
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(label: String)(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      val r = f
-      println(f"TIMER $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"TIMER $label%-22s $dt%8.2f s")
+      dt
     }
-    // q196 stage split, mirroring the query's own structure
-    val txt = when(col("doc_id") % 7 === 0,
-      concat_ws(" ", col("text"),
-        lit("all rights reserved contact site admin for removal")))
-      .otherwise(col("text"))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), txt.as("txt"))
-    time("warm: docs.count")(docs.count())
-    val grams = time("stage1: grams ckpt") {
-      docs.select(col("doc_id"), posexplode(
-          graft.operators.TextAnalysis.wordNgrams(col("txt"), 8))
-          .as(Seq("pos0", "g")))
-        .select(col("doc_id"), (col("pos0") + 1).as("p"),
-          unhex(md5(col("g"))).as("gh"))
-        .localCheckpoint()
+    def mat(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(xxhash64(df.columns.map(col): _*).as("_h"))
+        .agg(bit_xor(col("_h"))).collect()
+      ()
     }
-    println(s"grams rows: ${grams.count()}")
-    val boiler = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 3).select(col("gh"))
-    time("stage2: boiler df-agg")(boiler.count())
-    val cov = grams.join(boiler, Seq("gh"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("p")).as("ps"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(flatten(transform(col("ps"),
-          p => sequence(p, p + 7))))).as("covered"))
-    time("stage3: cov semi+collect")(cov.count())
-    val toks = graft.operators.TextAnalysis.tokens(col("txt"))
-    val out = docs.join(cov, Seq("doc_id"))
-      .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(col("covered")).cast("long").as("n_removed"),
-        md5(concat_ws(" ", transform(
-          array_except(sequence(lit(1), size(toks)), col("covered")),
-          p => element_at(toks, p)))).as("new_hash"))
-      .orderBy(col("doc_id"))
-    time("stage4: rebuild (full query)")(out.count())
+    import graft.operators.{Quantize, Similarity}
+    import graft.plans.FenceExpr.fence
+
+    // ---- q54 shape ----
+    def q54of(v: org.apache.spark.sql.Column) = {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), v.as("v"))
+      Quantize.encode(e, Quantize.dimStats(e))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("code")).as("n_codes"),
+          min(col("code")).as("min_code"), max(col("code")).as("max_code"),
+          count(when(col("code") === 0 || col("code") === 255, 1))
+            .as("edge_hits"))
+        .orderBy(col("d")).filter(col("d") <= 16)
+    }
+    val raw = Similarity.asDouble(col("embedding"))
+
+    // ---- q118 shape (Dsir grams) ----
+    def dsirOf(fenced: Boolean) = {
+      val ts = split(col("text"), " ")
+      val grams0 = zip_with(
+        slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val g = if (fenced) fence(grams0) else grams0
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), g.as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n"),
+          aggregate(transform(col("gs"), x => length(x).cast("long")),
+            lit(0L), (a, x) => a + x).as("s"))
+    }
+
+    mat(q54of(raw)); mat(dsirOf(false)) // warm
+    for (i <- 1 to 4) {
+      time(s"q54 unfenced #$i")(mat(q54of(raw)))
+      time(s"q54 fenced   #$i")(mat(q54of(fence(raw))))
+      time(s"dsir unfenced #$i")(mat(dsirOf(false)))
+      time(s"dsir fenced   #$i")(mat(dsirOf(true)))
+    }
     spark.stop()
   }
 }

@@ -100,7 +100,9 @@ object Dsir {
       (a, b) => bucketOf(a, b))
     val wMap = typedLit(w)
     docs
-      .select(col("doc_id"), grams.as("gs"))
+      // FENCED (r10 audit): the emptiness filter otherwise re-expands
+      // the zip_with gram kernel into the predicate (2× per row)
+      .select(col("doc_id"), graft.plans.FenceExpr.fence(grams).as("gs"))
       .filter(size(col("gs")) > 0)
       .select(col("doc_id"),
         size(col("gs")).cast("long").as("n_grams"),

@@ -208,11 +208,17 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, bits: Int,
                          threshold: Double): DataFrame = {
     val slack = 1e-6
+    // FENCED (r10 audit): InferFiltersFromConstraints derives
+    // `nd IS NOT NULL` from the cosine division and PushDownPredicates
+    // re-expanded the whole sqrt(dot(v,v)) + asDouble kernel into a
+    // pre-join Filter — doubling the narrow prep per VECTOR. The fence
+    // keeps "once per vector BEFORE the join" literally true.
     val e = emb.select(
       col("vec_id"),
-      asDouble(col("embedding")).as("v"),
+      graft.plans.FenceExpr.fence(asDouble(col("embedding"))).as("v"),
       signBucket(col("embedding"), bits).as("b"))
-      .withColumn("nd", sqrt(dotDouble(col("v"), col("v"))))
+      .withColumn("nd",
+        graft.plans.FenceExpr.fence(sqrt(dotDouble(col("v"), col("v")))))
     val a = e.select(col("vec_id").as("va"), col("v").as("xa"),
       col("nd").as("nda"), col("b"))
     val bb = e.select(col("vec_id").as("vb"), col("v").as("xb"),
@@ -268,10 +274,15 @@ object Similarity {
                         threshold: Double): DataFrame = {
     val slack = 1e-6
     val cand = multiProbeCandidates(corpus, bench, bits)
+    // FENCED (r10 audit): the cosine division's inferred not-null
+    // constraint otherwise re-expands the norm kernel into pre-join
+    // Filters — 2× the per-vector prep on both sides
     val cv = corpus.select(col("id").as("vec_id"), col("v").as("xc"),
-      sqrt(dotDouble(col("v"), col("v"))).as("ndc"))
+      graft.plans.FenceExpr.fence(
+        sqrt(dotDouble(col("v"), col("v")))).as("ndc"))
     val qv = bench.select(col("id").as("bench_id"), col("v").as("xq"),
-      sqrt(dotDouble(col("v"), col("v"))).as("ndq"))
+      graft.plans.FenceExpr.fence(
+        sqrt(dotDouble(col("v"), col("v")))).as("ndq"))
     cand.select(col("vec_id"), col("q_id").as("bench_id"))
       .join(cv, Seq("vec_id"))
       .join(broadcast(qv), Seq("bench_id"))

@@ -54,7 +54,10 @@ object StreamingWinnowScreen {
     docs
       .select(col(idCol).cast("long").as("docId"),
         TextAnalysis.wordNgrams(col(textCol), 4).as("gs"))
-      .withColumn("hs", transform(col("gs"), g => KmvSketch.hash32(g)))
+      // FENCED (r10 audit): the ≥4 filter otherwise re-expands the
+      // whole gram+hash chain into the predicate (2× per doc)
+      .withColumn("hs", graft.plans.FenceExpr.fence(
+        transform(col("gs"), g => KmvSketch.hash32(g))))
       .filter(size(col("hs")) >= 4)
       .withColumn("fps", array_distinct(transform(
         sequence(lit(1), size(col("hs")) - 3),
