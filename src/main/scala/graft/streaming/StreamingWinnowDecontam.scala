@@ -31,8 +31,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * 100 TB posture: one codegen'd projection per doc, an 8-byte-keyed
   * broadcast join, bounded pair state; text and grams never enter an
-  * exchange. Containment confirm (q234's second stage) belongs
-  * downstream on the rare hit stream via foreachBatch. */
+  * exchange. [[confirm]]/[[confirmedWriter]] close the pipeline:
+  * q234's containment confirm runs per micro-batch on the RARE hit
+  * stream (foreachBatch against the stored corpus fp index), so the
+  * expensive stage's input is hit-proportional. */
 object StreamingWinnowDecontam {
 
   final case class JRow(docId: Long, benchId: Long, fp: Long)
@@ -83,4 +85,50 @@ object StreamingWinnowDecontam {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** q234's UNCAPPED containment confirm over a micro-batch of screen
+    * hits: keep (doc, bench) iff ≥ `minPpm` of the bench doc's
+    * fingerprints appear in the train doc's (integer ppm arithmetic,
+    * the batch query's exact rule). `trainFp` is the STORED corpus
+    * fingerprint index — (docId, fp) distinct, the artifact
+    * [[StreamingIndexEviction]]-style pipelines maintain anyway — so
+    * the confirm never re-reads train text. Every join is hinted
+    * shuffle-hash: the hit batch scales with contamination rate ×
+    * corpus size, so nothing here may become a data-dependent
+    * broadcast (the q199 r7 lesson). Fan-out is
+    * |hits| × fps-per-doc on the index joins, then hash-keyed
+    * aggregation — hit-proportional, never corpus-proportional. */
+  def confirm(hitBatch: DataFrame, trainFp: DataFrame,
+              benchIdx: DataFrame, minPpm: Long = 500000L): DataFrame = {
+    val szb = benchIdx.groupBy(col("benchId")).agg(count(lit(1)).as("szb"))
+    hitBatch.select(col("doc_id"), col("bench_id"))
+      .join(trainFp.select(col("docId").as("doc_id"), col("fp"))
+        .hint("shuffle_hash"), "doc_id")
+      .join(benchIdx.select(col("benchId").as("bench_id"), col("fp"))
+        .hint("shuffle_hash"), Seq("bench_id", "fp"))
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("i"))
+      .join(szb.select(col("benchId").as("bench_id"), col("szb"))
+        .hint("shuffle_hash"), "bench_id")
+      .filter(expr("i * 1000000 div szb") >= minPpm)
+      .select(col("doc_id"), col("bench_id"))
+  }
+
+  /** The full q234 pipeline LIVE: screen [[hits]] → foreachBatch
+    * containment [[confirm]] against the stored index. Returns the
+    * configured writer — caller adds checkpointLocation/trigger and
+    * starts it. `onBatch` receives each micro-batch's CONFIRMED
+    * (doc_id, bench_id) frame; hits are exactly-once, so so are
+    * confirmed links (the confirm is a deterministic per-hit
+    * predicate — re-delivery can only come from sink-side replay,
+    * which checkpointing already owns). */
+  def confirmedWriter(docs: DataFrame, idCol: String, textCol: String,
+                      benchIdx: DataFrame, trainFp: DataFrame,
+                      minPpm: Long = 500000L)(
+      onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Hit] =
+    hits(docs, idCol, textCol, benchIdx).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Hit], _: Long) =>
+        onBatch(confirm(b.toDF(), trainFp, benchIdx, minPpm))
+      }
 }
