@@ -397,7 +397,8 @@ object Queries {
     q11, q12, q13, q14, q15) ++ QueriesBeyond.list ++ QueriesMore.list ++
     QueriesPipeline.list ++ QueriesSample.list ++ QueriesScore.list ++
     QueriesTrain.list ++ QueriesRetrieve.list ++ QueriesAnalytics.list ++
-    QueriesDepth.list ++ QueriesRound8.list ++ QueriesRound9.list
+    QueriesDepth.list ++ QueriesRound8.list ++ QueriesRound9.list ++
+    QueriesRound10.list
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Queries.Q
+
+/** Round-10 depth queries.
+  *
+  * Determinism: all-integer arithmetic (ppm grids, `div` on
+  * non-negative operands where Spark's truncation and DuckDB's `//`
+  * floor agree), md5-derived hashes — the suite-wide oracle
+  * conventions.
+  */
+object QueriesRound10 {
+
+  /** ROBUST-WINNOW INDEX CERTIFICATE — the artifact-level companion
+    * to q231 (which measures the POSITION saving): build the
+    * fingerprint VALUE index under both tie rules and certify they
+    * are identical, so the robust rule's storage saving costs ZERO
+    * recall in any value-keyed screen.
+    *
+    * Why identity holds (and why it still needs certifying): whichever
+    * position a tie rule charts, the selected VALUE is always that
+    * window's minimum hash — a rule-independent quantity — so the
+    * per-doc distinct fp-value sets must coincide; `value_diff_docs`
+    * is 0 for every source. What the query certifies is the
+    * IMPLEMENTATION (the sequential `aggregate` fold and the DuckDB
+    * list_reduce twin both honor that invariant on text with real tie
+    * runs — this corpus has them, q231 measures nonzero savings) and
+    * the consequence: the shared-≥7-token-span guarantee
+    * (Schleimer's w + k − 1 threshold) survives the robust rule
+    * unchanged, demonstrated by the within-source ≥2-doc shared-fp
+    * screen running on the ROBUST index.
+    *
+    * Scale shape: ONE pass over documents (the fenced q231 kernel),
+    * per-row folds, a localCheckpoint of the per-doc value arrays
+    * (the fp index itself — the artifact a production screen stores
+    * anyway), then source-keyed censuses; the shared-fp leg shuffles
+    * only (source, fp) integer rows. */
+  private val q236 = Q(
+    "q236_robust_winnow_index",
+    (s, dir) => {
+      val docs = QueriesRound9.winnowInput(s, dir)
+      val perDoc = docs.select(col("doc_id"), col("source"),
+          array_sort(array_distinct(transform(QueriesRound9.stdSelCol,
+            p => element_at(col("hs"), p.cast("int")).cast("long"))))
+            .as("sv"),
+          array_sort(array_distinct(transform(QueriesRound9.robSelCol,
+            p => element_at(col("hs"), p.cast("int")).cast("long"))))
+            .as("rv"))
+        .localCheckpoint() // census + shared-fp screen read one lineage
+      val cen = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("sv"))).as("std_fp_values"),
+          sum(size(col("rv"))).as("rob_fp_values"),
+          sum(when(col("sv") === col("rv"), 0L).otherwise(1L))
+            .as("value_diff_docs"))
+      val shared = perDoc
+        .select(col("source"), col("doc_id"), explode(col("rv")).as("fp"))
+        .groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shared_fp_robust"))
+      cen.join(shared, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          col("std_fp_values"), col("rob_fp_values"),
+          col("value_diff_docs"),
+          coalesce(col("n_shared_fp_robust"), lit(0L))
+            .as("n_shared_fp_robust"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+        FROM documents),
+      d AS (SELECT doc_id, source, CAST(len(ts) - 3 AS BIGINT) AS ng,
+          list_transform(range(1, len(ts) - 2), i ->
+            CAST(('0x' || substr(md5(array_to_string(
+              list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 3), ' ')),
+              1, 8)) AS BIGINT)) AS hs
+        FROM ts WHERE len(ts) >= 7),
+      w AS (SELECT doc_id, source, ng - 3 AS nw, hs
+        FROM d WHERE ng >= 4),
+      sel AS (SELECT doc_id, source, hs,
+          list_distinct(list_transform(range(1, nw + 1), j ->
+            CASE WHEN hs[j+3] = least(hs[j],hs[j+1],hs[j+2],hs[j+3])
+                THEN j + 3
+              WHEN hs[j+2] = least(hs[j],hs[j+1],hs[j+2],hs[j+3])
+                THEN j + 2
+              WHEN hs[j+1] = least(hs[j],hs[j+1],hs[j+2],hs[j+3])
+                THEN j + 1
+              ELSE j END)) AS stdsel,
+          list_distinct(list_reduce(
+            list_concat([[CAST(
+              CASE WHEN hs[4] = least(hs[1],hs[2],hs[3],hs[4]) THEN 4
+                WHEN hs[3] = least(hs[1],hs[2],hs[3],hs[4]) THEN 3
+                WHEN hs[2] = least(hs[1],hs[2],hs[3],hs[4]) THEN 2
+                ELSE 1 END AS BIGINT)]],
+              list_transform(range(2, nw + 1), j -> [j])),
+            (acc, e) -> CASE WHEN acc[len(acc)] >= e[1]
+                AND hs[acc[len(acc)]] =
+                  least(hs[e[1]],hs[e[1]+1],hs[e[1]+2],hs[e[1]+3])
+              THEN acc[1:len(acc)]
+              ELSE list_append(acc, CASE
+                WHEN hs[e[1]+3] =
+                  least(hs[e[1]],hs[e[1]+1],hs[e[1]+2],hs[e[1]+3])
+                  THEN e[1] + 3
+                WHEN hs[e[1]+2] =
+                  least(hs[e[1]],hs[e[1]+1],hs[e[1]+2],hs[e[1]+3])
+                  THEN e[1] + 2
+                WHEN hs[e[1]+1] =
+                  least(hs[e[1]],hs[e[1]+1],hs[e[1]+2],hs[e[1]+3])
+                  THEN e[1] + 1
+                ELSE e[1] END) END)) AS robsel
+        FROM w),
+      vals AS (SELECT doc_id, source,
+          list_sort(list_distinct(list_transform(stdsel,
+            p -> CAST(hs[CAST(p AS INT)] AS BIGINT)))) AS sv,
+          list_sort(list_distinct(list_transform(robsel,
+            p -> CAST(hs[CAST(p AS INT)] AS BIGINT)))) AS rv
+        FROM sel),
+      cen AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(sv)) AS BIGINT) AS std_fp_values,
+          CAST(SUM(len(rv)) AS BIGINT) AS rob_fp_values,
+          CAST(SUM(CASE WHEN sv = rv THEN 0 ELSE 1 END) AS BIGINT)
+            AS value_diff_docs
+        FROM vals GROUP BY 1),
+      ex AS (SELECT source, doc_id, UNNEST(rv) AS fp FROM vals),
+      sh AS (SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_shared_fp_robust
+        FROM (SELECT source, fp FROM ex
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2) GROUP BY 1)
+      SELECT c.source, n_docs, std_fp_values, rob_fp_values,
+        value_diff_docs,
+        COALESCE(n_shared_fp_robust, 0) AS n_shared_fp_robust
+      FROM cen c LEFT JOIN sh ON sh.source = c.source
+      ORDER BY c.source"""))
+
+  /** PER-LANGUAGE WINNOW DENSITY — q223's fingerprint census cut by
+    * language instead of source: the fertility-style readout
+    * (q206/q207/q214's family) for the fingerprint INDEX — how many
+    * stored fingerprints a language costs per window and per 1k
+    * tokens. Languages whose token distributions produce longer
+    * equal-hash runs select fewer distinct fingerprints (theory for
+    * random hashes: ~2/(w+1) of windows, 400000 ppm at w=4), so this
+    * is the per-language storage-budget row a multilingual index
+    * capacity plan reads.
+    *
+    * Scale shape: rides the SharedWinnow artifact (paid once by the
+    * q223 family); the per-doc census is one (doc)-keyed agg, the
+    * lang attach is a doc-proportional hash join (never broadcast —
+    * doc count scales with the corpus), census rows ≤ |langs|. */
+  private val q237 = Q(
+    "q237_winnow_density_by_lang",
+    (s, dir) => {
+      val sel = SharedWinnow.selected(s, dir)
+      val perDoc = sel.groupBy(col("doc_id"))
+        .agg(max(col("ng")).as("ngr"),
+          countDistinct(col("fp")).as("nfp"))
+      val lang = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+      perDoc.join(lang.hint("shuffle_hash"), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ngr") + 3).as("n_tokens"),
+          sum(col("ngr") - 3).as("n_windows"),
+          sum(col("nfp")).as("n_fp"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_windows"), col("n_fp"),
+          expr("""CAST(CAST(n_fp AS DECIMAL(38,0)) * 1000000
+            div n_windows AS BIGINT)""").as("density_ppm"),
+          expr("""CAST(CAST(n_fp AS DECIMAL(38,0)) * 1000
+            div n_tokens AS BIGINT)""").as("fp_per_ktok"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH ts AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+        FROM documents),
+      g AS (SELECT doc_id, lang,
+          CAST(len(ts) - 3 AS BIGINT) AS ng, CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh AS (SELECT doc_id, lang, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g WHERE ng >= 4),
+      win AS (SELECT doc_id, lang, ng, h, CAST(j AS BIGINT) AS j
+        FROM gh, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      sel AS (SELECT doc_id, lang, ng, j, MIN(h) AS fp
+        FROM win GROUP BY 1, 2, 3, 4),
+      pd AS (SELECT doc_id, lang, MAX(ng) AS ngr,
+          CAST(COUNT(DISTINCT fp) AS BIGINT) AS nfp
+        FROM sel GROUP BY 1, 2)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ngr + 3) AS BIGINT) AS n_tokens,
+        CAST(SUM(ngr - 3) AS BIGINT) AS n_windows,
+        CAST(SUM(nfp) AS BIGINT) AS n_fp,
+        CAST(CAST(SUM(nfp) AS HUGEINT) * 1000000
+          // SUM(ngr - 3) AS BIGINT) AS density_ppm,
+        CAST(CAST(SUM(nfp) AS HUGEINT) * 1000
+          // SUM(ngr + 3) AS BIGINT) AS fp_per_ktok
+      FROM pd GROUP BY 1 ORDER BY lang"""))
+
+  // ---------------------------------------------------------------------
+
+  val list: Seq[Q] = Seq(q236, q237)
+}

@@ -100,6 +100,40 @@ object QueriesRound9 {
         THEN ($j) + 1
       ELSE ($j) END"""
 
+  /** The standard (rightmost-min) and robust (Schleimer §5) winnow
+    * POSITION selections as Column exprs over a frame carrying
+    * (hs: array<int hash>, nw: long) — factored so q231's census and
+    * q236's index certificate fold token-identical expressions. */
+  private[graft] def stdSelCol: org.apache.spark.sql.Column =
+    expr(s"""array_distinct(transform(
+      sequence(1L, nw), j -> CAST(${rightmostMinSql("j")} AS BIGINT)))""")
+
+  private[graft] def robSelCol: org.apache.spark.sql.Column =
+    expr(s"""array_distinct(aggregate(
+      CASE WHEN nw >= 2 THEN sequence(2L, nw)
+        ELSE CAST(array() AS ARRAY<BIGINT>) END,
+      array(CAST(${rightmostMinSql("1")} AS BIGINT)),
+      (acc, j) -> CASE WHEN element_at(acc, -1) >= j
+          AND element_at(hs, CAST(element_at(acc, -1) AS INT))
+            = ${winMinSql("j")}
+        THEN acc
+        ELSE concat(acc, array(CAST(${rightmostMinSql("j")} AS BIGINT)))
+        END))""")
+
+  /** The (doc_id, source, hs, nw) winnow-input frame q231/q236 share:
+    * fenced gram+hash32 kernel, ≥4-gram docs only. */
+  private[graft] def winnowInput(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.KmvSketch
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.plans.FenceExpr.fence(
+          transform(TextAnalysis.wordNgrams(col("text"), 4),
+            g => KmvSketch.hash32(g))).as("hs"))
+      .filter(size(col("hs")) >= 4)
+      .withColumn("nw", (size(col("hs")) - 3).cast("long"))
+  }
+
   /** ROBUST WINNOWING (Schleimer et al., §5) vs the standard rightmost
     * -min rule — the exact twin the q223/q229 family was missing: on a
     * TIE for the window minimum, keep the PREVIOUS window's selection
@@ -126,28 +160,9 @@ object QueriesRound9 {
   private val q231 = Q(
     "q231_robust_winnow",
     (s, dir) => {
-      import graft.operators.KmvSketch
-      // FENCED (r10 audit): the ≥4-gram filter otherwise re-expands the
-      // whole gram+hash32 kernel into the predicate — 2× the map stage
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          graft.plans.FenceExpr.fence(
-            transform(TextAnalysis.wordNgrams(col("text"), 4),
-              g => KmvSketch.hash32(g))).as("hs"))
-        .filter(size(col("hs")) >= 4)
-        .withColumn("nw", (size(col("hs")) - 3).cast("long"))
-      val stdSel = expr(s"""array_distinct(transform(
-        sequence(1L, nw), j -> CAST(${rightmostMinSql("j")} AS BIGINT)))""")
-      val robSel = expr(s"""array_distinct(aggregate(
-        CASE WHEN nw >= 2 THEN sequence(2L, nw)
-          ELSE CAST(array() AS ARRAY<BIGINT>) END,
-        array(CAST(${rightmostMinSql("1")} AS BIGINT)),
-        (acc, j) -> CASE WHEN element_at(acc, -1) >= j
-            AND element_at(hs, CAST(element_at(acc, -1) AS INT))
-              = ${winMinSql("j")}
-          THEN acc
-          ELSE concat(acc, array(CAST(${rightmostMinSql("j")} AS BIGINT)))
-          END))""")
+      val docs = winnowInput(s, dir)
+      val stdSel = stdSelCol
+      val robSel = robSelCol
       docs
         .select(col("source"), col("nw"),
           size(stdSel).cast("long").as("n_std"),

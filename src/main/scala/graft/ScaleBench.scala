@@ -285,6 +285,36 @@ object ScaleBench {
           .filter(col("nsh") >= 2)
           .count()
       }
+      // round-10: q233's index-aging kernel — the stored 8-gram index
+      // lifecycle a crawl-scale pipeline pays continuously: build
+      // (map-side-combined MAX of last_seen per 16-byte gram key),
+      // TTL eviction (a narrow filter on the stored artifact, NOT a
+      // rebuild), and the delta batch's novelty join against the AGED
+      // index. Sizes the full maintain-consult loop per decade.
+      val agingNovel = timedL("index_aging") {
+        def grams8(d: DataFrame) = d
+          .select(col("doc_id"),
+            explode(graft.operators.TextAnalysis
+              .wordNgrams(col("text"), 8)).as("g"))
+          .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
+        val idxFull = grams8(docs.filter(col("doc_id") % 7 =!= 0))
+          .groupBy(col("gh"))
+          .agg(max(expr("(doc_id div 20) % 5")).as("last_seen"))
+          .localCheckpoint()
+        val aged = idxFull.filter(col("last_seen") >= 2)
+        val delta = grams8(docs.filter(col("doc_id") % 7 === 0))
+          .distinct()
+        // NO shuffle_hash hint here: the build side would be the
+        // index-sized aged frame, whose per-partition hash map OOMs at
+        // the 1M decade (measured) — sort-merge is the right shape
+        // when BOTH sides are corpus-proportional
+        delta
+          .join(aged.select(col("gh"), lit(1L).as("hit")),
+            Seq("gh"), "left")
+          .agg(count(lit(1)).as("n_delta"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+          .collect()(0).getLong(1)
+      }
       // round-9: the q221/q228 curriculum-packing chain — one global
       // prefix-rank stage cut plus a within-stage packing prefix sum,
       // both through the two-phase range-partitioned kernels. Kernel
@@ -632,7 +662,7 @@ object ScaleBench {
         f""""inc_pairs":$incPairs,"pq_rows":$pqCodes,""" +
         f""""winnow_docs":$winnowDocs,""" +
         f""""gram_sat_rows":$gramSat,"cur_pack_rows":$curPack,""" +
-        f""""winnow_pairs":$winnowPairs,""" +
+        f""""winnow_pairs":$winnowPairs,"aging_novel":$agingNovel,""" +
         f""""bpe_rounds":$bpeRounds,"nb_scored":$nbScored}""")
       println(acc.toString)
     } finally spark.stop()
