@@ -201,7 +201,137 @@ object QueriesRound10 {
           // SUM(ngr + 3) AS BIGINT) AS fp_per_ktok
       FROM pd GROUP BY 1 ORDER BY lang"""))
 
+  /** WINNOW-SCREEN DEDUP SAVINGS — the end-to-end answer to "what
+    * does the span-guarantee screen actually buy": winnow candidate
+    * pairs (q226's df-capped ≥2-shared screen) → exact connected
+    * components (q40's kernel) → quality-argmax retention (q175's
+    * packed-BIGINT policy, best copy kept, ties to the lower id) →
+    * per-source TOKEN savings, the number a training-budget owner
+    * reads. Differs from q175 (LSH clusters, per-lang policy
+    * comparison) in both the screen (span evidence, not global
+    * Jaccard) and the readout (token mass, not score mass).
+    *
+    * Scale shape: pairs are df-capped hash self-joins (linear in
+    * corpus size — the q226/SCALE.md winnow_screen row); CC is the
+    * large/small-star loop over pair edges; the component argmax is a
+    * per-component window whose partition key falls back to doc_id
+    * for unclustered docs, so NO null mega-partition exists; census
+    * rows ≤ |sources|. */
+  private val q238 = Q(
+    "q238_winnow_dedup_savings",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TextAnalysis
+      val fpdoc = SharedWinnow.selected(s, dir)
+        .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint() // df-cap + both pair legs read one lineage
+      val usable = fpdoc.groupBy(col("fp"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2,
+          graft.streaming.StreamingWinnowScreen.DfCap))
+        .select(col("fp"))
+      val capped = fpdoc.join(usable.hint("shuffle_hash"), "fp")
+      val wpairs = capped.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(capped.select(col("fp"), col("doc_id").as("doc_b"))
+          .hint("shuffle_hash"), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("nsh"))
+        .filter(col("nsh") >= 2)
+        .select(col("doc_a"), col("doc_b"))
+      val comps = graft.operators.Dedup.connectedComponents(wpairs)
+      val score = floor(
+        TextAnalysis.qualityScore(col("text")) * 1000000).cast("long")
+      val guardedId = when(col("doc_id") < 9999999L, col("doc_id"))
+        .otherwise(raise_error(lit(
+          "q238: doc_id overflows the argmax packing")).cast("long"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"),
+          (score * 10000000L + (lit(9999999L) - guardedId)).as("packed"))
+      docs.join(comps, Seq("doc_id"), "left")
+        // unclustered docs key their own singleton partition — a NULL
+        // partition key would pool the whole unclustered corpus into
+        // one window task
+        .withColumn("ck", coalesce(col("component"), col("doc_id")))
+        .withColumn("keep",
+          col("packed") === max(col("packed"))
+            .over(Window.partitionBy(col("ck"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          sum(col("tokens")).as("tokens_total"),
+          sum(when(!col("keep"), col("tokens")).otherwise(0L))
+            .as("tokens_dropped"))
+        .select(col("source"), col("docs"), col("kept"),
+          col("tokens_total"), col("tokens_dropped"),
+          expr("""CAST(CAST(tokens_dropped AS DECIMAL(38,0)) * 1000000
+            div tokens_total AS BIGINT)""").as("saved_ppm"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val stopList = graft.operators.TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH RECURSIVE
+      ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      g AS (SELECT doc_id, CAST(len(ts) - 3 AS BIGINT) AS ng,
+          CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh AS (SELECT doc_id, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g WHERE ng >= 4),
+      win AS (SELECT doc_id, ng, h, CAST(j AS BIGINT) AS j
+        FROM gh, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
+      fd AS (SELECT DISTINCT doc_id, fp FROM sel),
+      us AS (SELECT fp FROM fd GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND ${
+          graft.streaming.StreamingWinnowScreen.DfCap}),
+      cap AS (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
+      wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM wp
+        UNION SELECT doc_b, doc_a FROM wp),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1),
+      scored AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+          CAST(FLOOR((
+            LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+            (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+               / len(string_split(text, ' '))) * 0.3 +
+            (1.0 - LEAST(1.0,
+              len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2
+          ) * 1000000) AS BIGINT) AS score_fp
+        FROM documents),
+      cl AS (SELECT s.doc_id, s.source, s.tokens,
+          s.score_fp * 10000000 + (9999999 - s.doc_id) AS packed,
+          COALESCE(c.component, s.doc_id) AS ck
+        FROM scored s LEFT JOIN comps c ON c.doc_id = s.doc_id),
+      k AS (SELECT source, tokens,
+          packed = MAX(packed) OVER (PARTITION BY ck) AS keep
+        FROM cl)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+        CAST(SUM(CASE WHEN keep THEN 0 ELSE tokens END) AS BIGINT)
+          AS tokens_dropped,
+        CAST(CAST(SUM(CASE WHEN keep THEN 0 ELSE tokens END) AS HUGEINT)
+          * 1000000 // SUM(tokens) AS BIGINT) AS saved_ppm
+      FROM k GROUP BY 1 ORDER BY source"""
+    })
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q236, q237)
+  val list: Seq[Q] = Seq(q236, q237, q238)
 }

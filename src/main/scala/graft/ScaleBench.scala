@@ -297,10 +297,15 @@ object ScaleBench {
             explode(graft.operators.TextAnalysis
               .wordNgrams(col("text"), 8)).as("g"))
           .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
+        // NO localCheckpoint here (unlike q233, where sizes + the aged
+        // join are TWO actions over the index): this stage runs one
+        // action, so the index agg feeds the join in a single lineage —
+        // materializing the ~530M-row index in one JVM's storage is
+        // what OOM'd the first 10M attempt (the boilerplate_rebuild
+        // class; a cluster distributes exactly that artifact)
         val idxFull = grams8(docs.filter(col("doc_id") % 7 =!= 0))
           .groupBy(col("gh"))
           .agg(max(expr("(doc_id div 20) % 5")).as("last_seen"))
-          .localCheckpoint()
         val aged = idxFull.filter(col("last_seen") >= 2)
         val delta = grams8(docs.filter(col("doc_id") % 7 === 0))
           .distinct()
