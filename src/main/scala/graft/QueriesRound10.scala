@@ -331,7 +331,109 @@ object QueriesRound10 {
       FROM k GROUP BY 1 ORDER BY source"""
     })
 
+  /** T-CLOSENESS AUDIT — the third leg of the privacy-release family
+    * (q162 k-anonymity: group SIZE; q169 l-diversity: sensitive-value
+    * VARIETY; this: sensitive-value DISTRIBUTION). A quasi-identifier
+    * group whose sensitive distribution diverges from the global one
+    * leaks information even when large and diverse. Sensitive
+    * attribute: account balance in 11 ordered 1000-unit bins (exact
+    * integer cents, no float bin edges); distance: the ordered-
+    * attribute Earth Mover's Distance, EMD = Σᵢ|cumᵍ(i)/nᵍ −
+    * cumᴬ(i)/N| / (B−1), computed as ONE exact integer —
+    * Σ|cumᵍ·N − cumᴬ·nᵍ| with the division deferred to the final
+    * ppm quantization (DECIMAL(38) numerator: at 10⁹ rows the
+    * per-bin product reaches 10¹⁸·10⁶). One-row release-gate census:
+    * groups, groups over t = 0.2, their exposed rows, extremes.
+    *
+    * Scale shape: one (group, bin) hash-agg; the dense-bin fan-out is
+    * ×11 on GROUP census rows (never data rows); the per-group
+    * cumulative window is partitioned by group over ≤ 11 rows; the
+    * 11-row global distribution rides a broadcast. */
+  private val q239 = Q(
+    "q239_t_closeness",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 11
+      val cents = expr("CAST(c_acctbal * 100 AS BIGINT)")
+      val binned = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          greatest(lit(0L), least(lit((B - 1).toLong),
+            expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000) div 100000")))
+            .as("bin"))
+      val gb = binned.groupBy(col("nat"), col("seg"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val groups = gb.groupBy(col("nat"), col("seg"))
+        .agg(sum(col("c")).as("ng"))
+      // dense bins so the cumulative is right-continuous at gaps
+      val dense = groups
+        .select(col("nat"), col("seg"), col("ng"),
+          explode(sequence(lit(0L), lit((B - 1).toLong))).as("bin"))
+        .join(gb, Seq("nat", "seg", "bin"), "left")
+        .withColumn("cumg",
+          sum(coalesce(col("c"), lit(0L))).over(
+            Window.partitionBy(col("nat"), col("seg")).orderBy(col("bin"))))
+      val globAgg = binned.groupBy(col("bin")).agg(count(lit(1)).as("ca"))
+      // 11 census rows: the bounded-window exemption (q42's class)
+      val glob = globAgg
+        .withColumn("cuma", sum(col("ca")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(binned.agg(count(lit(1)).as("nn"))))
+        .select(col("bin"), col("cuma"), col("nn"))
+      val t = dense.join(broadcast(glob), Seq("bin"))
+        .groupBy(col("nat"), col("seg"), col("ng"), col("nn"))
+        .agg(sum(abs(col("cumg").cast("decimal(38,0)") * col("nn") -
+          col("cuma").cast("decimal(38,0)") * col("ng"))).as("num"))
+        .select(col("ng"),
+          expr(s"""CAST(CAST(num AS DECIMAL(38,0)) * 1000000
+            div (ng * nn * ${B - 1}) AS BIGINT)""").as("t_ppm"))
+      t.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("t_ppm") > 200000L, 1L).otherwise(0L))
+            .as("n_over_t"),
+          sum(when(col("t_ppm") > 200000L, col("ng")).otherwise(0L))
+            .as("exposed_rows"),
+          min(col("t_ppm")).as("min_t_ppm"),
+          max(col("t_ppm")).as("max_t_ppm"))
+    },
+    Some("""WITH b AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+          GREATEST(0, LEAST(10,
+            (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 100000)) AS bin
+        FROM customer),
+      gb AS (SELECT nat, seg, bin, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+      grp AS (SELECT nat, seg, SUM(c) AS ng FROM gb GROUP BY 1, 2),
+      dense AS (SELECT g.nat, g.seg, g.ng, CAST(u.i AS BIGINT) AS bin,
+          COALESCE(gb.c, 0) AS c
+        FROM grp g CROSS JOIN UNNEST(range(0, 11)) AS u(i)
+        LEFT JOIN gb ON gb.nat = g.nat AND gb.seg = g.seg
+          AND gb.bin = CAST(u.i AS BIGINT)),
+      cum AS (SELECT nat, seg, ng, bin,
+          SUM(c) OVER (PARTITION BY nat, seg ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS cumg
+        FROM dense),
+      ga AS (SELECT bin, COUNT(*) AS ca FROM b GROUP BY 1),
+      gl AS (SELECT bin,
+          SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cuma,
+          (SELECT COUNT(*) FROM b) AS nn
+        FROM ga),
+      t AS (SELECT c.nat, c.seg, c.ng, g.nn,
+          SUM(ABS(CAST(c.cumg AS HUGEINT) * g.nn
+            - CAST(g.cuma AS HUGEINT) * c.ng)) AS num
+        FROM cum c JOIN gl g ON g.bin = c.bin
+        GROUP BY 1, 2, 3, 4),
+      tp AS (SELECT ng,
+          CAST(CAST(num AS HUGEINT) * 1000000
+            // (ng * nn * 10) AS BIGINT) AS t_ppm
+        FROM t)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN t_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_over_t,
+        CAST(SUM(CASE WHEN t_ppm > 200000 THEN ng ELSE 0 END) AS BIGINT)
+          AS exposed_rows,
+        CAST(MIN(t_ppm) AS BIGINT) AS min_t_ppm,
+        CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm
+      FROM tp"""))
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q236, q237, q238)
+  val list: Seq[Q] = Seq(q236, q237, q238, q239)
 }
