@@ -225,7 +225,7 @@ object QueriesAnalytics {
     * measured at sf0.1 as a >60 GB spill + ENOSPC on q163 vs 1.2 s
     * materialized. Same class of planner trap as q128/q172's
     * candidate-prefilter rule; recorded in NEXT.md. */
-  private val GramEdgesSql: String =
+  private[graft] val GramEdgesSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
         FROM documents),
       grams AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM (

@@ -2157,27 +2157,12 @@ object QueriesDepth {
   private val q226 = Q(
     "q226_winnow_screen",
     (s, dir) => {
-      // selected fingerprints ride the SharedWinnow artifact (q223's
-      // pass, paid once per session+input)
-      val fpdoc = SharedWinnow.selected(s, dir)
-        .select(col("doc_id"), col("fp")).distinct()
-        .localCheckpoint() // read by the df-cap and both join legs
-      // df-cap is the ONE shared constant with the streaming twin
-      // (StreamingWinnowScreen.DfCap) — its parity spec pins THIS
-      // production screen, so the cap must not fork
-      val usable = fpdoc.groupBy(col("fp"))
-        .agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2,
-          graft.streaming.StreamingWinnowScreen.DfCap))
-        .select(col("fp"))
-      val capped = fpdoc.join(usable, "fp")
-      val wpairs = capped.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(capped.select(col("fp"), col("doc_id").as("doc_b")),
-          Seq("fp"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("nshared"))
-        .filter(col("nshared") >= 2)
+      // the df-capped ≥2-shared pair derivation rides the shared
+      // artifact (SharedWinnow.cappedPairs — also q238's input; the
+      // df-cap is the ONE shared constant with the streaming twin,
+      // StreamingWinnowScreen.DfCap, whose parity spec pins THIS
+      // production screen)
+      val wpairs = SharedWinnow.cappedPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("in_w"))
       val lpairs = SharedLsh.candidatePairs(s, dir)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("in_l"))

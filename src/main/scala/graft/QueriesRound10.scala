@@ -222,23 +222,9 @@ object QueriesRound10 {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.TextAnalysis
-      val fpdoc = SharedWinnow.selected(s, dir)
-        .select(col("doc_id"), col("fp")).distinct()
-        .localCheckpoint() // df-cap + both pair legs read one lineage
-      val usable = fpdoc.groupBy(col("fp"))
-        .agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2,
-          graft.streaming.StreamingWinnowScreen.DfCap))
-        .select(col("fp"))
-      val capped = fpdoc.join(usable.hint("shuffle_hash"), "fp")
-      val wpairs = capped.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(capped.select(col("fp"), col("doc_id").as("doc_b"))
-          .hint("shuffle_hash"), Seq("fp"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("nsh"))
-        .filter(col("nsh") >= 2)
-        .select(col("doc_a"), col("doc_b"))
+      // pair derivation rides the shared artifact (one derivation
+      // serves q226's calibration and this retention pipeline)
+      val wpairs = SharedWinnow.cappedPairs(s, dir)
       val comps = graft.operators.Dedup.connectedComponents(wpairs)
       val score = floor(
         TextAnalysis.qualityScore(col("text")) * 1000000).cast("long")
@@ -433,7 +419,61 @@ object QueriesRound10 {
         CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm
       FROM tp"""))
 
+  /** LOCAL CLUSTERING COEFFICIENT histogram over the shared-gram
+    * similarity graph — the per-NODE companion to q144's global
+    * coefficient: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), bucketed by
+    * tenths. The shape separates template FAMILIES (cc ≈ 1: a doc's
+    * neighbors all know each other — safe to collapse) from hub docs
+    * bridging unrelated groups (high degree, low cc: boilerplate
+    * magnets CC would wrongly merge) — the per-doc readout a dedup
+    * operator consults before trusting component boundaries.
+    *
+    * Scale shape: per-triangle rows come from the same oriented
+    * two-hop join as q144 (degree bounded at EDGE-BUILD time by the
+    * rare-gram df cap, so Σ deg² is capped); per-node counts explode
+    * exactly 3 rows per triangle; the census is ≤ 11 buckets. */
+  private val q240 = Q(
+    "q240_local_clustering",
+    (s, dir) => {
+      val e = SharedGrams.gramEdges(s, dir)
+      val tri = e.select(col("x").as("a"), col("y").as("b"))
+        .join(e.select(col("x").as("b"), col("y").as("c"))
+          .hint("shuffle_hash"), "b")
+        .join(e.select(col("x").as("a"), col("y").as("c"))
+          .hint("shuffle_hash"), Seq("a", "c"))
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val local = graft.operators.Graphs.degrees(e)
+        .join(perNode, Seq("v"), "left")
+        .filter(col("degree") >= 2)
+        // 2·tri·10⁶: tri ≤ C(deg,2) with deg df-cap-bounded, so the
+        // numerator stays far under BIGINT even at crawl scale
+        .select(expr("""CAST(coalesce(t, 0) * 2000000
+          div (degree * (degree - 1)) AS BIGINT)""").as("cc_ppm"))
+      local.groupBy(expr("cc_ppm div 100000").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("cc_ppm")).as("min_cc_ppm"),
+          max(col("cc_ppm")).as("max_cc_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""${QueriesAnalytics.GramEdgesSql},
+      tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM pairs e1 JOIN pairs e2 ON e1.y = e2.x
+        JOIN pairs e3 ON e1.x = e3.x AND e2.y = e3.y),
+      pn AS (SELECT v, COUNT(*) AS t FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1),
+      loc AS (SELECT CAST(COALESCE(pn.t, 0) * 2000000
+            // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+        FROM deg LEFT JOIN pn ON pn.v = deg.v WHERE deg.d >= 2)
+      SELECT cc_ppm // 100000 AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST(MIN(cc_ppm) AS BIGINT) AS min_cc_ppm,
+        CAST(MAX(cc_ppm) AS BIGINT) AS max_cc_ppm
+      FROM loc GROUP BY 1 ORDER BY bucket"""))
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q236, q237, q238, q239)
+  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240)
 }

@@ -431,10 +431,47 @@ object SharedWinnow {
           .as("spos"))
   }
 
+  private val pairCache = TrieMap.empty[Key, DataFrame]
+
+  /** The df-capped ≥2-shared winnow candidate-pair artifact —
+    * distinct (doc, fp) from [[selected]], document frequency capped
+    * at [2, StreamingWinnowScreen.DfCap], capped-bucket self-join,
+    * pairs sharing ≥ 2 fingerprints. Shared by q226 (screen
+    * calibration) and q238 (dedup retention): the pair derivation is
+    * the expensive stage, both consumers are views over it. Forced
+    * shuffle on the self-join legs (scale lesson #4 — broadcast would
+    * pin output parallelism). */
+  def cappedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate(Key(s, dir), {
+      import org.apache.spark.sql.functions._
+      val fpdoc = selected(s, dir)
+        .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint() // df-cap + both join legs read one lineage
+      val usable = fpdoc.groupBy(col("fp"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2,
+          graft.streaming.StreamingWinnowScreen.DfCap))
+        .select(col("fp"))
+      val capped = fpdoc.join(usable.hint("shuffle_hash"), "fp")
+      capped.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(capped.select(col("fp"), col("doc_id").as("doc_b"))
+          .hint("shuffle_hash"), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= 2)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    })
+
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     cache.clear()
+    pairCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    pairCache.clear()
   }
 }
