@@ -473,7 +473,79 @@ object QueriesRound10 {
         CAST(MAX(cc_ppm) AS BIGINT) AS max_cc_ppm
       FROM loc GROUP BY 1 ORDER BY bucket"""))
 
+  /** IVF REASSIGNMENT DRIFT — the index-maintenance census the ANN
+    * family (q47/q48/q95 IVF, q233's TTL aging) was missing: after a
+    * centroid REFRESH (one Lloyd mean step over the current
+    * assignment), how many vectors change cells, per cell? High drift
+    * = the stored inverted file has gone stale and probing misses
+    * neighbors; the census is what decides whether to pay the
+    * re-partitioning pass. Both assignments use the FIXED-POINT
+    * argmin metric (q108's Σ⌊(x−m)²·10¹⁰⌋ with lowest-cid ties) and
+    * the refreshed means use the ⌊x·10¹²⌋ recipe — double→decimal
+    * casts would reintroduce the engine-dependent midpoint rounding
+    * (the q108 lesson), so the whole refresh loop is engine-exact.
+    *
+    * Scale shape: each assignment is a narrow broadcast-centroid
+    * argmin scan (partial-agg collapses the k-row fan-out before any
+    * exchange); the mean step shuffles k·dims rows; the drift join is
+    * id-keyed hash-only; census rows ≤ k. The assignment frame is
+    * checkpointed once — at production scale it IS the stored
+    * inverted file. */
+  private val q241 = Q(
+    "q241_ivf_reassign_drift",
+    (s, dir) => {
+      import graft.operators.KMeansCluster
+      val emb = SharedIvf.vectors(s, dir)
+      val a0 = KMeansCluster.assignFrom(emb, SharedIvf.centroids(s, dir))
+        .localCheckpoint() // mean step + drift join read one lineage
+      val c1 = KMeansCluster.updateCentroids(
+        a0.select(col("cluster"), col("v")))
+      import s.implicits._
+      val a1 = KMeansCluster.assignFrom(emb, c1.toDF("cid", "cv"))
+      a0.select(col("id"), col("cluster").as("c0"))
+        .join(a1.select(col("id"), col("cluster").as("c1"))
+          .hint("shuffle_hash"), "id")
+        .groupBy(col("c0").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c1") =!= col("c0"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .select(col("cell"), col("n"), col("n_moved"),
+          expr("""CAST(CAST(n_moved AS DECIMAL(38,0)) * 1000000
+            div n AS BIGINT)""").as("moved_ppm"))
+        .orderBy(col("cell"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      c0 AS (SELECT CAST(e.vec_id // 97 AS BIGINT) AS cid, e.i, e.a AS m
+        FROM ev e WHERE e.vec_id % 97 = 0),
+      d0 AS (SELECT e.vec_id, c.cid,
+          SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10) AS BIGINT)) AS d
+        FROM ev e JOIN c0 c ON e.i = c.i GROUP BY 1, 2),
+      a0 AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d0) r WHERE rn = 1),
+      c1 AS (SELECT a0.cid, e.i,
+          CAST(SUM(CAST(FLOOR(e.a * 1e12) AS BIGINT)) AS DOUBLE)
+            / 1e12 / COUNT(*) AS m
+        FROM ev e JOIN a0 ON e.vec_id = a0.vec_id GROUP BY 1, 2),
+      d1 AS (SELECT e.vec_id, c.cid,
+          SUM(CAST(FLOOR(((e.a - c.m)*(e.a - c.m)) * 1e10) AS BIGINT)) AS d
+        FROM ev e JOIN c1 c ON e.i = c.i GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) r WHERE rn = 1)
+      SELECT CAST(a0.cid AS BIGINT) AS cell,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN a1.cid <> a0.cid THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved,
+        CAST(CAST(SUM(CASE WHEN a1.cid <> a0.cid THEN 1 ELSE 0 END)
+          AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS moved_ppm
+      FROM a0 JOIN a1 USING (vec_id) GROUP BY 1 ORDER BY cell"""))
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240)
+  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240, q241)
 }

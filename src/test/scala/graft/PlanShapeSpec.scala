@@ -625,6 +625,60 @@ class PlanShapeSpec extends SparkSpec {
       s"screen/confirm equi-joins must build hash maps, not sort:\n$p")
   }
 
+  test("q238: retention window keys per-component, pair legs never broadcast") {
+    // the component-argmax window must partition by the coalesced
+    // component key (a NULL key would pool every unclustered doc into
+    // one task), and the pair/CC legs must not broadcast frames that
+    // scale with duplication rate
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    val df = Queries.all("q238_winnow_dedup_savings")(spark, sf())
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: p.children.flatMap(nodes)
+    val wins = nodes(df.queryExecution.optimizedPlan)
+      .collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the retention argmax window")
+    for (w <- wins)
+      assert(w.partitionSpec.exists {
+        case n: NamedExpression => n.name == "ck"
+        case _ => false
+      }, s"retention window not component-partitioned:\n$w")
+  }
+
+  test("q239: group cumulative windows partition by the QI group") {
+    // only the 11-row global-distribution census may run unpartitioned
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    val df = Queries.all("q239_t_closeness")(spark, sf())
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: p.children.flatMap(nodes)
+    val wins = nodes(df.queryExecution.optimizedPlan)
+      .collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    // the global cumulative runs over the ≤11-bin census only: its
+    // input must be an aggregate keyed by bin, never a data-row frame
+    for (w <- unpartitioned)
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.exists(_.groupingExpressions.nonEmpty),
+        s"unpartitioned window not over the bounded bin census:\n$w")
+    val grouped = wins.filterNot(unpartitioned.contains)
+    assert(grouped.nonEmpty, "expected the per-group cumulative")
+    for (w <- grouped)
+      assert(w.partitionSpec.size == 2,
+        s"group cumulative must partition by (nat, seg):\n$w")
+  }
+
+  test("q240: triangle joins build hash maps; census never broadcasts pairs") {
+    val p = planOf(Queries.all("q240_local_clustering")(spark, sf()))
+    assert(p.contains("ShuffledHashJoin"),
+      s"two-hop triangle joins must be shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair frame exploded:\n$p")
+  }
+
   test("q219: grams shuffle as 16-byte hashes, never raw gram strings") {
     // the df/occ aggregation keys on unhex(md5(gram)); the space-joined
     // gram string must be consumed inside the scan stage.
