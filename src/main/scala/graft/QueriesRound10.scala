@@ -222,10 +222,10 @@ object QueriesRound10 {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.TextAnalysis
-      // pair derivation rides the shared artifact (one derivation
-      // serves q226's calibration and this retention pipeline)
-      val wpairs = SharedWinnow.cappedPairs(s, dir)
-      val comps = graft.operators.Dedup.connectedComponents(wpairs)
+      // pair derivation + component map ride the shared artifacts
+      // (one derivation serves q226's calibration, this retention
+      // pipeline, and q242's cluster profile)
+      val comps = SharedWinnow.components(s, dir)
       val score = floor(
         TextAnalysis.qualityScore(col("text")) * 1000000).cast("long")
       val guardedId = when(col("doc_id") < 9999999L, col("doc_id"))
@@ -545,7 +545,106 @@ object QueriesRound10 {
           AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS moved_ppm
       FROM a0 JOIN a1 USING (vec_id) GROUP BY 1 ORDER BY cell"""))
 
+  /** SCREEN CLUSTER PROFILE — q215's component-size census run for
+    * BOTH candidate screens side by side: the winnow (span-evidence)
+    * clusters vs the MinHash-LSH (global-Jaccard) clusters, long-form
+    * (screen, size_bucket) rows. q226 compares the screens at PAIR
+    * level; this is the CLUSTER-level readout — whether a screen's
+    * extra pairs merge families into megaclusters (the transitive-
+    * closure hazard a retention policy must know about) or only
+    * thicken existing ones. Both component maps are session artifacts
+    * (SharedWinnow.components / SharedLsh.components), so the query
+    * is two component-keyed counts + ≤6-row censuses. */
+  private val q242 = Q(
+    "q242_screen_cluster_profile",
+    (s, dir) => {
+      def census(comps: org.apache.spark.sql.DataFrame, label: String) =
+        comps.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .select(lit(label).as("screen"),
+            when(col("sz") <= 5L, col("sz").cast("string"))
+              .when(col("sz") <= 10L, lit("6-10"))
+              .otherwise(lit("11+")).as("size_bucket"),
+            col("sz"))
+          .groupBy(col("screen"), col("size_bucket"))
+          .agg(count(lit(1)).as("n_components"),
+            sum(col("sz")).as("n_docs"),
+            sum(col("sz") - 1L).as("n_removals"))
+      census(SharedWinnow.components(s, dir), "winnow")
+        .unionByName(census(SharedLsh.components(s, dir), "lsh"))
+        .orderBy(col("screen"), col("size_bucket"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j =>
+          s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      lpr AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      ledges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM lpr
+        UNION SELECT doc_b, doc_a FROM lpr),
+      lwalk(node, label) AS (
+        SELECT src, src FROM ledges
+        UNION
+        SELECT e.dst, w.label FROM lwalk w JOIN ledges e ON e.src = w.node),
+      lcomp AS (SELECT node AS doc_id, MIN(label) AS component
+        FROM lwalk GROUP BY 1),
+      ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      g AS (SELECT doc_id, CAST(len(ts) - 3 AS BIGINT) AS ng,
+          CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh AS (SELECT doc_id, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g WHERE ng >= 4),
+      win AS (SELECT doc_id, ng, h, CAST(j AS BIGINT) AS j
+        FROM gh, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
+      fd AS (SELECT DISTINCT doc_id, fp FROM sel),
+      us AS (SELECT fp FROM fd GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND ${
+          graft.streaming.StreamingWinnowScreen.DfCap}),
+      cap AS (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
+      wpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      wedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM wpr
+        UNION SELECT doc_b, doc_a FROM wpr),
+      wwalk(node, label) AS (
+        SELECT src, src FROM wedges
+        UNION
+        SELECT e.dst, w.label FROM wwalk w JOIN wedges e ON e.src = w.node),
+      wcomp AS (SELECT node AS doc_id, MIN(label) AS component
+        FROM wwalk GROUP BY 1),
+      bo AS (
+        SELECT 'winnow' AS screen, component, COUNT(*) AS sz
+        FROM wcomp GROUP BY 2
+        UNION ALL
+        SELECT 'lsh' AS screen, component, COUNT(*) AS sz
+        FROM lcomp GROUP BY 2)
+      SELECT screen,
+        CASE WHEN sz <= 5 THEN CAST(sz AS VARCHAR)
+             WHEN sz <= 10 THEN '6-10' ELSE '11+' END AS size_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_components,
+        CAST(SUM(sz) AS BIGINT) AS n_docs,
+        CAST(SUM(sz - 1) AS BIGINT) AS n_removals
+      FROM bo GROUP BY 1, 2 ORDER BY screen, size_bucket"""
+    })
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240, q241)
+  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240, q241, q242)
 }

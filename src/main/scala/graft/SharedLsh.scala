@@ -464,6 +464,16 @@ object SharedWinnow {
         .localCheckpoint()
     })
 
+  private val compCache = TrieMap.empty[Key, DataFrame]
+
+  /** Exact connected components over [[cappedPairs]] — the winnow
+    * screen's cluster map, cached like SharedLsh.components (q238's
+    * retention and q242's cluster profile read the same map). */
+  def components(s: SparkSession, dir: String): DataFrame =
+    compCache.getOrElseUpdate(Key(s, dir),
+      graft.operators.Dedup.connectedComponents(cappedPairs(s, dir))
+        .localCheckpoint())
+
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
@@ -473,5 +483,9 @@ object SharedWinnow {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     pairCache.clear()
+    compCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    compCache.clear()
   }
 }
