@@ -644,7 +644,121 @@ object QueriesRound10 {
       FROM bo GROUP BY 1, 2 ORDER BY screen, size_bucket"""
     })
 
+  /** MEGACLUSTER WEAK-LINK DIAGNOSIS — q242 shows the LSH screen
+    * chains 11+-member megaclusters; this query answers WHY, per
+    * cluster: exact 5-gram Jaccard on every candidate EDGE inside the
+    * big components, reporting the minimum and the count of weak
+    * edges (< 0.5). A megacluster whose min edge Jaccard is high is a
+    * real duplicate family; one glued by near-zero edges is
+    * transitive-closure chaining through band-collision accidents —
+    * the per-cluster evidence a retention policy needs before
+    * collapsing 11+ docs to one. Zero-overlap chance collisions are
+    * kept via the left join (they are the weakest links, i = 0).
+    *
+    * Scale shape: membership and edges ride the session artifacts;
+    * shingles are computed only for megacluster MEMBERS (a
+    * duplication-rate-proportional slice); per-edge intersection is a
+    * shingle-keyed hash join bounded by the candidate edge list; all
+    * joins hinted shuffle-hash (edge volume scales with duplication
+    * rate — never broadcast); census rows = #megaclusters. */
+  private val q243 = Q(
+    "q243_megacluster_weak_links",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val comps = SharedLsh.components(s, dir)
+      val big = comps.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .filter(col("csize") >= 11)
+      val members = comps.join(big.hint("shuffle_hash"), "component")
+      // both endpoints of an edge share a component by construction,
+      // so tagging doc_a tags the edge
+      val edges = SharedLsh.candidatePairs(s, dir)
+        .join(members.select(col("doc_id").as("doc_a"),
+          col("component"), col("csize")).hint("shuffle_hash"), "doc_a")
+        .localCheckpoint() // intersections + sizes read one lineage
+      val sh = Dedup.shingleRows(
+        Tables.documents(s, dir).join(
+          members.select(col("doc_id")).hint("shuffle_hash"), "doc_id"),
+        "doc_id", "text", 5)
+        .localCheckpoint() // two edge legs + sizes read one lineage
+      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = edges
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh"))
+          .hint("shuffle_hash"), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      val j = edges
+        .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
+        .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
+          .hint("shuffle_hash"), "doc_b")
+        .select(col("component"), col("csize"),
+          expr("""CAST(CAST(coalesce(i, 0L) AS DECIMAL(38,0)) * 1000000
+            div (sza + szb - coalesce(i, 0L)) AS BIGINT)""").as("jfp"))
+      j.groupBy(col("component"), col("csize"))
+        .agg(count(lit(1)).as("n_edges"),
+          min(col("jfp")).as("min_jaccard_fp"),
+          sum(when(col("jfp") < 500000L, 1L).otherwise(0L))
+            .as("n_weak_edges"))
+        .orderBy(col("component"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j =>
+          s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh0 AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh0 GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1),
+      big AS (SELECT component, COUNT(*) AS csize
+        FROM comps GROUP BY 1 HAVING COUNT(*) >= 11),
+      be AS (SELECT p.doc_a, p.doc_b, c.component, b.csize
+        FROM pairs p
+        JOIN comps c ON c.doc_id = p.doc_a
+        JOIN big b ON b.component = c.component),
+      msh AS (SELECT s.doc_id, s.sh FROM sh0 s
+        JOIN comps c ON c.doc_id = s.doc_id
+        JOIN big b ON b.component = c.component),
+      szs AS (SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY 1),
+      inter AS (SELECT e.doc_a, e.doc_b, COUNT(*) AS i
+        FROM be e
+        JOIN msh a ON a.doc_id = e.doc_a
+        JOIN msh b2 ON b2.doc_id = e.doc_b AND b2.sh = a.sh
+        GROUP BY 1, 2),
+      jf AS (SELECT e.component, e.csize,
+          CAST(CAST(COALESCE(i.i, 0) AS HUGEINT) * 1000000
+            // (sa.sz + sb.sz - COALESCE(i.i, 0)) AS BIGINT) AS jfp
+        FROM be e
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN szs sa ON sa.doc_id = e.doc_a
+        JOIN szs sb ON sb.doc_id = e.doc_b)
+      SELECT component, CAST(csize AS BIGINT) AS csize,
+        CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(MIN(jfp) AS BIGINT) AS min_jaccard_fp,
+        CAST(SUM(CASE WHEN jfp < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_weak_edges
+      FROM jf GROUP BY 1, 2 ORDER BY component"""
+    })
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240, q241, q242)
+  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240, q241, q242, q243)
 }
