@@ -758,7 +758,158 @@ object QueriesRound10 {
       FROM jf GROUP BY 1, 2 ORDER BY component"""
     })
 
+  /** MEGACLUSTER REPAIR — the action q243's diagnosis motivates:
+    * inside each 11+ LSH megacluster, drop every candidate edge whose
+    * exact 5-gram Jaccard is under 0.2 (the chance-collision bridges)
+    * and re-run exact connected components on the strong edges. The
+    * census per megacluster — sub-cluster count, largest survivor,
+    * docs isolated entirely — is the before/after a retention policy
+    * applies instead of collapsing 11+ docs through chained bridges.
+    *
+    * Scale shape: everything up to the edge Jaccard is q243's shape
+    * (artifact-riding, member-sliced shingles, shuffle-hash joins);
+    * the repair CC runs on the STRONG-edge subgraph only (a
+    * duplication-rate-proportional slice); census rows =
+    * #megaclusters. */
+  private val q244 = Q(
+    "q244_megacluster_repair",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val comps = SharedLsh.components(s, dir)
+      val big = comps.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .filter(col("csize") >= 11)
+      val members = comps.join(big.hint("shuffle_hash"), "component")
+        .localCheckpoint() // edges + shingles + isolation read one lineage
+      val edges = SharedLsh.candidatePairs(s, dir)
+        .join(members.select(col("doc_id").as("doc_a"), col("component"))
+          .hint("shuffle_hash"), "doc_a")
+      val sh = Dedup.shingleRows(
+        Tables.documents(s, dir).join(
+          members.select(col("doc_id")).hint("shuffle_hash"), "doc_id"),
+        "doc_id", "text", 5)
+        .localCheckpoint()
+      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = edges
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh"))
+          .hint("shuffle_hash"), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      val strong = edges
+        .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
+        .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
+          .hint("shuffle_hash"), "doc_b")
+        .filter(expr("""CAST(coalesce(i, 0L) AS DECIMAL(38,0)) * 1000000
+          div (sza + szb - coalesce(i, 0L))""") >= 200000L)
+        .select(col("component"), col("doc_a"), col("doc_b"))
+        .localCheckpoint() // CC + the two censuses read one lineage
+      val sub = graft.operators.Dedup.connectedComponents(
+        strong.select(col("doc_a"), col("doc_b")))
+      // sub-cluster census per ORIGINAL megacluster (each strong-edge
+      // subcomponent lives inside one megacluster by construction)
+      val subSizes = sub
+        .join(members.select(col("doc_id"), col("component")
+          .as("orig")).hint("shuffle_hash"), "doc_id")
+        .groupBy(col("orig"), col("component"))
+        .agg(count(lit(1)).as("ssz"))
+      val subCen = subSizes.groupBy(col("orig"))
+        .agg(count(lit(1)).as("n_sub"), max(col("ssz")).as("max_sub"),
+          sum(col("ssz")).as("n_connected"))
+      val strongCnt = strong.groupBy(col("component").as("orig"))
+        .agg(count(lit(1)).as("n_strong_edges"))
+      big.select(col("component").as("orig"), col("csize"))
+        .join(strongCnt, Seq("orig"), "left")
+        .join(subCen, Seq("orig"), "left")
+        .select(col("orig").as("component"), col("csize"),
+          coalesce(col("n_strong_edges"), lit(0L)).as("n_strong_edges"),
+          coalesce(col("n_sub"), lit(0L)).as("n_sub"),
+          coalesce(col("max_sub"), lit(0L)).as("max_sub"),
+          (col("csize") - coalesce(col("n_connected"), lit(0L)))
+            .as("n_isolated"))
+        .orderBy(col("component"))
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j =>
+          s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE
+      sh0 AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS (SELECT doc_id, $mins FROM sh0 GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1),
+      big AS (SELECT component, COUNT(*) AS csize
+        FROM comps GROUP BY 1 HAVING COUNT(*) >= 11),
+      be AS (SELECT p.doc_a, p.doc_b, c.component
+        FROM pairs p
+        JOIN comps c ON c.doc_id = p.doc_a
+        JOIN big b ON b.component = c.component),
+      msh AS (SELECT s.doc_id, s.sh FROM sh0 s
+        JOIN comps c ON c.doc_id = s.doc_id
+        JOIN big b ON b.component = c.component),
+      szs AS (SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY 1),
+      inter AS (SELECT e.doc_a, e.doc_b, COUNT(*) AS i
+        FROM be e
+        JOIN msh a ON a.doc_id = e.doc_a
+        JOIN msh b2 ON b2.doc_id = e.doc_b AND b2.sh = a.sh
+        GROUP BY 1, 2),
+      strong AS (SELECT e.component, e.doc_a, e.doc_b
+        FROM be e
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN szs sa ON sa.doc_id = e.doc_a
+        JOIN szs sb ON sb.doc_id = e.doc_b
+        WHERE CAST(COALESCE(i.i, 0) AS HUGEINT) * 1000000
+          // (sa.sz + sb.sz - COALESCE(i.i, 0)) >= 200000),
+      sedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM strong
+        UNION SELECT doc_b, doc_a FROM strong),
+      swalk(node, label) AS (
+        SELECT src, src FROM sedges
+        UNION
+        SELECT e.dst, w.label FROM swalk w JOIN sedges e ON e.src = w.node),
+      sub AS (SELECT node AS doc_id, MIN(label) AS scomp
+        FROM swalk GROUP BY 1),
+      ssz AS (SELECT c.component AS orig, s.scomp, COUNT(*) AS ssz
+        FROM sub s JOIN comps c ON c.doc_id = s.doc_id
+        GROUP BY 1, 2),
+      scen AS (SELECT orig, CAST(COUNT(*) AS BIGINT) AS n_sub,
+          CAST(MAX(ssz) AS BIGINT) AS max_sub,
+          CAST(SUM(ssz) AS BIGINT) AS n_connected
+        FROM ssz GROUP BY 1),
+      sec AS (SELECT component AS orig,
+          CAST(COUNT(*) AS BIGINT) AS n_strong_edges
+        FROM strong GROUP BY 1)
+      SELECT b.component, CAST(b.csize AS BIGINT) AS csize,
+        COALESCE(sec.n_strong_edges, 0) AS n_strong_edges,
+        COALESCE(scen.n_sub, 0) AS n_sub,
+        COALESCE(scen.max_sub, 0) AS max_sub,
+        CAST(b.csize - COALESCE(scen.n_connected, 0) AS BIGINT)
+          AS n_isolated
+      FROM big b
+      LEFT JOIN sec ON sec.orig = b.component
+      LEFT JOIN scen ON scen.orig = b.component
+      ORDER BY b.component"""
+    })
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240, q241, q242, q243)
+  val list: Seq[Q] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
+    q244)
 }
