@@ -273,11 +273,11 @@ object QueriesRound10 {
         FROM gh, UNNEST(range(greatest(1, p - 3),
           least(p, ng - 3) + 1)) v(j)),
       sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
-      fd AS (SELECT DISTINCT doc_id, fp FROM sel),
+      fd AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
       us AS (SELECT fp FROM fd GROUP BY fp
         HAVING COUNT(*) BETWEEN 2 AND ${
           graft.streaming.StreamingWinnowScreen.DfCap}),
-      cap AS (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
+      cap AS MATERIALIZED (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
       wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
@@ -288,7 +288,7 @@ object QueriesRound10 {
         SELECT src, src FROM edges
         UNION
         SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
-      comps AS (SELECT node AS doc_id, MIN(label) AS component
+      comps AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS component
         FROM walk GROUP BY 1),
       scored AS (SELECT doc_id, source,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
@@ -581,22 +581,22 @@ object QueriesRound10 {
       s"""WITH RECURSIVE
       sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
         FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-      bands AS (
+      sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS MATERIALIZED (
         SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
         UNION ALL
         SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
-      lpr AS (
+      lpr AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-      ledges AS (
+      ledges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM lpr
         UNION SELECT doc_b, doc_a FROM lpr),
       lwalk(node, label) AS (
         SELECT src, src FROM ledges
         UNION
         SELECT e.dst, w.label FROM lwalk w JOIN ledges e ON e.src = w.node),
-      lcomp AS (SELECT node AS doc_id, MIN(label) AS component
+      lcomp AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS component
         FROM lwalk GROUP BY 1),
       ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       g AS (SELECT doc_id, CAST(len(ts) - 3 AS BIGINT) AS ng,
@@ -612,22 +612,22 @@ object QueriesRound10 {
         FROM gh, UNNEST(range(greatest(1, p - 3),
           least(p, ng - 3) + 1)) v(j)),
       sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
-      fd AS (SELECT DISTINCT doc_id, fp FROM sel),
+      fd AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
       us AS (SELECT fp FROM fd GROUP BY fp
         HAVING COUNT(*) BETWEEN 2 AND ${
           graft.streaming.StreamingWinnowScreen.DfCap}),
-      cap AS (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
-      wpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      cap AS MATERIALIZED (SELECT fd.doc_id, fd.fp FROM fd JOIN us ON us.fp = fd.fp),
+      wpr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-      wedges AS (
+      wedges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM wpr
         UNION SELECT doc_b, doc_a FROM wpr),
       wwalk(node, label) AS (
         SELECT src, src FROM wedges
         UNION
         SELECT e.dst, w.label FROM wwalk w JOIN wedges e ON e.src = w.node),
-      wcomp AS (SELECT node AS doc_id, MIN(label) AS component
+      wcomp AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS component
         FROM wwalk GROUP BY 1),
       bo AS (
         SELECT 'winnow' AS screen, component, COUNT(*) AS sz
@@ -709,36 +709,36 @@ object QueriesRound10 {
           s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
         .mkString(", ")
       s"""WITH RECURSIVE
-      sh0 AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+      sh0 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
         FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
-      sig AS (SELECT doc_id, $mins FROM sh0 GROUP BY doc_id),
-      bands AS (
+      sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh0 GROUP BY doc_id),
+      bands AS MATERIALIZED (
         SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
         UNION ALL
         SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs),
       walk(node, label) AS (
         SELECT src, src FROM edges
         UNION
         SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
-      comps AS (SELECT node AS doc_id, MIN(label) AS component
+      comps AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS component
         FROM walk GROUP BY 1),
-      big AS (SELECT component, COUNT(*) AS csize
+      big AS MATERIALIZED (SELECT component, COUNT(*) AS csize
         FROM comps GROUP BY 1 HAVING COUNT(*) >= 11),
-      be AS (SELECT p.doc_a, p.doc_b, c.component, b.csize
+      be AS MATERIALIZED (SELECT p.doc_a, p.doc_b, c.component, b.csize
         FROM pairs p
         JOIN comps c ON c.doc_id = p.doc_a
         JOIN big b ON b.component = c.component),
-      msh AS (SELECT s.doc_id, s.sh FROM sh0 s
+      msh AS MATERIALIZED (SELECT s.doc_id, s.sh FROM sh0 s
         JOIN comps c ON c.doc_id = s.doc_id
         JOIN big b ON b.component = c.component),
-      szs AS (SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY 1),
-      inter AS (SELECT e.doc_a, e.doc_b, COUNT(*) AS i
+      szs AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY 1),
+      inter AS MATERIALIZED (SELECT e.doc_a, e.doc_b, COUNT(*) AS i
         FROM be e
         JOIN msh a ON a.doc_id = e.doc_a
         JOIN msh b2 ON b2.doc_id = e.doc_b AND b2.sh = a.sh
@@ -836,55 +836,55 @@ object QueriesRound10 {
           s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
         .mkString(", ")
       s"""WITH RECURSIVE
-      sh0 AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+      sh0 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
         FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
-      sig AS (SELECT doc_id, $mins FROM sh0 GROUP BY doc_id),
-      bands AS (
+      sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh0 GROUP BY doc_id),
+      bands AS MATERIALIZED (
         SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
         UNION ALL
         SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs),
       walk(node, label) AS (
         SELECT src, src FROM edges
         UNION
         SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
-      comps AS (SELECT node AS doc_id, MIN(label) AS component
+      comps AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS component
         FROM walk GROUP BY 1),
-      big AS (SELECT component, COUNT(*) AS csize
+      big AS MATERIALIZED (SELECT component, COUNT(*) AS csize
         FROM comps GROUP BY 1 HAVING COUNT(*) >= 11),
-      be AS (SELECT p.doc_a, p.doc_b, c.component
+      be AS MATERIALIZED (SELECT p.doc_a, p.doc_b, c.component
         FROM pairs p
         JOIN comps c ON c.doc_id = p.doc_a
         JOIN big b ON b.component = c.component),
-      msh AS (SELECT s.doc_id, s.sh FROM sh0 s
+      msh AS MATERIALIZED (SELECT s.doc_id, s.sh FROM sh0 s
         JOIN comps c ON c.doc_id = s.doc_id
         JOIN big b ON b.component = c.component),
-      szs AS (SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY 1),
-      inter AS (SELECT e.doc_a, e.doc_b, COUNT(*) AS i
+      szs AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY 1),
+      inter AS MATERIALIZED (SELECT e.doc_a, e.doc_b, COUNT(*) AS i
         FROM be e
         JOIN msh a ON a.doc_id = e.doc_a
         JOIN msh b2 ON b2.doc_id = e.doc_b AND b2.sh = a.sh
         GROUP BY 1, 2),
-      strong AS (SELECT e.component, e.doc_a, e.doc_b
+      strong AS MATERIALIZED (SELECT e.component, e.doc_a, e.doc_b
         FROM be e
         LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
         JOIN szs sa ON sa.doc_id = e.doc_a
         JOIN szs sb ON sb.doc_id = e.doc_b
         WHERE CAST(COALESCE(i.i, 0) AS HUGEINT) * 1000000
           // (sa.sz + sb.sz - COALESCE(i.i, 0)) >= 200000),
-      sedges AS (
+      sedges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM strong
         UNION SELECT doc_b, doc_a FROM strong),
       swalk(node, label) AS (
         SELECT src, src FROM sedges
         UNION
         SELECT e.dst, w.label FROM swalk w JOIN sedges e ON e.src = w.node),
-      sub AS (SELECT node AS doc_id, MIN(label) AS scomp
+      sub AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS scomp
         FROM swalk GROUP BY 1),
       ssz AS (SELECT c.component AS orig, s.scomp, COUNT(*) AS ssz
         FROM sub s JOIN comps c ON c.doc_id = s.doc_id
