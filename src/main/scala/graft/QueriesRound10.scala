@@ -664,38 +664,9 @@ object QueriesRound10 {
   private val q243 = Q(
     "q243_megacluster_weak_links",
     (s, dir) => {
-      import graft.operators.Dedup
-      val comps = SharedLsh.components(s, dir)
-      val big = comps.groupBy(col("component")).agg(count(lit(1)).as("csize"))
-        .filter(col("csize") >= 11)
-      val members = comps.join(big.hint("shuffle_hash"), "component")
-      // both endpoints of an edge share a component by construction,
-      // so tagging doc_a tags the edge
-      val edges = SharedLsh.candidatePairs(s, dir)
-        .join(members.select(col("doc_id").as("doc_a"),
-          col("component"), col("csize")).hint("shuffle_hash"), "doc_a")
-        .localCheckpoint() // intersections + sizes read one lineage
-      val sh = Dedup.shingleRows(
-        Tables.documents(s, dir).join(
-          members.select(col("doc_id")).hint("shuffle_hash"), "doc_id"),
-        "doc_id", "text", 5)
-        .localCheckpoint() // two edge legs + sizes read one lineage
-      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = edges
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh"))
-          .hint("shuffle_hash"), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh"))
-          .hint("shuffle_hash"), Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-      val j = edges
-        .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
-        .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
-          .hint("shuffle_hash"), "doc_a")
-        .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
-          .hint("shuffle_hash"), "doc_b")
-        .select(col("component"), col("csize"),
-          expr("""CAST(CAST(coalesce(i, 0L) AS DECIMAL(38,0)) * 1000000
-            div (sza + szb - coalesce(i, 0L)) AS BIGINT)""").as("jfp"))
+      // the per-edge exact Jaccard frame is the session artifact
+      // shared with q244's repair (SharedLsh.megaEdgeJaccard)
+      val j = SharedLsh.megaEdgeJaccard(s, dir)
       j.groupBy(col("component"), col("csize"))
         .agg(count(lit(1)).as("n_edges"),
           min(col("jfp")).as("min_jaccard_fp"),
@@ -774,43 +745,22 @@ object QueriesRound10 {
   private val q244 = Q(
     "q244_megacluster_repair",
     (s, dir) => {
-      import graft.operators.Dedup
-      val comps = SharedLsh.components(s, dir)
-      val big = comps.groupBy(col("component")).agg(count(lit(1)).as("csize"))
-        .filter(col("csize") >= 11)
-      val members = comps.join(big.hint("shuffle_hash"), "component")
-        .localCheckpoint() // edges + shingles + isolation read one lineage
-      val edges = SharedLsh.candidatePairs(s, dir)
-        .join(members.select(col("doc_id").as("doc_a"), col("component"))
-          .hint("shuffle_hash"), "doc_a")
-      val sh = Dedup.shingleRows(
-        Tables.documents(s, dir).join(
-          members.select(col("doc_id")).hint("shuffle_hash"), "doc_id"),
-        "doc_id", "text", 5)
-        .localCheckpoint()
-      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = edges
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh"))
-          .hint("shuffle_hash"), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh"))
-          .hint("shuffle_hash"), Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-      val strong = edges
-        .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
-        .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
-          .hint("shuffle_hash"), "doc_a")
-        .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
-          .hint("shuffle_hash"), "doc_b")
-        .filter(expr("""CAST(coalesce(i, 0L) AS DECIMAL(38,0)) * 1000000
-          div (sza + szb - coalesce(i, 0L))""") >= 200000L)
+      // edge-Jaccard frame + repaired component map are session
+      // artifacts (SharedLsh.megaEdgeJaccard / strongComponents —
+      // q243 reads the same edge frame)
+      val j = SharedLsh.megaEdgeJaccard(s, dir)
+      val strong = j.filter(col("jfp") >= 200000L)
         .select(col("component"), col("doc_a"), col("doc_b"))
-        .localCheckpoint() // CC + the two censuses read one lineage
-      val sub = graft.operators.Dedup.connectedComponents(
-        strong.select(col("doc_a"), col("doc_b")))
+      val sub = SharedLsh.strongComponents(s, dir)
+      val membership = j.select(col("component"), col("csize"),
+        col("doc_a").as("doc_id"))
+        .unionByName(j.select(col("component"), col("csize"),
+          col("doc_b").as("doc_id")))
+        .distinct()
       // sub-cluster census per ORIGINAL megacluster (each strong-edge
       // subcomponent lives inside one megacluster by construction)
       val subSizes = sub
-        .join(members.select(col("doc_id"), col("component")
+        .join(membership.select(col("doc_id"), col("component")
           .as("orig")).hint("shuffle_hash"), "doc_id")
         .groupBy(col("orig"), col("component"))
         .agg(count(lit(1)).as("ssz"))
@@ -819,6 +769,7 @@ object QueriesRound10 {
           sum(col("ssz")).as("n_connected"))
       val strongCnt = strong.groupBy(col("component").as("orig"))
         .agg(count(lit(1)).as("n_strong_edges"))
+      val big = j.select(col("component"), col("csize")).distinct()
       big.select(col("component").as("orig"), col("csize"))
         .join(strongCnt, Seq("orig"), "left")
         .join(subCen, Seq("orig"), "left")

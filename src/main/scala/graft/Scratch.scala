@@ -4,8 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main (not part of the driver contract).
-  * Current use: r10 fence A/B — interleaved fenced vs unfenced for the
-  * q54 (posexplode over asDouble) and q118 (Dsir grams) shapes. */
+  * Current use: q244 stage split — where do its ~12-15 s go? */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -18,56 +17,54 @@ object Scratch {
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(label: String)(f: => Unit): Double = {
+    def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      f
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"TIMER $label%-22s $dt%8.2f s")
-      dt
+      val r = f
+      println(f"TIMER $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
     }
-    def mat(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.select(xxhash64(df.columns.map(col): _*).as("_h"))
-        .agg(bit_xor(col("_h"))).collect()
-      ()
+    import graft.operators.Dedup
+    val s = spark
+    time("warm artifacts") {
+      SharedLsh.components(s, dir).count()
+      SharedLsh.candidatePairs(s, dir).count()
     }
-    import graft.operators.{Quantize, Similarity}
-    import graft.plans.FenceExpr.fence
-
-    // ---- q54 shape ----
-    def q54of(v: org.apache.spark.sql.Column) = {
-      val e = Tables.embeddings(spark, dir)
-        .select(col("vec_id").as("id"), v.as("v"))
-      Quantize.encode(e, Quantize.dimStats(e))
-        .groupBy(col("d"))
-        .agg(countDistinct(col("code")).as("n_codes"),
-          min(col("code")).as("min_code"), max(col("code")).as("max_code"),
-          count(when(col("code") === 0 || col("code") === 255, 1))
-            .as("edge_hits"))
-        .orderBy(col("d")).filter(col("d") <= 16)
-    }
-    val raw = Similarity.asDouble(col("embedding"))
-
-    // ---- q118 shape (Dsir grams) ----
-    def dsirOf(fenced: Boolean) = {
-      val ts = split(col("text"), " ")
-      val grams0 = zip_with(
-        slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
-        (a, b) => concat_ws(" ", a, b))
-      val g = if (fenced) fence(grams0) else grams0
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), g.as("gs"))
-        .filter(size(col("gs")) > 0)
-        .select(col("doc_id"), size(col("gs")).cast("long").as("n"),
-          aggregate(transform(col("gs"), x => length(x).cast("long")),
-            lit(0L), (a, x) => a + x).as("s"))
-    }
-
-    mat(q54of(raw)); mat(dsirOf(false)) // warm
-    for (i <- 1 to 4) {
-      time(s"q54 unfenced #$i")(mat(q54of(raw)))
-      time(s"q54 fenced   #$i")(mat(q54of(fence(raw))))
-      time(s"dsir unfenced #$i")(mat(dsirOf(false)))
-      time(s"dsir fenced   #$i")(mat(dsirOf(true)))
+    for (i <- 1 to 2) {
+      val comps = SharedLsh.components(s, dir)
+      val big = time(s"big #$i")(
+        comps.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+          .filter(col("csize") >= 11))
+      val members = time(s"members ckpt #$i")(
+        comps.join(big.hint("shuffle_hash"), "component").localCheckpoint())
+      val edges = SharedLsh.candidatePairs(s, dir)
+        .join(members.select(col("doc_id").as("doc_a"), col("component"))
+          .hint("shuffle_hash"), "doc_a")
+      val sh = time(s"shingles ckpt #$i")(Dedup.shingleRows(
+        Tables.documents(s, dir).join(
+          members.select(col("doc_id")).hint("shuffle_hash"), "doc_id"),
+        "doc_id", "text", 5).localCheckpoint())
+      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = edges
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh"))
+          .hint("shuffle_hash"), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      val strong = time(s"strong ckpt #$i")(edges
+        .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
+        .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
+          .hint("shuffle_hash"), "doc_b")
+        .filter(expr("""CAST(coalesce(i, 0L) AS DECIMAL(38,0)) * 1000000
+          div (sza + szb - coalesce(i, 0L))""") >= 200000L)
+        .select(col("component"), col("doc_a"), col("doc_b"))
+        .localCheckpoint())
+      val r = time(s"CC fixpoint #$i")(
+        Dedup.connectedComponentsWithStats(
+          strong.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b", 50))
+      println(s"rounds=${r.rounds} converged=${r.converged}")
+      time(s"census #$i")(r.components.count())
     }
     spark.stop()
   }

@@ -129,10 +129,73 @@ object SharedLsh {
         .localCheckpoint()
     })
 
+  private val megaEdgeCache = TrieMap.empty[Key, DataFrame]
+  private val strongCompCache = TrieMap.empty[Key, DataFrame]
+
+  /** Exact 5-gram edge Jaccard for every candidate edge INSIDE the
+    * 11+-member megaclusters: (component, csize, doc_a, doc_b, jfp)
+    * with zero-overlap chance collisions kept (jfp = 0 via the left
+    * join). The q243 diagnosis and the q244 repair consume the same
+    * frame — shingles are computed only for megacluster members, all
+    * joins shuffle-hash (edge volume scales with duplication rate). */
+  def megaEdgeJaccard(s: SparkSession, dir: String,
+                      p: Params = Default): DataFrame =
+    megaEdgeCache.getOrElseUpdate(Key(s, dir, p), {
+      import org.apache.spark.sql.functions._
+      val comps = components(s, dir, p)
+      val big = comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+        .filter(col("csize") >= 11)
+      val members = comps.join(broadcastFree(big), "component")
+        .localCheckpoint()
+      val edges = candidatePairs(s, dir, p)
+        .join(members.select(col("doc_id").as("doc_a"),
+          col("component"), col("csize")).hint("shuffle_hash"), "doc_a")
+      val sh = Dedup.shingleRows(
+        Tables.documents(s, dir).join(
+          members.select(col("doc_id")).hint("shuffle_hash"), "doc_id"),
+        "doc_id", "text", 5)
+        .localCheckpoint()
+      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = edges
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh"))
+          .hint("shuffle_hash"), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      edges
+        .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
+        .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
+          .hint("shuffle_hash"), "doc_b")
+        .select(col("component"), col("csize"), col("doc_a"), col("doc_b"),
+          expr("""CAST(CAST(coalesce(i, 0L) AS DECIMAL(38,0)) * 1000000
+            div (sza + szb - coalesce(i, 0L)) AS BIGINT)""").as("jfp"))
+        .localCheckpoint()
+    })
+
+  private def broadcastFree(df: DataFrame): DataFrame =
+    df.hint("shuffle_hash")
+
+  /** Exact connected components of the STRONG-edge subgraph (edge
+    * Jaccard ≥ 0.2) inside the megaclusters — the q244 repair map,
+    * cached like [[components]]. */
+  def strongComponents(s: SparkSession, dir: String,
+                       p: Params = Default): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    strongCompCache.getOrElseUpdate(Key(s, dir, p),
+      Dedup.connectedComponents(
+        megaEdgeJaccard(s, dir, p).filter(col("jfp") >= 200000L)
+          .select(col("doc_a"), col("doc_b")))
+        .localCheckpoint())
+  }
+
   /** Unpersist every cached artifact and empty the cache. */
   def clear(): Unit = synchronized {
     (bandCache.values ++ compCache.values ++ sigCache.values ++
-      pairCache.values ++ candShCache.values ++ incCache.values)
+      pairCache.values ++ candShCache.values ++ incCache.values ++
+      megaEdgeCache.values ++ strongCompCache.values)
       .foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
@@ -142,6 +205,8 @@ object SharedLsh {
     pairCache.clear()
     candShCache.clear()
     incCache.clear()
+    megaEdgeCache.clear()
+    strongCompCache.clear()
   }
 }
 
