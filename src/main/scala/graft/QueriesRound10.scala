@@ -220,29 +220,17 @@ object QueriesRound10 {
   private val q238 = Q(
     "q238_winnow_dedup_savings",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.operators.TextAnalysis
+      import graft.operators.{Retention, TextAnalysis}
       // pair derivation + component map ride the shared artifacts
       // (one derivation serves q226's calibration, this retention
-      // pipeline, and q242's cluster profile)
+      // pipeline, and q242's cluster profile); the keep rule is the
+      // factored Retention policy the streaming twin also runs
       val comps = SharedWinnow.components(s, dir)
-      val score = floor(
-        TextAnalysis.qualityScore(col("text")) * 1000000).cast("long")
-      val guardedId = when(col("doc_id") < 9999999L, col("doc_id"))
-        .otherwise(raise_error(lit(
-          "q238: doc_id overflows the argmax packing")).cast("long"))
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"),
-          (score * 10000000L + (lit(9999999L) - guardedId)).as("packed"))
-      docs.join(comps, Seq("doc_id"), "left")
-        // unclustered docs key their own singleton partition — a NULL
-        // partition key would pool the whole unclustered corpus into
-        // one window task
-        .withColumn("ck", coalesce(col("component"), col("doc_id")))
-        .withColumn("keep",
-          col("packed") === max(col("packed"))
-            .over(Window.partitionBy(col("ck"))))
+          Retention.packed(col("text"), col("doc_id")).as("packed"))
+      Retention.withKeep(docs, comps)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
@@ -340,11 +328,15 @@ object QueriesRound10 {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val B = 11
-      val cents = expr("CAST(c_acctbal * 100 AS BIGINT)")
+      // cents via an exact DECIMAL(18,2) intermediate (the q108
+      // lesson): a direct double→BIGINT cast truncates in Spark but
+      // rounds in DuckDB, so boundary cents could differ by 1 under
+      // any future bin-width change
       val binned = Tables.customer(s, dir)
         .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
           greatest(lit(0L), least(lit((B - 1).toLong),
-            expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000) div 100000")))
+            expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+              + 100000) div 100000""")))
             .as("bin"))
       val gb = binned.groupBy(col("nat"), col("seg"), col("bin"))
         .agg(count(lit(1)).as("c"))
@@ -359,13 +351,19 @@ object QueriesRound10 {
           sum(coalesce(col("c"), lit(0L))).over(
             Window.partitionBy(col("nat"), col("seg")).orderBy(col("bin"))))
       val globAgg = binned.groupBy(col("bin")).agg(count(lit(1)).as("ca"))
-      // 11 census rows: the bounded-window exemption (q42's class)
+      // 11 census rows: the bounded-window exemption (q42's class).
+      // localCheckpoint (the q236/q241 discipline) so the window
+      // subtree is planned/evaluated ONCE — without it every consumer
+      // re-instantiates the global window and the ~10 duplicate
+      // "No Partition Defined" warnings drown the q124-class
+      // zero-warning regression signal
       val glob = globAgg
         .withColumn("cuma", sum(col("ca")).over(
           Window.orderBy(col("bin"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .crossJoin(broadcast(binned.agg(count(lit(1)).as("nn"))))
         .select(col("bin"), col("cuma"), col("nn"))
+        .localCheckpoint()
       val t = dense.join(broadcast(glob), Seq("bin"))
         .groupBy(col("nat"), col("seg"), col("ng"), col("nn"))
         .agg(sum(abs(col("cumg").cast("decimal(38,0)") * col("nn") -
@@ -383,7 +381,8 @@ object QueriesRound10 {
     },
     Some("""WITH b AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
           GREATEST(0, LEAST(10,
-            (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 100000)) AS bin
+            (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+              + 100000) // 100000)) AS bin
         FROM customer),
       gb AS (SELECT nat, seg, bin, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
       grp AS (SELECT nat, seg, SUM(c) AS ng FROM gb GROUP BY 1, 2),

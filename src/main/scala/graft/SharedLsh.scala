@@ -146,7 +146,7 @@ object SharedLsh {
       val big = comps.groupBy(col("component"))
         .agg(count(lit(1)).as("csize"))
         .filter(col("csize") >= 11)
-      val members = comps.join(broadcastFree(big), "component")
+      val members = comps.join(big.hint("shuffle_hash"), "component")
         .localCheckpoint()
       val edges = candidatePairs(s, dir, p)
         .join(members.select(col("doc_id").as("doc_a"),
@@ -174,9 +174,6 @@ object SharedLsh {
             div (sza + szb - coalesce(i, 0L)) AS BIGINT)""").as("jfp"))
         .localCheckpoint()
     })
-
-  private def broadcastFree(df: DataFrame): DataFrame =
-    df.hint("shuffle_hash")
 
   /** Exact connected components of the STRONG-edge subgraph (edge
     * Jaccard ≥ 0.2) inside the megaclusters — the q244 repair map,

@@ -63,6 +63,9 @@ object AudioFlac {
       val body = i + 4
       if (body + len > b.length) return None
       if (typ == 127) return None // forbidden per spec
+      // RFC 9639 §8.1: STREAMINFO MUST be the first metadata block —
+      // a stream whose first block is anything else is malformed
+      if (i == 4 && typ != 0) return None
       typ match {
         case 0 =>
           if (len != 34 || streamInfo.isDefined) return None

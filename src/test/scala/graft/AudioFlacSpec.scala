@@ -87,6 +87,12 @@ class AudioFlacSpec extends SparkSpec {
       new Array[Byte](20))).isEmpty, "mis-sized STREAMINFO")
     assert(AudioFlac.parse(magic ++ block(127, last = true,
       new Array[Byte](1))).isEmpty, "forbidden block type")
+    // RFC 9639 §8.1: STREAMINFO MUST be the first block — a stream
+    // with padding first then a valid STREAMINFO is malformed
+    assert(AudioFlac.parse(magic ++
+      block(1, last = false, new Array[Byte](4)) ++
+      block(0, last = true, streamInfo(8000L, 1, 8, 800L))).isEmpty,
+      "misplaced STREAMINFO (not first block)")
     // random junk fuzz: absence of throws is the assertion
     val rnd = new scala.util.Random(7)
     for (n <- Seq(0, 3, 8, 64, 512)) {

@@ -646,23 +646,20 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q239: group cumulative windows partition by the QI group") {
-    // only the 11-row global-distribution census may run unpartitioned
-    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    // the ≤11-row global-distribution census is computed ONCE behind
+    // a localCheckpoint (r10 verdict: its re-instantiation per
+    // consumer spammed ~10 WindowExec warnings, drowning the
+    // q124-class zero-warning signal) — so NO unpartitioned window
+    // may remain in the final plan at all
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
     val df = Queries.all("q239_t_closeness")(spark, sf())
     def nodes(p: LogicalPlan): Seq[LogicalPlan] =
       p +: p.children.flatMap(nodes)
     val wins = nodes(df.queryExecution.optimizedPlan)
       .collect { case w: LWindow => w }
-    assert(wins.nonEmpty)
     val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
-    // the global cumulative runs over the ≤11-bin census only: its
-    // input must be an aggregate keyed by bin, never a data-row frame
-    for (w <- unpartitioned)
-      assert(w.child.collectFirst {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-      }.exists(_.groupingExpressions.nonEmpty),
-        s"unpartitioned window not over the bounded bin census:\n$w")
+    assert(unpartitioned.isEmpty,
+      s"global census window escaped the checkpoint:\n$unpartitioned")
     val grouped = wins.filterNot(unpartitioned.contains)
     assert(grouped.nonEmpty, "expected the per-group cumulative")
     for (w <- grouped)
