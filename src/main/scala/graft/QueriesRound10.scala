@@ -40,15 +40,10 @@ object QueriesRound10 {
   private val q236 = Q(
     "q236_robust_winnow_index",
     (s, dir) => {
-      val docs = QueriesRound9.winnowInput(s, dir)
-      val perDoc = docs.select(col("doc_id"), col("source"),
-          array_sort(array_distinct(transform(QueriesRound9.stdSelCol,
-            p => element_at(col("hs"), p.cast("int")).cast("long"))))
-            .as("sv"),
-          array_sort(array_distinct(transform(QueriesRound9.robSelCol,
-            p => element_at(col("hs"), p.cast("int")).cast("long"))))
-            .as("rv"))
-        .localCheckpoint() // census + shared-fp screen read one lineage
+      // the shared both-rules artifact IS this query's per-doc value
+      // index (one kernel pass also serves q231's position census)
+      val perDoc = SharedWinnow.ruleCompare(s, dir)
+        .select(col("doc_id"), col("source"), col("sv"), col("rv"))
       val cen = perDoc.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("sv"))).as("std_fp_values"),

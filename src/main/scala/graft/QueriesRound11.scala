@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Queries.Q
+
+/** Round-11 depth queries.
+  *
+  * Determinism: all-integer arithmetic (ppm grids, `div` on
+  * non-negative operands where Spark's truncation and DuckDB's `//`
+  * floor agree), the q20 decimal cosine kernel for exact rankings —
+  * the suite-wide oracle conventions.
+  */
+object QueriesRound11 {
+
+  import graft.operators.Similarity
+
+  /** The winnow screen → connected-components oracle chain (identical
+    * to q238's CTE prefix): distinct (doc, fp) winnowed fingerprints,
+    * df-cap [2, DfCap], ≥2-shared pairs, recursive min-label walk.
+    * Shared as a `def` (init-order-immune) by q246/q247, whose Spark
+    * sides ride the SAME SharedWinnow.components artifact — one
+    * derivation on each engine, two consumers. */
+  private def winnowCompSql: String = s"""
+      ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      g AS (SELECT doc_id, CAST(len(ts) - 3 AS BIGINT) AS ng,
+          CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh AS (SELECT doc_id, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g WHERE ng >= 4),
+      win AS (SELECT doc_id, ng, h, CAST(j AS BIGINT) AS j
+        FROM gh, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      sel AS (SELECT doc_id, j, MIN(h) AS fp FROM win GROUP BY 1, 2),
+      fd AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
+      us AS (SELECT fp FROM fd GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND ${
+          graft.streaming.StreamingWinnowScreen.DfCap}),
+      cap AS MATERIALIZED (SELECT fd.doc_id, fd.fp
+        FROM fd JOIN us ON us.fp = fd.fp),
+      wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM wp
+        UNION SELECT doc_b, doc_a FROM wp),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1)"""
+
+  /** MATRYOSHKA TRUNCATION AUDIT — how much retrieval quality the
+    * first 32 of 64 embedding dimensions keep: for each of 5 query
+    * vectors, the exact cosine top-20 under the FULL vectors vs under
+    * the TRUNCATED prefix, censused as overlap@20 and the Spearman
+    * footrule (Σ|rank_full − rank_trunc| over the intersection). The
+    * dimension-reduction go/no-go a serving team reads before storing
+    * half-width vectors: overlap ≈ 20 says the prefix ranks like the
+    * full vector; a big footrule says the order inside the overlap
+    * degraded even if membership held.
+    *
+    * Scale shape: two q20-class kernels — corpus × broadcast(5
+    * queries) codegen'd double prefilter, decimal rerank on the
+    * ~k-sized survivor set; the census joins two 100-row top-k frames
+    * on (q_id, vec_id). Nothing corpus-sized shuffles. */
+  private val q245 = Q(
+    "q245_matryoshka_overlap",
+    (s, dir) => {
+      val full = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val trunc = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(slice(col("embedding"), 1, 32)).as("v"))
+      val topF = Similarity
+        .cosineTopKFast(full, full.filter(col("id") < 5), 20)
+        .select(col("q_id"), col("vec_id"),
+          col("rnk").cast("long").as("rf"))
+      val topT = Similarity
+        .cosineTopKFast(trunc, trunc.filter(col("id") < 5), 20)
+        .select(col("q_id"), col("vec_id"),
+          col("rnk").cast("long").as("rt"))
+      val ov = topF.join(topT, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("overlap20"),
+          sum(abs(col("rf") - col("rt"))).as("footrule"))
+      // left join from the query list so a zero-overlap query still
+      // prints its row (engines must agree on row COUNT, not just
+      // matched groups)
+      full.filter(col("id") < 5).select(col("id").as("q_id"))
+        .join(ov, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("overlap20"), lit(0L)).as("overlap20"),
+          coalesce(col("footrule"), lit(0L)).as("footrule"))
+        .orderBy(col("q_id"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      evt AS (SELECT * FROM ev WHERE i <= 32),
+      nf AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM ev GROUP BY 1),
+      nt AS (SELECT vec_id,
+          SQRT(CAST(SUM(CAST(a*a AS DECIMAL(18,16))) AS DOUBLE)) AS nrm
+        FROM evt GROUP BY 1),
+      qf AS (SELECT * FROM ev WHERE vec_id < 5),
+      qt AS (SELECT * FROM evt WHERE vec_id < 5),
+      df_ AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM qf q JOIN ev e ON q.i = e.i AND e.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      dt_ AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          CAST(SUM(CAST(q.a*e.a AS DECIMAL(18,16))) AS DOUBLE) AS dot
+        FROM qt q JOIN evt e ON q.i = e.i AND e.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      topf AS (SELECT q_id, vec_id, rnk FROM (
+          SELECT d.q_id, d.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY d.q_id
+              ORDER BY d.dot / (nq.nrm * ne.nrm) DESC, d.vec_id) AS rnk
+          FROM df_ d
+          JOIN nf nq ON d.q_id = nq.vec_id
+          JOIN nf ne ON d.vec_id = ne.vec_id) t WHERE rnk <= 20),
+      topt AS (SELECT q_id, vec_id, rnk FROM (
+          SELECT d.q_id, d.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY d.q_id
+              ORDER BY d.dot / (nq.nrm * ne.nrm) DESC, d.vec_id) AS rnk
+          FROM dt_ d
+          JOIN nt nq ON d.q_id = nq.vec_id
+          JOIN nt ne ON d.vec_id = ne.vec_id) t WHERE rnk <= 20),
+      ov AS (SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS overlap20,
+          CAST(SUM(ABS(f.rnk - t.rnk)) AS BIGINT) AS footrule
+        FROM topf f JOIN topt t
+          ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+        GROUP BY 1)
+      SELECT q.q_id, COALESCE(ov.overlap20, 0) AS overlap20,
+        COALESCE(ov.footrule, 0) AS footrule
+      FROM (SELECT DISTINCT vec_id AS q_id FROM embeddings
+        WHERE vec_id < 5) q
+      LEFT JOIN ov ON ov.q_id = q.q_id
+      ORDER BY q.q_id"""))
+
+  /** CROSS-SOURCE NEAR-DUP MATRIX — which source PAIRS share winnowed
+    * duplicate components: the span-evidence companion to q176's
+    * exact-hash syndication matrix (verbatim wire stories) — this one
+    * also catches edited copies, because membership comes from the
+    * ≥2-shared-fingerprint screen, not full-text equality. The
+    * readout a mixture-weight owner consults: a heavy (src_a, src_b)
+    * cell means those sources double-count content and their combined
+    * weight overstates diversity.
+    *
+    * Scale shape: rides the SharedWinnow.components session artifact
+    * (paid once, also under q226/q238/q242/q247); this query adds one
+    * distinct over (component, source) — bounded by Σ per-component
+    * distinct sources ≤ corpus rows — a self-join keyed by component
+    * (components are df-cap-bounded, so per-key fan-out is small),
+    * and a ≤C(|sources|,2)-row census. */
+  private val q246 = Q(
+    "q246_cross_source_dup_matrix",
+    (s, dir) => {
+      val cs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(SharedWinnow.components(s, dir), "doc_id")
+        .select(col("component"), col("source")).distinct()
+      cs.select(col("component"), col("source").as("src_a"))
+        .join(cs.select(col("component"), col("source").as("src_b"))
+          .hint("shuffle_hash"), Seq("component"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""WITH RECURSIVE $winnowCompSql,
+      cs AS (SELECT DISTINCT c.component, d.source
+        FROM comps c JOIN documents d ON d.doc_id = c.doc_id)
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(COUNT(*) AS BIGINT) AS n_components
+      FROM cs a JOIN cs b
+        ON a.component = b.component AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY src_a, src_b"""))
+
+  /** EFFECTIVE DATASET SIZE — the deduplication discount per source:
+    * each doc contributes 1/|its duplicate component| (unclustered
+    * docs contribute 1), so a source whose corpus is mostly N-copy
+    * families collapses toward n/N. THE number a data-budget owner
+    * compares against raw row counts when sources are priced or
+    * mixture weights are set — and the census that says how much of
+    * the corpus q238's retention policy would keep WITHOUT running
+    * the policy. Exact integers: per-doc share = 1000000 div csize
+    * (ppm), summed; Spark `div` == DuckDB `//` on non-negatives.
+    *
+    * Scale shape: component sizes are one hash-agg over the shared
+    * component map; the per-doc join is id-keyed shuffle-hash (the
+    * map scales with duplication rate — never broadcast, the q199
+    * rule); census rows = |sources|. */
+  private val q247 = Q(
+    "q247_effective_dataset_size",
+    (s, dir) => {
+      val comps = SharedWinnow.components(s, dir)
+      val sz = comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(comps.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(sz.hint("shuffle_hash"), Seq("component"), "left")
+        .withColumn("csize", coalesce(col("csize"), lit(1L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("component").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum(expr("1000000 div csize")).as("effective_x1e6"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE $winnowCompSql,
+      sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+        FROM comps GROUP BY 1),
+      j AS (SELECT d.source, c.component,
+          COALESCE(sz.csize, 1) AS csize
+        FROM documents d
+        LEFT JOIN comps c ON c.doc_id = d.doc_id
+        LEFT JOIN sz ON sz.component = c.component)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_clustered,
+        CAST(SUM(1000000 // csize) AS BIGINT) AS effective_x1e6
+      FROM j GROUP BY 1 ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
+
+  val list: Seq[Q] = Seq(q245, q246, q247)
+}

@@ -160,13 +160,10 @@ object QueriesRound9 {
   private val q231 = Q(
     "q231_robust_winnow",
     (s, dir) => {
-      val docs = winnowInput(s, dir)
-      val stdSel = stdSelCol
-      val robSel = robSelCol
-      docs
-        .select(col("source"), col("nw"),
-          size(stdSel).cast("long").as("n_std"),
-          size(robSel).cast("long").as("n_rob"))
+      // rides the shared both-rules artifact (one kernel pass serves
+      // this census and q236's value-index certificate)
+      SharedWinnow.ruleCompare(s, dir)
+        .select(col("source"), col("nw"), col("n_std"), col("n_rob"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_windows"),
           sum(col("n_std")).as("std_positions"),

@@ -536,6 +536,34 @@ object SharedWinnow {
       graft.operators.Dedup.connectedComponents(cappedPairs(s, dir))
         .localCheckpoint())
 
+  private val ruleCache = TrieMap.empty[Key, DataFrame]
+
+  /** Per-doc BOTH-tie-rule fingerprint artifact — (doc_id, source,
+    * nw, n_std, n_rob, sv, rv): distinct position counts and sorted
+    * distinct VALUE arrays under the standard (rightmost-min) and
+    * robust (Schleimer §5) rules, from ONE pass of the fenced
+    * winnowInput kernel. q231 (position census) and q236 (value-index
+    * certificate + shared-fp screen) previously each paid the full
+    * gram+hash+double-fold kernel (~1.3 s each materialized at
+    * sf0.1); the artifact is the per-doc fp VALUE index a production
+    * screen stores anyway, so sharing it is the storage reality, not
+    * just a cache. */
+  def ruleCompare(s: SparkSession, dir: String): DataFrame =
+    ruleCache.getOrElseUpdate(Key(s, dir), {
+      import org.apache.spark.sql.functions._
+      QueriesRound9.winnowInput(s, dir)
+        .select(col("doc_id"), col("source"), col("nw"),
+          size(QueriesRound9.stdSelCol).cast("long").as("n_std"),
+          size(QueriesRound9.robSelCol).cast("long").as("n_rob"),
+          array_sort(array_distinct(transform(QueriesRound9.stdSelCol,
+            p => element_at(col("hs"), p.cast("int")).cast("long"))))
+            .as("sv"),
+          array_sort(array_distinct(transform(QueriesRound9.robSelCol,
+            p => element_at(col("hs"), p.cast("int")).cast("long"))))
+            .as("rv"))
+        .localCheckpoint()
+    })
+
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
@@ -549,5 +577,9 @@ object SharedWinnow {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     compCache.clear()
+    ruleCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    ruleCache.clear()
   }
 }

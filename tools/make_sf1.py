@@ -10,7 +10,11 @@ driver data; the replication makes every document a member of a
 10-copy duplicate family, which stresses the dedup/candidate paths
 harder than organic data at the same row count.
 
-Usage: python3 tools/make_sf1.py [outdir]   (default /tmp/sf1_synth)
+Usage: python3 tools/make_sf1.py [outdir] [copies]
+(defaults /tmp/sf1_synth, 10). copies=3 is the MID-SIZE certification
+tier (r10 verdict item 5): big enough that megaclusters and the
+replicated dup families exist, small enough that the recursive-CTE /
+exact-Jaccard oracles (q242-q244) fit the VM's DuckDB spill budget.
 """
 import sys
 
@@ -51,6 +55,8 @@ def main(out: str) -> None:
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
     import os
     os.makedirs(out, exist_ok=True)
     main(out)
