@@ -285,6 +285,42 @@ object ScaleBench {
           .filter(col("nsh") >= 2)
           .count()
       }
+      // round-11: the q238/q247 retention-policy chain END TO END —
+      // the decision a dedup pipeline actually ships: winnow screen
+      // pairs (fingerprintsNarrow, the STREAMING twin's exact kernel)
+      // → df-cap → ≥2-shared confirm → exact CC fixpoint → the packed
+      // quality-argmax keep census (the factored Retention policy).
+      // Sizes the whole keep/drop decision per decade, not just the
+      // candidate stage. The pair frame is checkpointed because the
+      // CC loop iterates over it; the component map joins back to the
+      // corpus shuffle-hash on ids (never broadcast — it scales with
+      // duplication rate).
+      val retentionKept = timedL("retention_policy") {
+        import graft.streaming.StreamingWinnowScreen
+        val fd = StreamingWinnowScreen
+          .fingerprintsNarrow(docs, "doc_id", "text")
+          .select(col("docId").as("doc_id"), col("fp")).distinct()
+          .localCheckpoint() // df-cap + both self-join legs, one lineage
+        val usable = fd.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd").between(2, StreamingWinnowScreen.DfCap))
+          .select(col("fp"))
+        val capped = fd.join(usable.hint("shuffle_hash"), "fp")
+        val pairs = capped.select(col("fp"), col("doc_id").as("doc_a"))
+          .join(capped.select(col("fp"), col("doc_id").as("doc_b"))
+            .hint("shuffle_hash"), Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("nsh"))
+          .filter(col("nsh") >= 2)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint() // the CC fixpoint iterates over this frame
+        val comps = Dedup.connectedComponents(pairs)
+        val scored = docs.select(col("doc_id"),
+          graft.operators.Retention.packed(col("text"), col("doc_id"))
+            .as("packed"))
+        graft.operators.Retention.withKeep(scored, comps)
+          .filter(col("keep")).count()
+      }
       // round-10: q233's index-aging kernel — the stored 8-gram index
       // lifecycle a crawl-scale pipeline pays continuously: build
       // (map-side-combined MAX of last_seen per 16-byte gram key),
