@@ -229,7 +229,128 @@ object QueriesRound11 {
         CAST(SUM(1000000 // csize) AS BIGINT) AS effective_x1e6
       FROM j GROUP BY 1 ORDER BY source"""))
 
+  /** The megacluster edge-Jaccard oracle chain (q243/q244's CTE
+    * prefix, duplicated here because their inline strings are
+    * gate-frozen): 2-band minhash LSH pairs → CC → ≥11-doc
+    * megaclusters → per-candidate-edge exact 5-gram Jaccard. Ends at
+    * `inter`/`szs`/`be` for the threshold legs to consume. */
+  private def megaChainSql: String = {
+    val mins = (0 until 8)
+      .map(j =>
+        s"MIN(substr(md5('m${j / 4}' || sh), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+      .mkString(", ")
+    s"""
+      sh0 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM documents, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)),
+      sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh0 GROUP BY doc_id),
+      bands AS MATERIALIZED (
+        SELECT doc_id, md5('0' || h0 || h1 || h2 || h3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1' || h4 || h5 || h6 || h7) AS bk FROM sig),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1),
+      big AS MATERIALIZED (SELECT component, COUNT(*) AS csize
+        FROM comps GROUP BY 1 HAVING COUNT(*) >= 11),
+      be AS MATERIALIZED (SELECT p.doc_a, p.doc_b, c.component
+        FROM pairs p
+        JOIN comps c ON c.doc_id = p.doc_a
+        JOIN big b ON b.component = c.component),
+      msh AS MATERIALIZED (SELECT s.doc_id, s.sh FROM sh0 s
+        JOIN comps c ON c.doc_id = s.doc_id
+        JOIN big b ON b.component = c.component),
+      szs AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY 1),
+      inter AS MATERIALIZED (SELECT e.doc_a, e.doc_b, COUNT(*) AS i
+        FROM be e
+        JOIN msh a ON a.doc_id = e.doc_a
+        JOIN msh b2 ON b2.doc_id = e.doc_b AND b2.sh = a.sh
+        GROUP BY 1, 2)"""
+  }
+
+  /** One recursive strong-CC threshold leg for [[q248]]'s oracle. */
+  private def thresholdLegSql(tag: String, t: Long): String = s"""
+      st$tag AS MATERIALIZED (SELECT e.doc_a, e.doc_b
+        FROM be e
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN szs sa ON sa.doc_id = e.doc_a
+        JOIN szs sb ON sb.doc_id = e.doc_b
+        WHERE CAST(COALESCE(i.i, 0) AS HUGEINT) * 1000000
+          // (sa.sz + sb.sz - COALESCE(i.i, 0)) >= $t),
+      se$tag AS (SELECT doc_a AS src, doc_b AS dst FROM st$tag
+        UNION SELECT doc_b, doc_a FROM st$tag),
+      sw$tag(node, label) AS (
+        SELECT src, src FROM se$tag
+        UNION
+        SELECT e.dst, w.label FROM sw$tag w JOIN se$tag e ON e.src = w.node),
+      sz$tag AS (SELECT MIN(label) AS scomp, node FROM sw$tag GROUP BY node),
+      zz$tag AS (SELECT scomp, COUNT(*) AS c FROM sz$tag GROUP BY 1),
+      r$tag AS (SELECT CAST($t AS BIGINT) AS thr_ppm,
+        CAST(COUNT(*) AS BIGINT) AS n_subclusters,
+        CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_sub,
+        CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_connected FROM zz$tag)"""
+
+  /** REPAIR THRESHOLD SWEEP — the tuning curve the q243→q244→
+    * RepairCert arc ends on: the ground-truth certification showed a
+    * 1,042-family organic chain SURVIVES the 0.2 strong-edge cut, so
+    * the policy question is what higher thresholds buy. Per threshold
+    * (0.2 / 0.35 / 0.5 exact edge Jaccard): sub-cluster count, the
+    * largest surviving sub-cluster, connected vs isolated megacluster
+    * members — the knob-vs-blast-radius readout a retention-policy
+    * owner tunes against.
+    *
+    * Scale shape: the edge-Jaccard frame is the shared session
+    * artifact (paid once under q243/q244/this); each threshold leg is
+    * a filter + the exact CC fixpoint over STRONG edges only (edge
+    * count shrinks with the threshold), run in CC's dedicated
+    * low-fan-out child session; census rows = |thresholds|. */
+  private val q248 = Q(
+    "q248_repair_threshold_sweep",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val j = SharedLsh.megaEdgeJaccard(s, dir)
+      val comps = SharedLsh.components(s, dir)
+      val members = comps.join(
+        comps.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+          .filter(col("csize") >= 11).hint("shuffle_hash"), "component")
+        .agg(count(lit(1)).as("n_members"))
+      val rows = Seq(200000L, 350000L, 500000L).map { t =>
+        val cc = Dedup.connectedComponents(
+          j.filter(col("jfp") >= t).select(col("doc_a"), col("doc_b")))
+        cc.groupBy(col("component")).agg(count(lit(1)).as("ssz"))
+          .agg(count(lit(1)).as("n_subclusters"),
+            coalesce(max(col("ssz")), lit(0L)).as("max_sub"),
+            coalesce(sum(col("ssz")), lit(0L)).as("n_connected"))
+          .select(lit(t).as("thr_ppm"), col("n_subclusters"),
+            col("max_sub"), col("n_connected"))
+      }.reduce(_.unionByName(_))
+      rows.crossJoin(broadcast(members))
+        .select(col("thr_ppm"), col("n_subclusters"), col("max_sub"),
+          col("n_connected"),
+          (col("n_members") - col("n_connected")).as("n_isolated"))
+        .orderBy(col("thr_ppm"))
+    },
+    Some(s"""WITH RECURSIVE $megaChainSql,
+      ${thresholdLegSql("a", 200000L)},
+      ${thresholdLegSql("b", 350000L)},
+      ${thresholdLegSql("c", 500000L)},
+      mem AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comps c JOIN big b ON b.component = c.component),
+      allr AS (SELECT * FROM ra UNION ALL SELECT * FROM rb
+        UNION ALL SELECT * FROM rc)
+      SELECT thr_ppm, n_subclusters, max_sub, n_connected,
+        n_members - n_connected AS n_isolated
+      FROM allr CROSS JOIN mem ORDER BY thr_ppm"""))
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q245, q246, q247)
+  val list: Seq[Q] = Seq(q245, q246, q247, q248)
 }

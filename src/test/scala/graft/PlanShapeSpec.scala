@@ -676,6 +676,21 @@ class PlanShapeSpec extends SparkSpec {
       s"pair frame exploded:\n$p")
   }
 
+  test("q246/q247: component legs shuffle-hash, never broadcast") {
+    // the winnow component map scales with duplication rate — a
+    // data-dependent broadcast of it is the q199-class hazard; both
+    // censuses must join it hash-keyed
+    for (q <- Seq("q246_cross_source_dup_matrix",
+        "q247_effective_dataset_size")) {
+      val p = planOf(Queries.all(q)(spark, sf()))
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q: component joins must be shuffle-hash:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: unexpected product join:\n$p")
+    }
+  }
+
   test("q219: grams shuffle as 16-byte hashes, never raw gram strings") {
     // the df/occ aggregation keys on unhex(md5(gram)); the space-joined
     // gram string must be consumed inside the scan stage.
