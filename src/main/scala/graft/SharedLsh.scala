@@ -130,7 +130,7 @@ object SharedLsh {
     })
 
   private val megaEdgeCache = TrieMap.empty[Key, DataFrame]
-  private val strongCompCache = TrieMap.empty[Key, DataFrame]
+  private val strongCompCache = TrieMap.empty[(Key, Long), DataFrame]
 
   /** Exact 5-gram edge Jaccard for every candidate edge INSIDE the
     * 11+-member megaclusters: (component, csize, doc_a, doc_b, jfp)
@@ -179,11 +179,20 @@ object SharedLsh {
     * Jaccard ≥ 0.2) inside the megaclusters — the q244 repair map,
     * cached like [[components]]. */
   def strongComponents(s: SparkSession, dir: String,
-                       p: Params = Default): DataFrame = {
+                       p: Params = Default): DataFrame =
+    strongComponentsAt(s, dir, 200000L, p)
+
+  /** [[strongComponents]] at an arbitrary edge-Jaccard threshold —
+    * cached per (session, dir, threshold) so q248's sweep pays each
+    * fixpoint once per session (a CC fixpoint re-run per bench pass
+    * costs the full per-round scheduling floor, SCALE.md lesson #7 —
+    * measured 16 s/pass for the three uncached sweeps). */
+  def strongComponentsAt(s: SparkSession, dir: String, thrPpm: Long,
+                         p: Params = Default): DataFrame = {
     import org.apache.spark.sql.functions.col
-    strongCompCache.getOrElseUpdate(Key(s, dir, p),
+    strongCompCache.getOrElseUpdate((Key(s, dir, p), thrPpm),
       Dedup.connectedComponents(
-        megaEdgeJaccard(s, dir, p).filter(col("jfp") >= 200000L)
+        megaEdgeJaccard(s, dir, p).filter(col("jfp") >= thrPpm)
           .select(col("doc_a"), col("doc_b")))
         .localCheckpoint())
   }
