@@ -351,7 +351,158 @@ object QueriesRound11 {
         n_members - n_connected AS n_isolated
       FROM allr CROSS JOIN mem ORDER BY thr_ppm"""))
 
+  /** [[winnowCompSql]] with every CTE name suffixed by `tag` and the
+    * document universe restricted by `pred` — q249 runs the chain
+    * twice (base corpus vs full) in ONE oracle. */
+  private def winnowCompSqlTagged(tag: String, pred: String): String = s"""
+      ts$tag AS (SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents WHERE $pred),
+      g$tag AS (SELECT doc_id, CAST(len(ts) - 3 AS BIGINT) AS ng,
+          CAST(i AS BIGINT) AS p,
+          array_to_string(list_slice(ts, CAST(i AS INT),
+            CAST(i AS INT) + 3), ' ') AS g
+        FROM ts$tag, UNNEST(range(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 4),
+      gh$tag AS (SELECT doc_id, ng, p,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM g$tag WHERE ng >= 4),
+      win$tag AS (SELECT doc_id, ng, h, CAST(j AS BIGINT) AS j
+        FROM gh$tag, UNNEST(range(greatest(1, p - 3),
+          least(p, ng - 3) + 1)) v(j)),
+      sel$tag AS (SELECT doc_id, j, MIN(h) AS fp FROM win$tag GROUP BY 1, 2),
+      fd$tag AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel$tag),
+      us$tag AS (SELECT fp FROM fd$tag GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND ${
+          graft.streaming.StreamingWinnowScreen.DfCap}),
+      cap$tag AS MATERIALIZED (SELECT f.doc_id, f.fp
+        FROM fd$tag f JOIN us$tag u ON u.fp = f.fp),
+      wp$tag AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cap$tag a JOIN cap$tag b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      edges$tag AS (
+        SELECT doc_a AS src, doc_b AS dst FROM wp$tag
+        UNION SELECT doc_b, doc_a FROM wp$tag),
+      walk$tag(node, label) AS (
+        SELECT src, src FROM edges$tag
+        UNION
+        SELECT e.dst, w.label
+        FROM walk$tag w JOIN edges$tag e ON e.src = w.node),
+      comps$tag AS MATERIALIZED (
+        SELECT node AS doc_id, MIN(label) AS component
+        FROM walk$tag GROUP BY 1)"""
+
+  /** RETENTION CHURN UNDER CRAWL GROWTH — re-run q238's keep/drop
+    * policy after a crawl batch lands (every 7th doc is "new") and
+    * census which BASE docs flip, per source. Two flip directions
+    * exist, and the census separates them: `lost_keep` (a better copy
+    * arrived in the component — the expected churn) and `gained_keep`
+    * — which is NONZERO only through the df-cap: new copies push a
+    * fingerprint's document frequency past DfCap, the screen drops it
+    * as boilerplate, edges vanish, a component SPLITS, and a
+    * previously-dropped doc inherits its fragment's argmax. Retention
+    * under growth is NOT monotone, and this census is the monitor a
+    * production pipeline runs per crawl before re-publishing a
+    * training set (the batch twin of StreamingWinnowRetention's
+    * per-batch snapshot).
+    *
+    * Scale shape: the full-corpus component map rides SharedWinnow;
+    * the base-world map pays one extra fenced kernel + df-cap pair
+    * join + CC fixpoint on the base subset; the flip join is id-keyed
+    * shuffle-hash; census rows = |sources|. */
+  private val q249 = Q(
+    "q249_retention_churn",
+    (s, dir) => {
+      import graft.operators.{Dedup, Retention}
+      import graft.streaming.StreamingWinnowScreen
+      def compsOf(docs: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val fd = StreamingWinnowScreen
+          .fingerprintsNarrow(docs, "doc_id", "text")
+          .select(col("docId").as("doc_id"), col("fp")).distinct()
+          .localCheckpoint() // df-cap + both self-join legs, one lineage
+        val usable = fd.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd").between(2, StreamingWinnowScreen.DfCap))
+          .select(col("fp"))
+        val capped = fd.join(usable.hint("shuffle_hash"), "fp")
+        Dedup.connectedComponents(
+          capped.select(col("fp"), col("doc_id").as("doc_a"))
+            .join(capped.select(col("fp"), col("doc_id").as("doc_b"))
+              .hint("shuffle_hash"), Seq("fp"))
+            .filter(col("doc_a") < col("doc_b"))
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(count(lit(1)).as("nsh"))
+            .filter(col("nsh") >= 2)
+            .select(col("doc_a"), col("doc_b")))
+      }
+      val all = Tables.documents(s, dir)
+      val scored = all.select(col("doc_id"), col("source"),
+          Retention.packed(col("text"), col("doc_id")).as("packed"))
+        .localCheckpoint() // read by both worlds' keep passes
+      val keepBase = Retention.withKeep(
+          scored.filter(col("doc_id") % 7 =!= 0),
+          compsOf(all.filter(col("doc_id") % 7 =!= 0)))
+        .select(col("doc_id"), col("source"), col("keep").as("kb"))
+      val keepFull = Retention.withKeep(
+          scored, SharedWinnow.components(s, dir))
+        .select(col("doc_id"), col("keep").as("kf"))
+      keepBase.join(keepFull.hint("shuffle_hash"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_base"),
+          sum(when(col("kb"), 1L).otherwise(0L)).as("kept_base"),
+          sum(when(col("kb") && !col("kf"), 1L).otherwise(0L))
+            .as("lost_keep"),
+          sum(when(!col("kb") && col("kf"), 1L).otherwise(0L))
+            .as("gained_keep"))
+        .select(col("source"), col("n_base"), col("kept_base"),
+          col("lost_keep"), col("gained_keep"),
+          when(col("kept_base") === 0, 0L)
+            .otherwise(expr("""CAST(CAST(lost_keep AS DECIMAL(38,0))
+              * 1000000 div kept_base AS BIGINT)""")).as("churn_ppm"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val stopList = graft.operators.TextAnalysis.EnStopwords
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"""WITH RECURSIVE
+      ${winnowCompSqlTagged("f", "TRUE")},
+      ${winnowCompSqlTagged("b", "doc_id % 7 <> 0")},
+      scored AS (SELECT doc_id, source,
+          CAST(FLOOR((
+            LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5 +
+            (len(list_filter(string_split(text, ' '), t -> ($stopList)))
+               / len(string_split(text, ' '))) * 0.3 +
+            (1.0 - LEAST(1.0,
+              len(regexp_extract_all(text, '[.,!?;:]')) / 20.0)) * 0.2
+          ) * 1000000) AS BIGINT) * 10000000
+            + (9999999 - doc_id) AS packed
+        FROM documents),
+      kb AS (SELECT s.doc_id, s.source,
+          s.packed = MAX(s.packed) OVER (PARTITION BY
+            COALESCE(c.component, s.doc_id)) AS kb
+        FROM scored s LEFT JOIN compsb c ON c.doc_id = s.doc_id
+        WHERE s.doc_id % 7 <> 0),
+      kf AS (SELECT s.doc_id,
+          s.packed = MAX(s.packed) OVER (PARTITION BY
+            COALESCE(c.component, s.doc_id)) AS kf
+        FROM scored s LEFT JOIN compsf c ON c.doc_id = s.doc_id)
+      SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_base,
+        CAST(SUM(CASE WHEN b.kb THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept_base,
+        CAST(SUM(CASE WHEN b.kb AND NOT f.kf THEN 1 ELSE 0 END)
+          AS BIGINT) AS lost_keep,
+        CAST(SUM(CASE WHEN NOT b.kb AND f.kf THEN 1 ELSE 0 END)
+          AS BIGINT) AS gained_keep,
+        CAST(CASE WHEN SUM(CASE WHEN b.kb THEN 1 ELSE 0 END) = 0 THEN 0
+          ELSE CAST(SUM(CASE WHEN b.kb AND NOT f.kf THEN 1 ELSE 0 END)
+              AS HUGEINT) * 1000000
+            // SUM(CASE WHEN b.kb THEN 1 ELSE 0 END) END AS BIGINT)
+          AS churn_ppm
+      FROM kb b JOIN kf f ON f.doc_id = b.doc_id
+      GROUP BY 1 ORDER BY b.source"""
+    })
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q245, q246, q247, q248)
+  val list: Seq[Q] = Seq(q245, q246, q247, q248, q249)
 }
