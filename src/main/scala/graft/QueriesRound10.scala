@@ -346,19 +346,18 @@ object QueriesRound10 {
           sum(coalesce(col("c"), lit(0L))).over(
             Window.partitionBy(col("nat"), col("seg")).orderBy(col("bin"))))
       val globAgg = binned.groupBy(col("bin")).agg(count(lit(1)).as("ca"))
-      // 11 census rows: the bounded-window exemption (q42's class).
-      // localCheckpoint (the q236/q241 discipline) so the window
-      // subtree is planned/evaluated ONCE — without it every consumer
-      // re-instantiates the global window and the ~10 duplicate
-      // "No Partition Defined" warnings drown the q124-class
-      // zero-warning regression signal
+      // ≤11 census rows: the global cumulative as a TRIANGULAR
+      // self-join instead of an unpartitioned window — WindowExec
+      // logs its "No Partition Defined" warning on every planner
+      // visit (~10× per run even behind a checkpoint), drowning the
+      // q124-class zero-warning regression signal; an 11×11 join has
+      // no warning and no single-task sort at any scale
       val glob = globAgg
-        .withColumn("cuma", sum(col("ca")).over(
-          Window.orderBy(col("bin"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(globAgg.select(col("bin").as("b2"), col("ca").as("ca2")),
+          col("b2") <= col("bin"))
+        .groupBy(col("bin")).agg(sum(col("ca2")).as("cuma"))
         .crossJoin(broadcast(binned.agg(count(lit(1)).as("nn"))))
         .select(col("bin"), col("cuma"), col("nn"))
-        .localCheckpoint()
       val t = dense.join(broadcast(glob), Seq("bin"))
         .groupBy(col("nat"), col("seg"), col("ng"), col("nn"))
         .agg(sum(abs(col("cumg").cast("decimal(38,0)") * col("nn") -
