@@ -398,7 +398,7 @@ object Queries {
     QueriesPipeline.list ++ QueriesSample.list ++ QueriesScore.list ++
     QueriesTrain.list ++ QueriesRetrieve.list ++ QueriesAnalytics.list ++
     QueriesDepth.list ++ QueriesRound8.list ++ QueriesRound9.list ++
-    QueriesRound10.list ++ QueriesRound11.list
+    QueriesRound10.list ++ QueriesRound11.list ++ QueriesRound12.list
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

@@ -345,18 +345,25 @@ object QueriesRound10 {
         .withColumn("cumg",
           sum(coalesce(col("c"), lit(0L))).over(
             Window.partitionBy(col("nat"), col("seg")).orderBy(col("bin"))))
+      // ≤11 census rows, localCheckpointed so the triangular join's
+      // two legs AND the nn total read ONE materialized lineage —
+      // without the cut the un-checkpointed aggregate is planned on
+      // both join sides plus the count, re-scanning customer up to
+      // three times unless exchange reuse happens to fire
       val globAgg = binned.groupBy(col("bin")).agg(count(lit(1)).as("ca"))
-      // ≤11 census rows: the global cumulative as a TRIANGULAR
-      // self-join instead of an unpartitioned window — WindowExec
-      // logs its "No Partition Defined" warning on every planner
-      // visit (~10× per run even behind a checkpoint), drowning the
-      // q124-class zero-warning regression signal; an 11×11 join has
-      // no warning and no single-task sort at any scale
+        .localCheckpoint()
+      // the global cumulative as a TRIANGULAR self-join instead of an
+      // unpartitioned window — WindowExec logs its "No Partition
+      // Defined" warning on every planner visit (~10× per run even
+      // behind a checkpoint), drowning the q124-class zero-warning
+      // regression signal; an 11×11 join has no warning and no
+      // single-task sort at any scale. nn = Σca (every customer row
+      // lands in a bin — the greatest/least clamp is total)
       val glob = globAgg
         .join(globAgg.select(col("bin").as("b2"), col("ca").as("ca2")),
           col("b2") <= col("bin"))
         .groupBy(col("bin")).agg(sum(col("ca2")).as("cuma"))
-        .crossJoin(broadcast(binned.agg(count(lit(1)).as("nn"))))
+        .crossJoin(broadcast(globAgg.agg(sum(col("ca")).as("nn"))))
         .select(col("bin"), col("cuma"), col("nn"))
       val t = dense.join(broadcast(glob), Seq("bin"))
         .groupBy(col("nat"), col("seg"), col("ng"), col("nn"))

@@ -21,10 +21,31 @@ import org.apache.spark.sql.functions._
   *     it impossible by construction, so the exposed hazard is only
   *     ever REAL similarity).
   *
-  * Usage: runMain graft.RepairCert <synthDir> <baseDocCount>
-  * (base = 5000 for any make_sf1.py output of sf0.1). Exits nonzero
-  * on a split family. Dev certification tool, not a driver surface. */
+  * Usage: runMain graft.RepairCert <synthDir> <baseDocCount> [thr]
+  * (base = 5000 for any make_sf1.py output of sf0.1; thr = an
+  * edge-Jaccard threshold in ppm, or `auto` to run q252's
+  * threshold-pick policy — smallest grid point whose max_sub has
+  * converged — and certify at whatever it picks). Exits nonzero on a
+  * split family. Dev certification tool, not a driver surface. */
 object RepairCert {
+
+  /** q252's pick policy over the 0.2/0.35/0.5 grid: smallest
+    * threshold whose max sub-cluster size equals the next grid
+    * point's (raising further buys nothing); largest grid point when
+    * still shrinking at the end. */
+  def pickThreshold(s: SparkSession, dir: String): Long = {
+    val grid = Seq(200000L, 350000L, 500000L)
+    val ms = grid.map { t =>
+      t -> SharedLsh.strongComponentsAt(s, dir, t)
+        .groupBy(col("component")).agg(count(lit(1)).as("ssz"))
+        .agg(coalesce(max(col("ssz")), lit(0L)))
+        .head().getLong(0)
+    }
+    ms.sliding(2).collectFirst {
+      case Seq((t, m1), (_, m2)) if m1 == m2 => t
+    }.getOrElse(grid.last)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val base = args(1).toLong
@@ -47,10 +68,16 @@ object RepairCert {
       .select(col("doc_id"), (col("doc_id") % base).as("family"))
       .localCheckpoint()
 
-    // the repair map; docs whose every edge fell below 0.2 are absent
-    // from the CC output — they are singleton sub-clusters, keyed by
-    // their own id (the q238 fallback discipline)
-    val strong = SharedLsh.strongComponents(spark, dir)
+    // the repair map at the requested (or auto-picked) threshold;
+    // docs whose every edge fell below it are absent from the CC
+    // output — they are singleton sub-clusters, keyed by their own id
+    // (the q238 fallback discipline)
+    val thr: Long =
+      if (args.length > 2)
+        (if (args(2) == "auto") pickThreshold(spark, dir)
+         else args(2).toLong)
+      else 200000L
+    val strong = SharedLsh.strongComponentsAt(spark, dir, thr)
       .withColumnRenamed("component", "sub")
     val placed = members.join(strong, Seq("doc_id"), "left")
       .withColumn("sub", coalesce(col("sub"), col("doc_id")))
@@ -71,10 +98,15 @@ object RepairCert {
         count_distinct(col("family")).as("n_families"))
     val nSubs = bySub.count()
     val nMulti = bySub.filter(col("n_families") > 1).count()
-    val maxFam = bySub.agg(max(col("n_families"))).head().getLong(0)
+    // coalesce: max over an empty group is null when the corpus has
+    // no ≥11-member megaclusters — an empty census is a valid zero,
+    // not a crash (the q248 max_sub discipline)
+    val maxFam = bySub.agg(coalesce(max(col("n_families")), lit(0L)))
+      .head().getLong(0)
     val nMegaDocs = placed.count()
 
-    println(s"""{"dir":"$dir","base":$base,"mega_docs":$nMegaDocs,""" +
+    println(s"""{"dir":"$dir","base":$base,"thr_ppm":$thr,""" +
+      s""""mega_docs":$nMegaDocs,""" +
       s""""families_ge2":$nFam,"split_families":$nSplit,""" +
       s""""sub_clusters":$nSubs,"multi_family_subs":$nMulti,""" +
       s""""max_families_per_sub":$maxFam}""")

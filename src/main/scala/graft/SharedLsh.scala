@@ -502,26 +502,61 @@ object SharedWinnow {
           .as("spos"))
   }
 
-  private val pairCache = TrieMap.empty[Key, DataFrame]
+  private val fpDocCache = TrieMap.empty[Key, DataFrame]
 
-  /** The df-capped ≥2-shared winnow candidate-pair artifact —
-    * distinct (doc, fp) from [[selected]], document frequency capped
-    * at [2, StreamingWinnowScreen.DfCap], capped-bucket self-join,
-    * pairs sharing ≥ 2 fingerprints. Shared by q226 (screen
-    * calibration) and q238 (dedup retention): the pair derivation is
-    * the expensive stage, both consumers are views over it. Forced
-    * shuffle on the self-join legs (scale lesson #4 — broadcast would
-    * pin output parallelism). */
-  def cappedPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate(Key(s, dir), {
+  /** Distinct (doc_id, fp) winnowed fingerprints, checkpointed —
+    * ONE kernel pass feeding every cap variant's df filter and both
+    * self-join legs (before the factor-out, each cap paid its own
+    * gram+hash+fold kernel). */
+  def fpDoc(s: SparkSession, dir: String): DataFrame =
+    fpDocCache.getOrElseUpdate(Key(s, dir), {
       import org.apache.spark.sql.functions._
-      val fpdoc = selected(s, dir)
+      selected(s, dir)
         .select(col("doc_id"), col("fp")).distinct()
-        .localCheckpoint() // df-cap + both join legs read one lineage
+        .localCheckpoint()
+    })
+
+  private val capCache = TrieMap.empty[Key, Long]
+
+  /** The DUPLICATION-AWARE screen cap (r11 verdict item 1): the fixed
+    * [[graft.streaming.StreamingWinnowScreen.DfCap]] silently drops
+    * real duplicate families once corpus duplication grows — a
+    * fingerprint shared by an f-doc organic family has df ≈ m·f under
+    * m-fold duplication, so the boilerplate threshold must scale with
+    * the MEASURED duplication rate. Multiplier = exact-duplicate
+    * multiplicity (rows / distinct text hashes — one cheap md5
+    * distinct-count, far cheaper than the near-dup map the cap
+    * gates); adaptive cap = ceil(DfCap · n / m), all-integer so both
+    * engines agree: (DfCap·n + m − 1) div m. On organic driver data
+    * the multiplier ≈ 1 and the cap stays ≈ DfCap; at 10× synth
+    * replication it scales to ~160 and keeps the cross-source
+    * families the fixed cap loses (q246's vanishing components). */
+  def adaptiveCap(s: SparkSession, dir: String): Long =
+    capCache.getOrElseUpdate(Key(s, dir), {
+      import org.apache.spark.sql.functions._
+      val r = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n"),
+          count_distinct(md5(col("text"))).as("m"))
+        .head()
+      val (n, m) = (r.getLong(0), r.getLong(1))
+      val base = graft.streaming.StreamingWinnowScreen.DfCap.toLong
+      (base * n + m - 1L) / m
+    })
+
+  private val pairCache = TrieMap.empty[(Key, Long), DataFrame]
+
+  /** [[cappedPairs]] at an explicit df-cap — the parameterized screen
+    * variant the adaptive cap plugs into; cached per (session, dir,
+    * cap) so the fixed-cap consumers (q226/q238, gate-frozen) and the
+    * adaptive consumers (q251) each pay their pair join once while
+    * sharing ONE [[fpDoc]] kernel pass. */
+  def cappedPairsAt(s: SparkSession, dir: String, cap: Long): DataFrame =
+    pairCache.getOrElseUpdate((Key(s, dir), cap), {
+      import org.apache.spark.sql.functions._
+      val fpdoc = fpDoc(s, dir)
       val usable = fpdoc.groupBy(col("fp"))
         .agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2,
-          graft.streaming.StreamingWinnowScreen.DfCap))
+        .filter(col("nd").between(2L, cap))
         .select(col("fp"))
       val capped = fpdoc.join(usable.hint("shuffle_hash"), "fp")
       capped.select(col("fp"), col("doc_id").as("doc_a"))
@@ -535,15 +570,33 @@ object SharedWinnow {
         .localCheckpoint()
     })
 
-  private val compCache = TrieMap.empty[Key, DataFrame]
+  /** The df-capped ≥2-shared winnow candidate-pair artifact —
+    * distinct (doc, fp) from [[selected]], document frequency capped
+    * at [2, StreamingWinnowScreen.DfCap], capped-bucket self-join,
+    * pairs sharing ≥ 2 fingerprints. Shared by q226 (screen
+    * calibration) and q238 (dedup retention): the pair derivation is
+    * the expensive stage, both consumers are views over it. Forced
+    * shuffle on the self-join legs (scale lesson #4 — broadcast would
+    * pin output parallelism). */
+  def cappedPairs(s: SparkSession, dir: String): DataFrame =
+    cappedPairsAt(s, dir,
+      graft.streaming.StreamingWinnowScreen.DfCap.toLong)
+
+  private val compCache = TrieMap.empty[(Key, Long), DataFrame]
+
+  /** [[components]] at an explicit df-cap — cached per cap for the
+    * adaptive-screen consumers. */
+  def componentsAt(s: SparkSession, dir: String, cap: Long): DataFrame =
+    compCache.getOrElseUpdate((Key(s, dir), cap),
+      graft.operators.Dedup.connectedComponents(
+        cappedPairsAt(s, dir, cap)).localCheckpoint())
 
   /** Exact connected components over [[cappedPairs]] — the winnow
     * screen's cluster map, cached like SharedLsh.components (q238's
     * retention and q242's cluster profile read the same map). */
   def components(s: SparkSession, dir: String): DataFrame =
-    compCache.getOrElseUpdate(Key(s, dir),
-      graft.operators.Dedup.connectedComponents(cappedPairs(s, dir))
-        .localCheckpoint())
+    componentsAt(s, dir,
+      graft.streaming.StreamingWinnowScreen.DfCap.toLong)
 
   private val compWhereCache = TrieMap.empty[(Key, String), DataFrame]
 
@@ -616,6 +669,11 @@ object SharedWinnow {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     cache.clear()
+    fpDocCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    fpDocCache.clear()
+    capCache.clear()
     pairCache.values.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }

@@ -67,17 +67,25 @@ object StreamingWinnowScreen {
   /** Append-only co-occurrence stream: one (fp, doc_a, doc_b) row per
     * new same-bucket pair (doc_a < doc_b), plus ONE
     * (fp, -1, -1, saturated = true) tombstone the moment a bucket
-    * crosses [[DfCap]] — downstream must discard that fp's pairs. */
-  def coPairs(docs: DataFrame, idCol: String,
-              textCol: String): Dataset[Emit] = {
+    * crosses the cap — downstream must discard that fp's pairs.
+    *
+    * `dfCap` defaults to the fixed [[DfCap]]; a duplication-aware
+    * deployment passes `SharedWinnow.adaptiveCap`'s value instead
+    * (the r11 finding: a FIXED cap silently drops real duplicate
+    * families as corpus duplication grows — q235/q246/q249), making
+    * the online screen the same parameterized policy as the batch
+    * `cappedPairsAt`. The cap is a per-query constant: state stays
+    * bounded at cap+1 longs per active bucket. */
+  def coPairs(docs: DataFrame, idCol: String, textCol: String,
+              dfCap: Int = DfCap): Dataset[Emit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val stEnc = Encoders.product[Bucket]
     implicit val outEnc = Encoders.product[Emit]
     val rows = fingerprintsNarrow(docs, idCol, textCol).as[FpRow]
-    // local copy: referencing the object field from fn would capture
-    // the (non-serializable) module in the task closure
-    val cap = DfCap
+    // local copy: referencing a method parameter is closure-safe; the
+    // val also keeps the (non-serializable) module out of the task
+    val cap = dfCap
 
     def fn(fp: Long, batch: Iterator[FpRow],
            state: GroupState[Bucket]): Iterator[Emit] = {
