@@ -310,7 +310,128 @@ object QueriesRound12 {
           THEN thr_ppm ELSE -thr_ppm END)
       LIMIT 1"""))
 
+  /** DF-SPECTRUM QUANTILE CAP — the OTHER calibration the r11 verdict
+    * named (a per-fp document-frequency quantile cut, next to q250's
+    * multiplicity scaling): the exact df spectrum of the winnowed
+    * fingerprints (≥2), and the smallest cap covering ≥ 99.9% of fps
+    * — boilerplate is the extreme TAIL of the df distribution, so a
+    * quantile cut adapts to any duplication profile without a model
+    * of how the duplication arose (the multiplicity formula assumes
+    * whole-document copies; a quantile survives partial/templated
+    * duplication too). Output: the 99.9‰ cap, the spectrum mass, and
+    * q250's multiplicity cap alongside — the two calibrations a cap
+    * owner cross-checks (they agree on organic data; a large gap
+    * flags structured duplication worth investigating).
+    *
+    * Scale shape: rides [[SharedWinnow.fpDoc]]; the spectrum is a
+    * double hash-agg (per-fp df, then per-df count — output rows
+    * bounded by |distinct df values| ≤ cap ceiling, ~160 at 10×); the
+    * cumulative is a TRIANGULAR self-join over that census (the q239
+    * rule: no unpartitioned window, ever), and the pick is one
+    * filtered min. All-integer: the ‰ comparison is cum·1000 ≥
+    * tot·999, no division at all. */
+  private val q253 = Q(
+    "q253_df_quantile_cap",
+    (s, dir) => {
+      val nd = SharedWinnow.fpDoc(s, dir)
+        .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+      val spec = nd.groupBy(col("nd")).agg(count(lit(1)).as("k"))
+        .localCheckpoint() // census; cumulative legs + total, one lineage
+      val tot = spec.agg(coalesce(sum(col("k")), lit(0L)).as("tot"))
+      val cum = spec
+        .join(spec.select(col("nd").as("nd2"), col("k").as("k2")),
+          col("nd2") <= col("nd"))
+        .groupBy(col("nd")).agg(sum(col("k2")).as("cum"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum") * 1000L >= col("tot") * 999L)
+        .agg(coalesce(min(col("nd")), lit(0L)).as("q999_cap"))
+        .crossJoin(broadcast(tot))
+        .select(col("q999_cap"), col("tot").as("n_fp_ge2"),
+          lit(SharedWinnow.adaptiveCap(s, dir)).as("multiplicity_cap"))
+    },
+    Some(s"""WITH $fdAcapSql,
+      nd AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM fd GROUP BY 1 HAVING COUNT(*) >= 2),
+      spec AS (SELECT nd, CAST(COUNT(*) AS BIGINT) AS k
+        FROM nd GROUP BY 1),
+      tot AS (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) AS tot
+        FROM spec),
+      cum AS (SELECT a.nd, CAST(SUM(b.k) AS BIGINT) AS cum
+        FROM spec a JOIN spec b ON b.nd <= a.nd GROUP BY 1),
+      pick AS (SELECT CAST(COALESCE(MIN(c.nd), 0) AS BIGINT)
+          AS q999_cap
+        FROM cum c CROSS JOIN tot t
+        WHERE c.cum * 1000 >= t.tot * 999)
+      SELECT p.q999_cap, t.tot AS n_fp_ge2,
+        CAST(a.cap AS BIGINT) AS multiplicity_cap
+      FROM pick p CROSS JOIN tot t CROSS JOIN acap a"""))
+
+  /** EFFECTIVE DATASET SIZE UNDER THE ADAPTIVE CAP — q247's twin on
+    * the calibrated screen: per-source Σ 1/|component| in exact ppm.
+    * The pair quantifies the RESIDUAL bias the fixed cap leaves even
+    * where it "works": under duplication the fixed screen keeps the
+    * formerly-unique fps (base df 1 → m ≤ 16 keeps copy families
+    * clustered) but loses every fp with base df ≥ 2 — the ORGANIC
+    * near-dup evidence — so fixed-cap effective sizes overstate
+    * diversity by exactly the organic merges. A budget owner reading
+    * q247 alone on a duplication-shifted corpus overpays; this query
+    * is the corrected invoice.
+    *
+    * Scale shape: identical to q247 — one hash-agg for component
+    * sizes, id-keyed shuffle-hash joins (the map scales with dup
+    * rate — never broadcast, the q199 rule), |sources| census rows;
+    * the component map is the per-cap session artifact shared with
+    * q251. */
+  private val q254 = Q(
+    "q254_adaptive_effective_size",
+    (s, dir) => {
+      val comps = SharedWinnow.componentsAt(s, dir,
+        SharedWinnow.adaptiveCap(s, dir))
+      val sz = comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(comps.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(sz.hint("shuffle_hash"), Seq("component"), "left")
+        .withColumn("csize", coalesce(col("csize"), lit(1L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("component").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum(expr("1000000 div csize")).as("effective_x1e6"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE $fdAcapSql,
+      us AS (SELECT fp FROM fd GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND (SELECT cap FROM acap)),
+      capd AS MATERIALIZED (SELECT f.doc_id, f.fp
+        FROM fd f JOIN us u ON u.fp = f.fp),
+      wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capd a JOIN capd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM wp
+        UNION SELECT doc_b, doc_a FROM wp),
+      walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      comps AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS component
+        FROM walk GROUP BY 1),
+      sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+        FROM comps GROUP BY 1),
+      j AS (SELECT d.source, c.component,
+          COALESCE(sz.csize, 1) AS csize
+        FROM documents d
+        LEFT JOIN comps c ON c.doc_id = d.doc_id
+        LEFT JOIN sz ON sz.component = c.component)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_clustered,
+        CAST(SUM(1000000 // csize) AS BIGINT) AS effective_x1e6
+      FROM j GROUP BY 1 ORDER BY source"""))
+
   // ---------------------------------------------------------------------
 
-  val list: Seq[Q] = Seq(q250, q251, q252)
+  val list: Seq[Q] = Seq(q250, q251, q252, q253, q254)
 }
