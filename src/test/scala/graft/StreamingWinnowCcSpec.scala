@@ -87,11 +87,16 @@ class StreamingWinnowCcSpec extends SparkSpec {
       val log = spark.read.parquet(out)
         .as[(Long, Long, Long, Boolean)].collect()
       val sat = log.filter(_._4).map(_._1).toSet
+      // filter + keySet, NOT collect { case (ab, _) => ab }: collect
+      // on a Map whose partial function returns a Tuple2 rebuilds a
+      // MAP, silently collapsing the pair set by doc_a (caught by the
+      // round-12 parameterized-cap test, where the flood's pairs
+      // share left endpoints)
       val confirmed = log
         .filter(r => !r._4 && !sat.contains(r._1))
         .groupBy(r => (r._2, r._3))
-        .collect { case (ab, rs) if rs.map(_._1).distinct.length >= 2 => ab }
-        .toSeq
+        .filter { case (_, rs) => rs.map(_._1).distinct.length >= 2 }
+        .keySet.toSeq
       val streamed =
         if (confirmed.isEmpty) Map.empty[Long, Long]
         else Dedup.connectedComponents(

@@ -61,10 +61,13 @@ class StreamingWinnowScreenSpec extends SparkSpec {
       val rows = spark.sql(s"SELECT * FROM $name")
         .as[(Long, Long, Long, Boolean)].collect()
       val sat = rows.filter(_._4).map(_._1).toSet
+      // NOTE: .filter + .keySet, NOT .collect { case (ab, _) => ab } —
+      // collect on a Map whose partial function returns a Tuple2
+      // rebuilds a MAP, silently collapsing pairs by doc_a
       val pairs = rows.filter(r => !r._4 && !sat.contains(r._1))
         .groupBy(r => (r._2, r._3))
-        .collect { case (ab, rs) if rs.map(_._1).distinct.length >= 2 => ab }
-        .toSet
+        .filter { case (_, rs) => rs.map(_._1).distinct.length >= 2 }
+        .keySet.toSet
       (pairs, sat.size)
     } finally q.stop()
   }
@@ -127,6 +130,53 @@ class StreamingWinnowScreenSpec extends SparkSpec {
         // pairs, which downstream drops via the tombstone
       }
       assert(rows.exists(_._4), "the banner must saturate at 30 docs")
+    } finally q.stop()
+  }
+
+  test("parameterized df-cap: a raised cap keeps the flood as pairs " +
+      "online, equal to the batch screen at the same cap") {
+    // the duplication-aware deployment (SharedWinnow.adaptiveCap →
+    // coPairs dfCap): at cap 32 the 21-doc banner flood is below the
+    // threshold, so its shared fingerprints are EVIDENCE, not
+    // boilerplate — stream == batch at the raised cap, and the flood
+    // pairs appear where the default cap tombstoned them
+    val cap = 32
+    val fd = StreamingWinnowScreen.fingerprintsNarrow(
+      corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("docId"), col("fp")).distinct()
+    val usable = fd.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, cap)).select(col("fp"))
+    val capped = fd.join(usable, "fp")
+    val batchAtCap = capped.select(col("fp"), col("docId").as("a"))
+      .join(capped.select(col("fp"), col("docId").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(batchAtCap.contains((100L, 101L)),
+      "the flood must pair under the raised batch cap")
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingWinnowScreen.coPairs(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", dfCap = cap)
+    val q = out.writeStream.format("memory").queryName("wsc_cap")
+      .outputMode("append").start()
+    try {
+      val (a, b) = corpus.partition(_._1 < 110)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM wsc_cap")
+        .as[(Long, Long, Long, Boolean)].collect()
+      val sat = rows.filter(_._4).map(_._1).toSet
+      // filter + keySet (the collect-on-Map trap: a Tuple2-returning
+      // partial function rebuilds a Map and collapses by doc_a)
+      val pairs = rows.filter(r => !r._4 && !sat.contains(r._1))
+        .groupBy(r => (r._2, r._3))
+        .filter { case (_, rs) => rs.map(_._1).distinct.length >= 2 }
+        .keySet.toSet
+      assert(pairs == batchAtCap,
+        "streamed screen at dfCap=32 must equal the batch screen at 32")
     } finally q.stop()
   }
 }
