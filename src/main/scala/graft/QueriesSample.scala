@@ -200,7 +200,7 @@ object QueriesSample {
       SELECT n AS node, r AS rank FROM r3 ORDER BY rank DESC, node"""))
 
   /** Column spec shared by q73 (exact twin) and the production approx
-    * profile (PlanShapeSpec pins the latter's plan has no Expand). */
+    * profile (PlanShapeSpec pins NEITHER plan carries an Expand). */
   private[graft] val profileCols = Seq(
     ColumnProfile.ProfCol("event_id", numeric = true),
     ColumnProfile.ProfCol("user_id", numeric = true),
@@ -221,11 +221,12 @@ object QueriesSample {
     ColumnProfile.profile(eventsWithTsMs(s, dir), profileCols, exact = false)
       .orderBy(col("col_name"))
 
-  /** Single-pass column profiling (operators/ColumnProfile.scala) in the
-    * exact-NDV regime — Spark plans the 6 exact distincts as one Expand
-    * (×6 row blowup), which the oracle genuinely needs; the production
-    * twin [[profileApprox]] swaps in approx_count_distinct and its plan
-    * carries no Expand (PlanShapeSpec). */
+  /** Column profiling (operators/ColumnProfile.scala) in the
+    * exact-NDV regime — one column-pruned scan per exact distinct
+    * (hash agg, no Expand, no string sort; the r12 reshape of the
+    * r11-flagged tail cost), values identical to the old single-pass
+    * Expand form; the production twin [[profileApprox]] keeps the
+    * true single scan via approx_count_distinct (PlanShapeSpec). */
   private val q73 = Q(
     "q73_profile",
     (s, dir) =>

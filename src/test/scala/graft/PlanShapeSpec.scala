@@ -100,12 +100,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) == 1, s"expected one exchange of partial sketches:\n$p")
   }
 
-  test("q73 profile computes every column's stats in ONE parquet scan") {
-    // the single-pass claim: six columns' nulls/NDV/min/max from one
-    // table read (the NDV Expand multiplies rows, not scans)
+  test("q73 profile: one pruned scan per exact NDV, no Expand") {
+    // the r12 shape: base scan (counts/nulls/min/max) + one
+    // COLUMN-PRUNED scan per column's exact distinct, each a
+    // two-level hash agg. The old single-pass 6-distinct form planned
+    // Expand ×7 into a 7-key SortAggregate (string min/max buffers
+    // force sort) — the whole table replicated and sorted, the
+    // r11-flagged tail cost
     val p = planOf(Queries.all("q73_profile")(spark, sf()))
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 1, s"expected one scan, got $scans:\n$p")
+    assert(scans == 7, s"expected 7 pruned scans, got $scans:\n$p")
+    assert(!p.contains("Expand"), s"exact profile must not Expand:\n$p")
   }
 
   test("q67 t-digest partials cross the exchange as bounded buffers") {
