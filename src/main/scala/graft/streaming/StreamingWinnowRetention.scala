@@ -170,13 +170,18 @@ object StreamingWinnowRetention {
     * a replayed batch overwrites its own snap dir and re-emits the
     * same delta. Old snapshots are retained for audit — a production
     * deployment would prune by age, a storage policy rather than a
-    * correctness concern. */
+    * correctness concern. `dfCap` feeds the online screen — pass
+    * `SharedWinnow.adaptiveCap`'s value for the duplication-aware
+    * deployment (the r12 calibration); the snapshot derivation needs
+    * no cap of its own because saturation tombstones already encode
+    * it in the pair log. */
   def deltaWriter(docs: DataFrame, idCol: String, textCol: String,
                   pairLogPath: String, docStorePath: String,
-                  snapStorePath: String)(
+                  snapStorePath: String,
+                  dfCap: Int = StreamingWinnowScreen.DfCap)(
       onDelta: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[StreamingWinnowScreen.Emit] =
-    StreamingWinnowScreen.coPairs(docs, idCol, textCol).writeStream
+    StreamingWinnowScreen.coPairs(docs, idCol, textCol, dfCap).writeStream
       .outputMode("append")
       .foreachBatch {
         (b: Dataset[StreamingWinnowScreen.Emit], batchId: Long) =>
@@ -206,10 +211,11 @@ object StreamingWinnowRetention {
     * assuming an ordering between independent checkpoints.
     * Caller adds checkpointLocation/trigger and starts. */
   def retentionWriter(docs: DataFrame, idCol: String, textCol: String,
-                      pairLogPath: String, docStorePath: String)(
+                      pairLogPath: String, docStorePath: String,
+                      dfCap: Int = StreamingWinnowScreen.DfCap)(
       onSnapshot: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[StreamingWinnowScreen.Emit] =
-    StreamingWinnowScreen.coPairs(docs, idCol, textCol).writeStream
+    StreamingWinnowScreen.coPairs(docs, idCol, textCol, dfCap).writeStream
       .outputMode("append")
       .foreachBatch {
         (b: Dataset[StreamingWinnowScreen.Emit], _: Long) =>
