@@ -321,6 +321,37 @@ object ScaleBench {
         graft.operators.Retention.withKeep(scored, comps)
           .filter(col("keep")).count()
       }
+      // round-12: the q250/q253 cap-calibration kernels — the census a
+      // crawl pipeline pays per batch BEFORE trusting a dedup cap on a
+      // duplication-shifted corpus: exact-dup multiplicity (one count
+      // + md5 distinct over the scan) → the adaptive cap, then the
+      // per-fp df spectrum (double hash-agg over the fingerprint
+      // kernel) → the 99.9‰ quantile cap via a census-sized
+      // triangular-join cumulative. Everything after the kernel is
+      // census-scale; the decade should track the fingerprint kernel.
+      val capSum = timedL("cap_calibration") {
+        import graft.streaming.StreamingWinnowScreen
+        val r = docs.agg(count(lit(1)).as("nn"),
+          count_distinct(md5(col("text"))).as("mm")).head()
+        val acap = (StreamingWinnowScreen.DfCap * r.getLong(0) +
+          r.getLong(1) - 1L) / r.getLong(1)
+        val fd = StreamingWinnowScreen
+          .fingerprintsNarrow(docs, "doc_id", "text")
+          .select(col("docId"), col("fp")).distinct()
+        val nd = fd.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+        val spec = nd.groupBy(col("nd")).agg(count(lit(1)).as("k"))
+          .localCheckpoint() // census; cumulative legs + total
+        val tot = spec.agg(coalesce(sum(col("k")), lit(0L)).as("tot"))
+        val q999 = spec
+          .join(spec.select(col("nd").as("nd2"), col("k").as("k2")),
+            col("nd2") <= col("nd"))
+          .groupBy(col("nd")).agg(sum(col("k2")).as("cum"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cum") * 1000L >= col("tot") * 999L)
+          .agg(coalesce(min(col("nd")), lit(0L))).head().getLong(0)
+        acap + q999
+      }
       // round-10: q233's index-aging kernel — the stored 8-gram index
       // lifecycle a crawl-scale pipeline pays continuously: build
       // (map-side-combined MAX of last_seen per 16-byte gram key),
@@ -704,6 +735,7 @@ object ScaleBench {
         f""""winnow_docs":$winnowDocs,""" +
         f""""gram_sat_rows":$gramSat,"cur_pack_rows":$curPack,""" +
         f""""winnow_pairs":$winnowPairs,"aging_novel":$agingNovel,""" +
+        f""""cap_sum":$capSum,""" +
         f""""bpe_rounds":$bpeRounds,"nb_scored":$nbScored}""")
       println(acc.toString)
     } finally spark.stop()
