@@ -540,7 +540,8 @@ object SharedWinnow {
         .head()
       val (n, m) = (r.getLong(0), r.getLong(1))
       val base = graft.streaming.StreamingWinnowScreen.DfCap.toLong
-      (base * n + m - 1L) / m
+      // empty corpus → the fixed cap (the capFromStore fallback rule)
+      if (m == 0L) base else (base * n + m - 1L) / m
     })
 
   private val pairCache = TrieMap.empty[(Key, Long), DataFrame]
