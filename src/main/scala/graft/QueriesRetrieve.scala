@@ -26,12 +26,16 @@ object QueriesRetrieve {
   private val q122 = Q(
     "q122_rrf_fusion",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
       val e = Tables.embeddings(s, dir).select(
         col("vec_id").as("id"),
         Similarity.asDouble(col("embedding")).as("v"))
+      // BM25 off the stored (postings, doc-lengths) index pair — the
+      // q157 read path; bm25Rank(docs, …) re-tokenized the corpus per
+      // invocation for identical inputs (termDocs + tokenCount lens)
+      val (post, lens) = SharedGrams.postingPair(s, dir)
       val lex = Fusion.rankOf(
-        TrainPrep.bm25Rank(docs, QueryTerms, topK = 50), "score_fp")
+        TrainPrep.bm25RankFromPair(post, lens, QueryTerms, 50),
+        "score_fp")
       val sem = Similarity.cosineTopKFast(e, e.filter(col("id") === 0), 50)
         .select(col("vec_id").as("doc_id"), col("rnk").cast("long").as("rank"))
       Fusion.rrf(Seq(lex, sem), rrfK = 60, topK = 20)
@@ -592,8 +596,12 @@ object QueriesRetrieve {
     "q134_serp_dedup",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // ranking off the stored posting pair (q157's read path) — the
+      // corpus is tokenized once per session, not per invocation
+      val (post, lens) = SharedGrams.postingPair(s, dir)
       val cand = Fusion.rankOf(
-          TrainPrep.bm25Rank(docs, QueryTerms, topK = 20), "score_fp")
+          TrainPrep.bm25RankFromPair(post, lens, QueryTerms, 20),
+          "score_fp")
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
         .localCheckpoint()
       val sh = graft.operators.Dedup
@@ -754,9 +762,9 @@ object QueriesRetrieve {
     "q137_top_p_select",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val target = docs.filter(col("text").contains("spark"))
-      val w = graft.operators.Dsir.importanceWeights(docs, target)
-      val scored = graft.operators.Dsir.scoreDocs(docs, w)
+      // the DSIR score column from the session artifact (shared with
+      // q118's top-25 — identical model, identical target)
+      val scored = SharedDsir.scored(s, dir)
       // the 16-digit zero-padded inversion only orders correctly while
       // the score fits under the bias — a pathological target/corpus
       // ratio must fail loudly, not silently mis-rank (repo convention)
@@ -770,9 +778,9 @@ object QueriesRetrieve {
           lpad((lit(1000000000000000L) - guarded).cast("string"), 16, "0"),
           lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
         lit(1L).as("one"))
-        // count + withCumWeight both consume this frame: materialize
-        // the (expensive) DSIR scoring lineage exactly once
-        .localCheckpoint()
+      // count + withCumWeight both consume this frame; the expensive
+      // DSIR scoring behind it is the checkpointed session artifact,
+      // so the re-read is a cheap projection, no per-query checkpoint
       val n = keyed.count()
       val keep = math.max(1L, n / 10)
       val kept = graft.operators.WeightedSample
@@ -972,9 +980,11 @@ object QueriesRetrieve {
     "q149_search_snippets",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // ranking off the stored posting pair (q157's read path)
+      val (post, lens) = SharedGrams.postingPair(s, dir)
       Fusion.snippets(docs,
-        Fusion.rankOf(TrainPrep.bm25Rank(docs, QueryTerms, 5),
-          "score_fp"),
+        Fusion.rankOf(TrainPrep.bm25RankFromPair(post, lens,
+          QueryTerms, 5), "score_fp"),
         QueryTerms, width = 10)
     },
     Some(s"""WITH lens AS (

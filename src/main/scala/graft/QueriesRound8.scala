@@ -214,10 +214,10 @@ object QueriesRound8 {
   private val q219 = Q(
     "q219_gram_saturation",
     (s, dir) => {
-      val stats = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(TextAnalysis.wordNgrams(col("text"), 8)).as("g"))
-        .groupBy(unhex(md5(col("g"))).as("gh"))
+      // gram occurrences from the shared word-8-gram artifact (one
+      // scan+tokenize+md5 pass per session, shared with q220/q233)
+      val stats = SharedGrams.word8(s, dir)
+        .groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("occ"))
       stats.select(col("df"), col("occ"),
@@ -282,15 +282,12 @@ object QueriesRound8 {
   private val q220 = Q(
     "q220_delta_novelty",
     (s, dir) => {
-      def grams(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("doc_id"), col("source"),
-          explode(TextAnalysis.wordNgrams(col("text"), 8)).as("g"))
-          .select(col("doc_id"), col("source"),
-            unhex(md5(col("g"))).as("gh"))
-      val docs = Tables.documents(s, dir)
-      val hist = grams(docs.filter(col("doc_id") % 7 =!= 0))
+      // gram occurrences from the shared word-8-gram artifact (one
+      // scan+tokenize+md5 pass per session, shared with q219/q233)
+      val g8 = SharedGrams.word8(s, dir)
+      val hist = g8.filter(col("doc_id") % 7 =!= 0)
         .select(col("gh")).distinct()
-      val perDoc = grams(docs.filter(col("doc_id") % 7 === 0))
+      val perDoc = g8.filter(col("doc_id") % 7 === 0)
         .join(hist.withColumn("seen", lit(1L)), Seq("gh"), "left")
         .groupBy(col("doc_id"), col("source"))
         .agg(count(lit(1)).as("n_grams"),

@@ -340,13 +340,10 @@ object QueriesRound9 {
   private val q233 = Q(
     "q233_index_eviction",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      def grams(d: org.apache.spark.sql.DataFrame) =
-        d.select(col("doc_id"), col("source"),
-            explode(TextAnalysis.wordNgrams(col("text"), 8)).as("g"))
-          .select(col("doc_id"), col("source"),
-            unhex(md5(col("g"))).as("gh"))
-      val hist = grams(docs.filter(col("doc_id") % 7 =!= 0))
+      // gram occurrences from the shared word-8-gram artifact (one
+      // scan+tokenize+md5 pass per session, shared with q219/q220)
+      val g8 = SharedGrams.word8(s, dir)
+      val hist = g8.filter(col("doc_id") % 7 =!= 0)
       // the stored artifact: one row per gram, last_seen maintained by
       // a map-side-combined max — the incremental path never re-reads
       // history text to age the index
@@ -357,7 +354,7 @@ object QueriesRound9 {
       val aged = idxFull.filter(col("last_seen") >= 2)
       val sizes = idxFull.agg(count(lit(1)).as("idx_full"),
         sum(when(col("last_seen") >= 2, 1L).otherwise(0L)).as("idx_aged"))
-      val delta = grams(docs.filter(col("doc_id") % 7 === 0))
+      val delta = g8.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id"), col("source"), col("gh")).distinct()
       delta
         .join(aged.select(col("gh"), lit(1L).as("hit")), Seq("gh"), "left")
@@ -456,39 +453,18 @@ object QueriesRound9 {
   private val q234 = Q(
     "q234_winnow_decontam",
     (s, dir) => {
-      val DfCap = graft.streaming.StreamingWinnowScreen.DfCap
-      val base = Tables.documents(s, dir)
-      val BenchIdBase = 1000000000000L
-      val bench = base.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + BenchIdBase).as("doc_id"),
-          expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
-      val corpusFp = SharedWinnow.selected(s, dir)
-        .select(col("doc_id").as("train_id"), col("fp")).distinct()
-        .localCheckpoint() // df-cap + screen + confirm read one lineage
-      val benchFp = SharedWinnow.fingerprintsOf(bench)
-        .select(col("doc_id").as("bench_id"), col("fp")).distinct()
-        .localCheckpoint() // screen + szb + confirm read one lineage
-      val capped = corpusFp.join(
-        corpusFp.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
-          .filter(col("dfc") <= DfCap).select(col("fp"))
-          .hint("shuffle_hash"), "fp")
-      val cand = capped
-        .join(benchFp.hint("shuffle_hash"), "fp")
-        .groupBy(col("train_id"), col("bench_id"))
-        .agg(count(lit(1)).as("nsh"))
-        .filter(col("nsh") >= 2)
-        .select(col("train_id"), col("bench_id"))
-        .localCheckpoint() // screen census + confirm read one lineage
-      val inter = corpusFp
-        .join(cand.hint("shuffle_hash"), "train_id")
-        .join(benchFp.hint("shuffle_hash"), Seq("bench_id", "fp"))
-        .groupBy(col("train_id"), col("bench_id"))
-        .agg(count(lit(1)).as("i"))
-      val szb = benchFp.groupBy(col("bench_id")).agg(count(lit(1)).as("szb"))
-      val confirmed = inter.join(szb.hint("shuffle_hash"), "bench_id")
-        .filter(expr("i * 1000000 div szb") >= 500000L)
-        .select(col("train_id"), col("bench_id"))
-      val src = base.select(col("doc_id").as("train_id"), col("source"))
+      // Screen and confirm both ride SharedDecontam session artifacts
+      // (r12 opt): cand is the winnow-screened pair set; confirmed is
+      // the union-candidate containment confirm restricted back to
+      // THIS screen's candidates by a semi-join (the confirm predicate
+      // is per-pair, independent of which screen surfaced the pair, so
+      // the restriction is exact). Per-invocation work: censuses only.
+      val cand = SharedDecontam.winnowCandPairs(s, dir)
+      val confirmed = SharedDecontam.confirmedPairs(s, dir)
+        .join(cand.hint("shuffle_hash"),
+          Seq("train_id", "bench_id"), "left_semi")
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id").as("train_id"), col("source"))
       val candCen = cand.join(src.hint("shuffle_hash"), "train_id")
         .groupBy(col("source")).agg(count(lit(1)).as("n_cand_pairs"))
       val confCen = confirmed.join(src.hint("shuffle_hash"), "train_id")
@@ -566,53 +542,17 @@ object QueriesRound9 {
   private val q235 = Q(
     "q235_decontam_calibration",
     (s, dir) => {
-      import graft.operators.Dedup
-      val DfCap = graft.streaming.StreamingWinnowScreen.DfCap
-      val base = Tables.documents(s, dir)
-      val BenchIdBase = 1000000000000L
-      val bench = base.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + BenchIdBase).as("doc_id"),
-          expr("substr(text, 1, greatest(length(text)-40, 50))").as("text"))
-      // winnow screen (q234's kernel)
-      val corpusFp = SharedWinnow.selected(s, dir)
-        .select(col("doc_id").as("train_id"), col("fp")).distinct()
-        .localCheckpoint()
-      val benchFp = SharedWinnow.fingerprintsOf(bench)
-        .select(col("doc_id").as("bench_id"), col("fp")).distinct()
-        .localCheckpoint()
-      val capped = corpusFp.join(
-        corpusFp.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
-          .filter(col("dfc") <= DfCap).select(col("fp"))
-          .hint("shuffle_hash"), "fp")
-      val wcand = capped
-        .join(benchFp.hint("shuffle_hash"), "fp")
-        .groupBy(col("train_id"), col("bench_id"))
-        .agg(count(lit(1)).as("nsh"))
-        .filter(col("nsh") >= 2)
-        .select(col("train_id"), col("bench_id"))
-      // LSH screen (q199's kernel: corpus bands from the session
-      // artifact, fresh bench-side banding, bench index broadcast)
-      val lcand = SharedLsh.bandKeys(s, dir)
-        .select(col("doc_id").as("train_id"), col("bk"))
-        .join(broadcast(
-          Dedup.lshBandKeysNarrow(bench, "doc_id", "text", 5, 8, 2)
-            .select(col("doc_id").as("bench_id"), col("bk"))), "bk")
-        .select(col("train_id"), col("bench_id")).distinct()
+      // Both screens and the union confirm are SharedDecontam session
+      // artifacts (r12 opt) — this query is exactly their comparison
+      // census, so its per-invocation work is the flag union + one
+      // join + one aggregate.
+      val wcand = SharedDecontam.winnowCandPairs(s, dir)
+      val lcand = SharedDecontam.lshCrossPairs(s, dir)
       val cand = wcand.withColumn("w", lit(1L)).withColumn("l", lit(0L))
         .union(lcand.withColumn("w", lit(0L)).withColumn("l", lit(1L)))
         .groupBy(col("train_id"), col("bench_id"))
         .agg(max(col("w")).as("w"), max(col("l")).as("l"))
-        .localCheckpoint() // screen census + confirm read one lineage
-      // one confirm pass over the union (q234's containment rule)
-      val inter = corpusFp
-        .join(cand.select(col("train_id"), col("bench_id"))
-          .hint("shuffle_hash"), "train_id")
-        .join(benchFp.hint("shuffle_hash"), Seq("bench_id", "fp"))
-        .groupBy(col("train_id"), col("bench_id"))
-        .agg(count(lit(1)).as("i"))
-      val szb = benchFp.groupBy(col("bench_id")).agg(count(lit(1)).as("szb"))
-      val conf = inter.join(szb.hint("shuffle_hash"), "bench_id")
-        .filter(expr("i * 1000000 div szb") >= 500000L)
+      val conf = SharedDecontam.confirmedPairs(s, dir)
         .select(col("train_id"), col("bench_id"), lit(1L).as("c"))
       cand.join(conf, Seq("train_id", "bench_id"), "left")
         .agg(

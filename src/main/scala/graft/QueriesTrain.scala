@@ -199,7 +199,9 @@ object QueriesTrain {
   private val q112 = Q(
     "q112_phrase_search",
     (s, dir) =>
-      TrainPrep.phraseSearch(Tables.documents(s, dir),
+      // the positional index IS the session artifact (identical rows
+      // to termPositions(documents)); the corpus is never re-tokenized
+      TrainPrep.phraseFrom(SharedGrams.termPositions(s, dir),
           Seq("window", "join"))
         .orderBy(col("doc_id")),
     Some("""WITH toks AS (
@@ -280,9 +282,15 @@ object QueriesTrain {
     * |terms| buckets, never the corpus. */
   private val q114 = Q(
     "q114_bm25_rank",
-    (s, dir) =>
-      TrainPrep.bm25Rank(Tables.documents(s, dir),
-        Seq("query", "window", "scan"), topK = 20),
+    (s, dir) => {
+      // the stored-index read path the scaladoc promises: postings +
+      // doc-length side table from the session artifact pair (q157's
+      // shape) — identical inputs to bm25Rank(docs, …), which
+      // re-tokenized the corpus per invocation
+      val (post, lens) = SharedGrams.postingPair(s, dir)
+      TrainPrep.bm25RankFromPair(post, lens,
+        Seq("query", "window", "scan"), topK = 20)
+    },
     Some("""WITH lens AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
       st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
@@ -378,7 +386,9 @@ object QueriesTrain {
     "q116_tfidf_keywords",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val p = TrainPrep.termDocs(docs)
+      // the posting frame from the session artifact pair — identical
+      // rows to TrainPrep.termDocs(docs), tokenized once per session
+      val (p, _) = SharedGrams.postingPair(s, dir)
       val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val stats = docs.agg(count(lit(1)).as("nd"))
       val score = floor(
@@ -502,14 +512,12 @@ object QueriesTrain {
     * narrow corpus scans; one doc-keyed aggregation. */
   private val q118 = Q(
     "q118_dsir_select",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val target = docs.filter(col("text").contains("spark"))
-      val w = graft.operators.Dsir.importanceWeights(docs, target)
-      graft.operators.Dsir.scoreDocs(docs, w)
+    (s, dir) =>
+      // the DSIR score column from the session artifact (shared with
+      // q137's top-p% cut — identical model, identical target)
+      SharedDsir.scored(s, dir)
         .orderBy(col("avg_weight_fp").desc, col("doc_id").asc)
-        .limit(25)
-    },
+        .limit(25),
     Some("""WITH tr AS (
         SELECT doc_id,
           substr(md5(ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]),
@@ -623,9 +631,15 @@ object QueriesTrain {
     * queried terms' posting sizes, never the corpus. */
   private val q121 = Q(
     "q121_proximity_rank",
-    (s, dir) =>
-      TrainPrep.bm25ProximityRank(Tables.documents(s, dir),
-        Seq("query", "window", "scan"), topK = 20),
+    (s, dir) => {
+      // both index artifacts from the session caches: the (postings,
+      // doc-lengths) pair for the base score, the positional posting
+      // table for the bonus — identical inputs, tokenized once
+      val (post, lens) = SharedGrams.postingPair(s, dir)
+      TrainPrep.bm25ProximityRankFromParts(post, lens,
+        SharedGrams.termPositions(s, dir),
+        Seq("query", "window", "scan"), topK = 20)
+    },
     Some("""WITH lens AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
       st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),

@@ -88,6 +88,12 @@ object SuffixArray {
           s"transform(sequence(1, length($textCol)), " +
             s"i -> substring($textCol, i, $startLen))")).as(Seq("pos0", "c")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("c"))
+      // materialize the explode once: the first denseRankBy's range
+      // partitioner SAMPLES its input before the shuffle, which
+      // otherwise re-evaluates the whole per-position substring
+      // explode a second time (r12 opt — the ladder levels are
+      // already checkpointed for the same reason)
+      .localCheckpoint()
     // position count from the cheap pre-explode scan; sum() over an
     // empty frame is NULL — an empty corpus builds an empty index
     val nRow = docs.where(length(col(textCol)) >= 1)
@@ -200,6 +206,9 @@ object SuffixArray {
           s"transform(sequence(1, length($textCol)), " +
             s"i -> substring($textCol, i, $maxLen))")).as(Seq("pos0", "c")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("c"))
+      // materialize the explode once — the range partitioner's sample
+      // pass otherwise re-evaluates it (same move as build())
+      .localCheckpoint()
     val ranked = denseRankBy(base, col("c"), buckets).localCheckpoint()
     val reps = ranked
       .withColumn("_rn", row_number().over(

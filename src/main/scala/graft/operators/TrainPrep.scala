@@ -98,7 +98,7 @@ object TrainPrep {
   /** The positional intersection over any (term, doc_id, pos) posting
     * frame — shared by the from-text and from-table phrase searches so
     * the adjacency semantics live in exactly one place. */
-  private def phraseFrom(p: DataFrame, phrase: Seq[String]): DataFrame = {
+  def phraseFrom(p: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "need at least one phrase term")
     val first = p.filter(col("term") === phrase.head)
       .select(col("doc_id"), col("pos"))
@@ -472,13 +472,24 @@ object TrainPrep {
     * on doc_id, and take a per-doc MIN — cost proportional to the
     * queried terms' posting sizes, never the corpus. */
   def bm25ProximityRank(docs: DataFrame, terms: Seq[String],
-                        topK: Int): DataFrame = {
-    require(terms.size >= 2, "need at least two terms for proximity")
-    val scores = bm25Scores(termDocs(docs),
+                        topK: Int): DataFrame =
+    bm25ProximityRankFromParts(termDocs(docs),
       docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("dl")),
-      terms)
-    val p = termPositions(docs)
+      termPositions(docs), terms, topK)
+
+  /** [[bm25ProximityRank]] over standing index artifacts — the stored
+    * (postings, doc-lengths) pair for the base score plus the
+    * positional posting table for the bonus: the read path when both
+    * index artifacts already exist (identical inputs, corpus never
+    * re-tokenized). */
+  def bm25ProximityRankFromParts(postings: DataFrame, lens: DataFrame,
+                                 positions: DataFrame,
+                                 terms: Seq[String],
+                                 topK: Int): DataFrame = {
+    require(terms.size >= 2, "need at least two terms for proximity")
+    val scores = bm25Scores(postings, lens, terms)
+    val p = positions
     val bonuses = terms.sliding(2).zipWithIndex.map {
       case (Seq(a, b), i) =>
         p.filter(col("term") === a)
