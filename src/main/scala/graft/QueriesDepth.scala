@@ -769,9 +769,12 @@ object QueriesDepth {
       val gramCen = byH.agg(
         z(sum(when(col("te") === 1L, 1L))).as("lg_te"),
         z(sum(when(col("va") === 1L, 1L))).as("lg_va"))
+      // no join-strategy hint: the leaked-gram frame is the small side
+      // and the planner broadcasts it (exactly what the old semi-join
+      // legs got) — a forced shuffle_hash here cost a full exchange of
+      // the gram frame (measured +0.6 s/pass in the mid bench)
       val docFlags = gd
-        .join(byH.select(col("h"), col("te"), col("va"))
-          .hint("shuffle_hash"), "h")
+        .join(byH.select(col("h"), col("te"), col("va")), "h")
         .groupBy(col("doc_id"), col("sp"))
         .agg(max(col("te")).as("te"), max(col("va")).as("va"))
       val docCen = docFlags.agg(

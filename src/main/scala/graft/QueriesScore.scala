@@ -197,8 +197,9 @@ object QueriesScore {
   private val q103 = Q(
     "q103_ccnet_buckets",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scored = NgramLm.score(docs, docs)
+      // the LM score column from the session artifact (shared with
+      // the approximate-buckets twin; the scoring pass dominated)
+      val scored = SharedLm.scored(s, dir)
       // lm_score is a non-negative integer ≤ 10⁶ by construction;
       // out-of-range must fail loudly, not silently mis-rank (the
       // q137/q166 sort-key guard convention)
@@ -212,7 +213,9 @@ object QueriesScore {
           lpad((lit(1000000000000000L) - guarded).cast("string"), 16, "0"),
           lit("-"), lpad(col("doc_id").cast("string"), 12, "0")).as("k"),
         lit(1L).as("one"))
-        .localCheckpoint() // count + withCumWeight read one lineage
+      // count + withCumWeight both consume this frame; the expensive
+      // LM scoring behind it is the checkpointed session artifact, so
+      // the re-read is a cheap projection, no per-query checkpoint
       val n = keyed.count()
       val tile = n / 3
       val rem = n % 3
@@ -282,9 +285,8 @@ object QueriesScore {
   private[graft] def ccnetBucketsApprox(s: SparkSession,
                                         dir: String): DataFrame = {
     import graft.operators.QuantileSketch
-    val docs = Tables.documents(s, dir)
-    // thresholds + assignment read one lineage
-    val scored = NgramLm.score(docs, docs).localCheckpoint()
+    // thresholds + assignment read the checkpointed session artifact
+    val scored = SharedLm.scored(s, dir)
     val th = scored.agg(QuantileSketch.quantiles(
       col("lm_score").cast("double"), Seq(1.0 / 3, 2.0 / 3), 100).as("qs"))
     scored.crossJoin(broadcast(th))

@@ -463,6 +463,34 @@ object SharedPq {
   }
 }
 
+/** Corpus-trained bigram-LM score column — the CCNet-style quality
+  * signal: (doc_id, lm_score) for EVERY document under the LM trained
+  * on the corpus itself. Shared by q103 (exact tercile buckets) and
+  * the t-digest approximate twin (`ccnetBucketsApprox`, the
+  * CcnetApproxSpec / scale surface); the scoring pass (unigram +
+  * bigram corpus aggregations joined per token occurrence) dominates
+  * both, and the score column is precisely what a CCNet pipeline
+  * materializes once and filters/buckets many ways. Deterministic
+  * (integer fixed-point), so a cached read equals a recompute. */
+object SharedLm {
+
+  private final case class Key(session: SparkSession, dir: String)
+  private val cache = TrieMap.empty[Key, DataFrame]
+
+  def scored(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(Key(s, dir), {
+      val docs = Tables.documents(s, dir)
+      operators.NgramLm.score(docs, docs).localCheckpoint()
+    })
+
+  def clear(): Unit = synchronized {
+    cache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+}
+
 /** DSIR importance-score artifact shared by q118 (top-25 selection)
   * and q137 (global top-p% cut): both score EVERY document with the
   * identical hashed-bigram importance-weight model (target = docs
