@@ -67,8 +67,15 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // warmup pass
+    // warmup pass — timed, and per-artifact build seconds recorded via
+    // ArtifactTimer (r12 verdict: session artifacts are built here, so
+    // without these fields the per-query minima silently stop charging
+    // the kernel anywhere; additions-only, the line stays parseable by
+    // the old consumer)
+    ArtifactTimer.clear()
+    val w0 = System.nanoTime()
     queries.foreach { case (name, fn) => runOne(name, fn) }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes) {
       queries.foreach { case (name, fn) =>
@@ -99,8 +106,11 @@ object Bench {
     // line still sees n_queries/errors/total even when the dict is
     // truncated mid-entry (162 queries ≈ 4 KB; full-line JSON is also
     // persisted to BENCH_LOCAL.json as the truncation-proof record)
+    val arts = ArtifactTimer.snapshot.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"${esc(k)}\":${r3(v)}" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"queries":$qs$filteredTag,"sf":"$sfDir","n_queries":${best.size},"errors":$errs,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs$filteredTag,"warmup_sec":${r3(warmupSec)},"artifacts":$arts,"sf":"$sfDir","n_queries":${best.size},"errors":$errs,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // stop Spark BEFORE printing so the JSON line is the last stdout line
     // ahead of sbt's [success] banner — keeps it inside the driver's tail
     // window; also persist to a file as a truncation-proof fallback.

@@ -748,35 +748,40 @@ object QueriesDepth {
   private val q193 = Q(
     "q193_split_leakage",
     (s, dir) => {
-      val gd = SharedGrams.grams(s, dir)
-        .select(col("h"), col("doc_id")).distinct()
+      // RAW gram occurrences, no distinct: every consumer below is a
+      // MAX/flag aggregate, so duplicate (h, doc_id) rows change
+      // nothing — the r12 shape's (h, doc_id) DISTINCT was a full
+      // corpus-sized shuffle + localCheckpoint materialization that
+      // bought zero semantic value (the r13 fix for the r12-verdict
+      // q193 regression; the artifact's repartition("h") dies at its
+      // checkpoint anyway — UnknownPartitioning — so the distinct
+      // never even saved the downstream h-exchange it hoped to)
+      val gd = SharedGrams.grams(s, dir).select(col("h"), col("doc_id"))
         .withColumn("sp", TrainPrep.splitOf(col("doc_id")))
-        .localCheckpoint() // read by the gram agg AND the doc census
-      // leaked grams only (train ∩ {test|val}) — the small frame; the
-      // r12 opt replaced the old four semi-join + distinct legs (two
-      // per eval split, each re-scanning gd) with ONE gd ⋈ leaked join
-      // and a per-doc flag aggregate: a doc counts for an eval row iff
-      // it carries ≥1 gram leaked into that split, which is exactly
-      // max(flag) over its joined leaked grams. Plan: 10 Exchanges →
-      // 4, gd scanned twice instead of five times.
+      // leaked grams only (train ∩ {test|val}) — the small frame: one
+      // h-keyed aggregate straight off the artifact (map-side partial
+      // agg compresses per-partition repeats), checkpointed so the
+      // gram census and the doc join read one lineage
       val byH = gd.groupBy(col("h")).agg(
         max(when(col("sp") === "train", 1L).otherwise(0L)).as("tr"),
         max(when(col("sp") === "test", 1L).otherwise(0L)).as("te"),
         max(when(col("sp") === "val", 1L).otherwise(0L)).as("va"))
         .filter(col("tr") === 1L && (col("te") === 1L || col("va") === 1L))
-        .localCheckpoint() // gram census + doc join read one lineage
+        .localCheckpoint()
       def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
       val gramCen = byH.agg(
         z(sum(when(col("te") === 1L, 1L))).as("lg_te"),
         z(sum(when(col("va") === 1L, 1L))).as("lg_va"))
       // no join-strategy hint: the leaked-gram frame is the small side
       // and the planner broadcasts it (exactly what the old semi-join
-      // legs got) — a forced shuffle_hash here cost a full exchange of
-      // the gram frame (measured +0.6 s/pass in the mid bench)
-      val docFlags = gd
+      // legs got). `sp` is a per-doc function, so it is re-derived
+      // AFTER the per-doc aggregate — one md5 per doc instead of one
+      // per leaked-gram occurrence, and a narrower shuffle key.
+      val docFlags = gd.drop("sp")
         .join(byH.select(col("h"), col("te"), col("va")), "h")
-        .groupBy(col("doc_id"), col("sp"))
+        .groupBy(col("doc_id"))
         .agg(max(col("te")).as("te"), max(col("va")).as("va"))
+        .withColumn("sp", TrainPrep.splitOf(col("doc_id")))
       val docCen = docFlags.agg(
         z(sum(when(col("sp") === "test" && col("te") === 1L, 1L)))
           .as("ed_te"),
@@ -1453,22 +1458,42 @@ object QueriesDepth {
   private val q203 = Q(
     "q203_join_size_estimate",
     (s, dir) => {
-      val a = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").cast("long").as("k"))
-      val b = Tables.orders(s, dir)
-        .select(col("o_orderkey").cast("long").as("k"))
-      def bkt(n: Int) =
-        conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
-          .cast("long") % n
+      // ONE bucket pass per table (guide §2.3, aggregate-before-
+      // shuffle): the r12 shape scanned lineitem 4× and orders 4×
+      // (one md5-bucket groupBy per granularity + the exact twin) and
+      // hashed every row 3×. But 64 and 256 DIVIDE 1024, so
+      // h%64 = (h%1024)%64 and h%256 = (h%1024)%256 — all three
+      // granularities are re-aggregations of ONE ≤1024-row bucket
+      // table per side. One scan + one map-side-combined tiny shuffle
+      // + one md5 per row, checkpointed at ≤1024 rows (vs the first
+      // r13 attempt's |keys|-sized checkpoints, which cost more than
+      // they saved — kept here as the measured counter-example). The
+      // exact twin keeps its own per-key aggregation pair — that IS
+      // the query's point of comparison.
+      def bkt1024(keyCol: String, tbl: org.apache.spark.sql.DataFrame,
+                  cnt: String) =
+        tbl.select(col(keyCol).cast("long").as("k"))
+          .groupBy((conv(substring(md5(col("k").cast("string")), 1, 8),
+            16, 10).cast("long") % 1024).as("b1024"))
+          .agg(count(lit(1)).as(cnt))
+          .localCheckpoint()
+      val ba = bkt1024("l_orderkey", Tables.lineitem(s, dir), "ca")
+      val bb = bkt1024("o_orderkey", Tables.orders(s, dir), "cb")
       def est(n: Int) = {
-        val ca = a.groupBy(bkt(n).as("b")).agg(count(lit(1)).as("ca"))
-        val cb = b.groupBy(bkt(n).as("b")).agg(count(lit(1)).as("cb"))
+        val ca = ba.groupBy((col("b1024") % n).as("b"))
+          .agg(sum(col("ca")).as("ca"))
+        val cb = bb.groupBy((col("b1024") % n).as("b"))
+          .agg(sum(col("cb")).as("cb"))
         ca.join(broadcast(cb), "b")
           .agg(sum(col("ca") * col("cb")).as("est_rows"))
           .select(lit(n.toLong).as("buckets"), col("est_rows"))
       }
-      val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
-        .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+      val exact = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").cast("long").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
         .agg(sum(col("ca") * col("cb")).as("exact_rows"))
       est(64).union(est(256)).union(est(1024))
         .crossJoin(broadcast(exact))
@@ -1609,32 +1634,44 @@ object QueriesDepth {
             .when(!col("hi") && col("doc_id") % 3 === 0,
               concat(col("text"), lit(" clickbait spam unsubscribe")))
             .otherwise(col("text")).as("txt"))
-      val toks = lab.select(col("doc_id"), col("hi"),
-        explode(filter(split(col("txt"), " "),
+      // ONE corpus pass (guide §1.2/§2.3): the r12 shape ran the
+      // qualityScore labeling + tokenize + explode FOUR times (vocab,
+      // totals, doc-distinct scoring relation, final label join). Now
+      // the (doc_id, hi, md5-token) occurrence frame materializes once
+      // — explode_outer keeps token-less docs as a null-th row, so the
+      // final census needs no separate label pass or left join — and:
+      //  * class totals come from the UNFILTERED vocab aggregate
+      //    (Σ per-token counts ≡ the token-stream totals), not a
+      //    second corpus scan;
+      //  * the vote expression's null semantics (unmatched tokens
+      //    vote 0) replace the old coalesce(score, 0) left join —
+      //    every doc survives the per-doc aggregate via its occurrence
+      //    rows, so absent-doc handling never arises.
+      val occ = lab.select(col("doc_id"), col("hi"),
+        explode_outer(filter(split(col("txt"), " "),
           t => length(t) > 0)).as("tok"))
-      val vocab = toks
-        .groupBy(md5(col("tok")).as("th"))
+        .select(col("doc_id"), col("hi"), md5(col("tok")).as("th"))
+        .localCheckpoint()
+      val vocab0 = occ.filter(col("th").isNotNull)
+        .groupBy(col("th"))
         .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("ch"),
           sum(when(col("hi"), 0L).otherwise(1L)).as("cl"))
-        .filter(col("ch") + col("cl") >= 5L)
-      val tot = toks.agg(
-        sum(when(col("hi"), 1L).otherwise(0L)).as("nh"),
-        sum(when(col("hi"), 0L).otherwise(1L)).as("nl"))
-      val dtok = toks.select(col("doc_id"), md5(col("tok")).as("th"))
-        .distinct()
-      val scored = dtok.join(vocab, Seq("th"))
+        .localCheckpoint() // read by the min-df filter AND the totals
+      val vocab = vocab0.filter(col("ch") + col("cl") >= 5L)
+      val tot = vocab0.agg(
+        sum(col("ch")).as("nh"), sum(col("cl")).as("nl"))
+      val scored = occ.distinct()
+        .join(vocab, Seq("th"), "left")
         .crossJoin(broadcast(tot))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("hi"),
           when(col("ch") * col("nl") > lit(2L) * col("cl") * col("nh"), 1L)
             .when(col("cl") * col("nh") > lit(2L) * col("ch") * col("nl"),
               -1L)
             .otherwise(0L).as("v"))
-        .groupBy(col("doc_id"))
+        .groupBy(col("doc_id"), col("hi"))
         .agg(sum(col("v")).as("score"))
-      lab.select(col("doc_id"), col("hi").cast("long").as("label_hi"))
-        .join(scored, Seq("doc_id"), "left")
-        .select(col("label_hi"),
-          coalesce(col("score"), lit(0L)).as("score"))
+      scored
+        .select(col("hi").cast("long").as("label_hi"), col("score"))
         .select(col("label_hi"),
           greatest(lit(-5L), least(lit(5L), col("score"))).as("bucket"),
           col("score"))
@@ -1770,11 +1807,20 @@ object QueriesDepth {
   private val q208 = Q(
     "q208_memorization_census",
     (s, dir) => {
-      val g = SharedGrams.grams(s, dir)
-      val dup = g.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2L).select(col("h"))
-      val per = g.join(dup, Seq("h"), "left_semi")
+      // ONE h-keyed pass (guide §2.4): "gram occurs in ≥2 distinct
+      // docs" ⟺ min(doc_id) ≠ max(doc_id) over the gram's rows, so a
+      // single h-partitioned window replaces the r12 shape's
+      // countDistinct aggregate PLUS the semi join — which re-shuffled
+      // the corpus-sized gram table on h a second time (the artifact's
+      // pre-partitioning dies at its localCheckpoint: Unknown-
+      // Partitioning, so the scaladoc's "no re-shuffle" never held).
+      // The window's per-group state is two longs; groups stream.
+      val wh = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      val per = SharedGrams.grams(s, dir).select(col("h"), col("doc_id"))
+        .withColumn("mn", min(col("doc_id")).over(wh))
+        .withColumn("mx", max(col("doc_id")).over(wh))
+        .filter(col("mn") =!= col("mx"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       Tables.documents(s, dir)
         .where(length(col("text")) >= SharedGrams.N)

@@ -604,6 +604,94 @@ object ScaleBench {
         graft.operators.Similarity
           .minePairs(lab, lab.filter(col("id") < 4), 3).count()
       }
+      // r13 (r12 verdict #10): the flat trio re-verified at decade
+      // scale. Their r12 rewrites reduce SCANS, which the page cache
+      // hides at sf0.1 (5000 docs); here the saved passes are real
+      // bytes. Each pair runs NEW then OLD in the same JVM — quote
+      // both; q89's pair contrasts the r12 checkpoint fix against the
+      // un-checkpointed double-evaluation the sampler forces.
+      val srcDocs0 = if (want("incr_kmv_1pass", "incr_kmv_2scan"))
+        docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(8L)))) else null
+      def kmvSketchOf(part: DataFrame) = part
+        .select(col("source"),
+          explode(graft.operators.Dedup.charShingles(col("text"), 5))
+            .as("sh"))
+        .select(col("source"),
+          graft.operators.KmvSketch.hash32(col("sh")).as("h"))
+      val kmvNew = timedL("incr_kmv_1pass") {
+        // q191's r12 single-pass shape: one scan, (source, is-delta)
+        // routing inside the aggregate
+        kmvSketchOf(srcDocs0.withColumn("isd", col("doc_id") % 10 === 0))
+          .groupBy(col("source"), col("isd"))
+          .agg(graft.operators.KmvSketch.lowestK(col("h"), 64).as("kmv"))
+          .groupBy(col("source"))
+          .agg(first(when(!col("isd"), col("kmv")), ignoreNulls = true)
+            .as("ka"),
+            first(when(col("isd"), col("kmv")), ignoreNulls = true)
+              .as("kb"))
+          .select(col("source"), size(slice(array_sort(array_union(
+            coalesce(col("ka"), array().cast("array<bigint>")),
+            coalesce(col("kb"), array().cast("array<bigint>")))),
+            1, 64)).cast("long").as("fill"))
+          .count()
+      }
+      val kmvOld = timedL("incr_kmv_2scan") {
+        // the r11 two-sketchOf-legs shape: each leg re-scans and
+        // re-explodes the corpus to keep its half
+        def leg(part: DataFrame) = kmvSketchOf(part)
+          .groupBy(col("source"))
+          .agg(graft.operators.KmvSketch.lowestK(col("h"), 64).as("kmv"))
+        leg(srcDocs0.filter(col("doc_id") % 10 =!= 0))
+          .select(col("source"), col("kmv").as("ka"))
+          .join(leg(srcDocs0.filter(col("doc_id") % 10 === 0))
+            .select(col("source"), col("kmv").as("kb")),
+            Seq("source"), "full")
+          .select(col("source"), size(slice(array_sort(array_union(
+            coalesce(col("ka"), array().cast("array<bigint>")),
+            coalesce(col("kb"), array().cast("array<bigint>")))),
+            1, 64)).cast("long").as("fill"))
+          .count()
+      }
+      // q149's pair: rank+snippet residue over a STORED posting pair
+      // (the r12 read path) vs the full per-invocation re-tokenize.
+      // The index build is timed separately — it is the once-per-
+      // corpus-version cost the stored path amortizes away.
+      val snipWanted = want("snippet_index_build",
+        "search_snippets_stored", "search_snippets_retokenize")
+      val (snipPost, snipLens) = if (snipWanted) {
+        def build() = (
+          graft.operators.TrainPrep.termDocs(docs).localCheckpoint(),
+          docs.select(col("doc_id"),
+            graft.operators.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("dl")).localCheckpoint())
+        if (want("snippet_index_build")) {
+          var r: (DataFrame, DataFrame) = null
+          timedL("snippet_index_build") {
+            r = build(); r._1.count() + r._2.count()
+          }
+          r
+        } else build()
+      } else (null, null)
+      val snipNew = timedL("search_snippets_stored") {
+        graft.operators.Fusion.snippets(docs,
+          graft.operators.Fusion.rankOf(
+            graft.operators.TrainPrep.bm25RankFromPair(
+              snipPost, snipLens, queryTerms, 5), "score_fp"),
+          queryTerms, width = 10).count()
+      }
+      val snipOld = timedL("search_snippets_retokenize") {
+        graft.operators.Fusion.snippets(docs,
+          graft.operators.Fusion.rankOf(
+            graft.operators.TrainPrep.bm25Rank(docs, queryTerms, 5),
+            "score_fp"),
+          queryTerms, width = 10).count()
+      }
+      val repN = timedL("longest_repeat_2pct") {
+        graft.operators.SuffixArray.longestRepeatPerDocDirect(
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          maxLen = 16).count()
+      }
       // analytics layer (q138-q143 kernels) at the same synthetic
       // scale. Events: n rows over n/1000 users spread across ~90 days
       // by a Knuth multiplicative hash — sessions stay bounded, every

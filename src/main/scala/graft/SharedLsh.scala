@@ -6,6 +6,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Dedup
 
+/** Wall-clock ledger for session-artifact builds (the r12 verdict's
+  * accounting ask): every Shared* cache getter wraps its build
+  * expression in [[timed]], so whatever the warmup pass materializes
+  * lands here with its build seconds and the bench can CHARGE the
+  * artifacts instead of hiding them inside the warmup. Entries
+  * accumulate (parameterised getters like strongComponentsAt build
+  * once per parameter) and are INCLUSIVE of nested first-time builds
+  * they trigger (candidatePairs' first build includes bandKeys' —
+  * read the map as "seconds attributable to first demand", not a
+  * disjoint partition). Timing-only: the build expression is passed
+  * through unchanged, so cached results and semantics are untouched. */
+object ArtifactTimer {
+  private val times = TrieMap.empty[String, Double]
+  def timed[T](name: String)(build: => T): T = {
+    val t0 = System.nanoTime()
+    val r = build
+    val dt = (System.nanoTime() - t0) / 1e9
+    times.updateWith(name)(prev => Some(prev.getOrElse(0.0) + dt))
+    r
+  }
+  def snapshot: Map[String, Double] = times.toMap
+  def clear(): Unit = times.clear()
+}
+
 /** Session-scoped cache for the LSH dedup pipeline's expensive shared
   * stages, keyed by (session, data dir, parameters).
   *
@@ -49,8 +73,9 @@ object SharedLsh {
   def bandKeys(s: SparkSession, dir: String,
                p: Params = Default): DataFrame =
     bandCache.getOrElseUpdate(Key(s, dir, p),
+      ArtifactTimer.timed("SharedLsh.bandKeys")(
       Dedup.lshBandKeysNarrow(Tables.documents(s, dir), "doc_id", "text",
-        p.n, p.k, p.bands).localCheckpoint())
+        p.n, p.k, p.bands).localCheckpoint()))
 
   /** Materialized (doc_id, h0..h{k-1}) minhash signature table — the
     * wide row shape consumers that compare signatures component-wise
@@ -59,8 +84,9 @@ object SharedLsh {
   def signatures(s: SparkSession, dir: String,
                  p: Params = Default): DataFrame =
     sigCache.getOrElseUpdate(Key(s, dir, p),
+      ArtifactTimer.timed("SharedLsh.signatures")(
       Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
-        p.n, p.k).localCheckpoint())
+        p.n, p.k).localCheckpoint()))
 
   /** Materialized candidate pairs (doc_a < doc_b) from the shared band
     * table. Cached like the band table itself: the bk self-join +
@@ -71,8 +97,9 @@ object SharedLsh {
   def candidatePairs(s: SparkSession, dir: String,
                      p: Params = Default): DataFrame =
     pairCache.getOrElseUpdate(Key(s, dir, p),
+      ArtifactTimer.timed("SharedLsh.candidatePairs")(
       Dedup.lshCandidatePairsFrom(bandKeys(s, dir, p), "doc_id")
-        .localCheckpoint())
+        .localCheckpoint()))
 
   /** Materialized distinct (doc_id, sh) n-shingle rows for CANDIDATE
     * docs only — the verification-stage artifact every exact-overlap
@@ -81,7 +108,8 @@ object SharedLsh {
     * candidate volume × doc length, never corpus × doc length. */
   def candidateShingleRows(s: SparkSession, dir: String,
                            p: Params = Default): DataFrame =
-    candShCache.getOrElseUpdate(Key(s, dir, p), {
+    candShCache.getOrElseUpdate(Key(s, dir, p),
+      ArtifactTimer.timed("SharedLsh.candidateShingleRows")( {
       import org.apache.spark.sql.functions._
       val cand = candidatePairs(s, dir, p)
       val cdocs = cand.select(col("doc_a").as("doc_id"))
@@ -91,16 +119,17 @@ object SharedLsh {
           explode(Dedup.charShingles(col("text"), p.n)).as("sh"))
         .distinct()
         .localCheckpoint()
-    })
+    }))
 
   /** Materialized (doc_id, component) near-dup cluster map: star edges
     * over the shared band table → connected components. */
   def components(s: SparkSession, dir: String,
                  p: Params = Default): DataFrame =
     compCache.getOrElseUpdate(Key(s, dir, p),
+      ArtifactTimer.timed("SharedLsh.components")(
       Dedup.connectedComponents(
         Dedup.lshStarEdgesFrom(bandKeys(s, dir, p), "doc_id"))
-        .localCheckpoint())
+        .localCheckpoint()))
 
   /** Materialized INCREMENTALLY-maintained component map (q212): the
     * history docs' (doc_id % 10 ≠ 0) map is the stored artifact, a
@@ -113,7 +142,8 @@ object SharedLsh {
     * batches. */
   def incrementalComponents(s: SparkSession, dir: String,
                             p: Params = Default): DataFrame =
-    incCache.getOrElseUpdate(Key(s, dir, p), {
+    incCache.getOrElseUpdate(Key(s, dir, p),
+      ArtifactTimer.timed("SharedLsh.incrementalComponents")( {
       import org.apache.spark.sql.functions.col
       val banded = bandKeys(s, dir, p)
       val hist = banded.filter(col("doc_id") % 10 =!= 0)
@@ -127,7 +157,7 @@ object SharedLsh {
         hist, delta, "doc_id")
       Dedup.connectedComponents(storedEdges.union(deltaPairs).distinct())
         .localCheckpoint()
-    })
+    }))
 
   private val megaEdgeCache = TrieMap.empty[Key, DataFrame]
   private val strongCompCache = TrieMap.empty[(Key, Long), DataFrame]
@@ -140,7 +170,8 @@ object SharedLsh {
     * joins shuffle-hash (edge volume scales with duplication rate). */
   def megaEdgeJaccard(s: SparkSession, dir: String,
                       p: Params = Default): DataFrame =
-    megaEdgeCache.getOrElseUpdate(Key(s, dir, p), {
+    megaEdgeCache.getOrElseUpdate(Key(s, dir, p),
+      ArtifactTimer.timed("SharedLsh.megaEdgeJaccard")( {
       import org.apache.spark.sql.functions._
       val comps = components(s, dir, p)
       val big = comps.groupBy(col("component"))
@@ -173,7 +204,7 @@ object SharedLsh {
           expr("""CAST(CAST(coalesce(i, 0L) AS DECIMAL(38,0)) * 1000000
             div (sza + szb - coalesce(i, 0L)) AS BIGINT)""").as("jfp"))
         .localCheckpoint()
-    })
+    }))
 
   /** Exact connected components of the STRONG-edge subgraph (edge
     * Jaccard ≥ 0.2) inside the megaclusters — the q244 repair map,
@@ -191,10 +222,11 @@ object SharedLsh {
                          p: Params = Default): DataFrame = {
     import org.apache.spark.sql.functions.col
     strongCompCache.getOrElseUpdate((Key(s, dir, p), thrPpm),
+      ArtifactTimer.timed("SharedLsh.strongComponentsAt")(
       Dedup.connectedComponents(
         megaEdgeJaccard(s, dir, p).filter(col("jfp") >= thrPpm)
           .select(col("doc_a"), col("doc_b")))
-        .localCheckpoint())
+        .localCheckpoint()))
   }
 
   /** Unpersist every cached artifact and empty the cache. */
@@ -234,9 +266,10 @@ object SharedGrams {
 
   def grams(s: SparkSession, dir: String, n: Int = N): DataFrame =
     cache.getOrElseUpdate(Key(s, dir, n),
+      ArtifactTimer.timed("SharedGrams.grams")(
       operators.DupSpans.grams(Tables.documents(s, dir), "doc_id", "text", n)
         .repartition(org.apache.spark.sql.functions.col("h"))
-        .localCheckpoint())
+        .localCheckpoint()))
 
   /** The boilerplate sentinel q55/q196 append to every 7th document —
     * one constant so the detector and the rewriter can never drift. */
@@ -262,7 +295,8 @@ object SharedGrams {
     * measured as the dominant cost of both. gh rides as BINARY(16)
     * (unhex'd md5) — half the hex string's exchange width. */
   def sentinel8(s: SparkSession, dir: String): DataFrame =
-    sentCache.getOrElseUpdate((s, dir), {
+    sentCache.getOrElseUpdate((s, dir),
+      ArtifactTimer.timed("SharedGrams.sentinel8")( {
       import org.apache.spark.sql.functions._
       sentinelDocs(s, dir)
         .select(col("doc_id"), posexplode(
@@ -271,7 +305,7 @@ object SharedGrams {
         .select(col("doc_id"), (col("pos0") + 1).as("p"),
           unhex(md5(col("g"))).as("gh"))
         .localCheckpoint()
-    })
+    }))
 
   /** The shared-8-gram similarity-graph edge list (q144 triangle
     * census + q145 degree histogram — and triangleCensus alone
@@ -282,9 +316,10 @@ object SharedGrams {
 
   def gramEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate((s, dir),
+      ArtifactTimer.timed("SharedGrams.gramEdges")(
       operators.Curation.sharedGramEdges(
         Tables.documents(s, dir), "doc_id", "text", n = 8, maxDf = 10)
-        .localCheckpoint())
+        .localCheckpoint()))
 
   /** The checkpointed (postings, doc-lengths) pair PRF reads four
     * times (q148) — one materialization per session+input, like every
@@ -294,14 +329,15 @@ object SharedGrams {
     TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   def postingPair(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    postCache.getOrElseUpdate((s, dir), {
+    postCache.getOrElseUpdate((s, dir),
+      ArtifactTimer.timed("SharedGrams.postingPair")( {
       val docs = Tables.documents(s, dir)
       import org.apache.spark.sql.functions.{col => c}
       (operators.TrainPrep.termDocs(docs).localCheckpoint(),
         docs.select(c("doc_id"),
           operators.TextAnalysis.tokenCount(c("text")).cast("long")
             .as("dl")).localCheckpoint())
-    })
+    }))
 
   /** Raw word-8-gram occurrence rows (doc_id, source, gh BINARY(16))
     * over the documents table — the gram-index build input shared by
@@ -314,7 +350,8 @@ object SharedGrams {
   private val w8Cache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   def word8(s: SparkSession, dir: String): DataFrame =
-    w8Cache.getOrElseUpdate((s, dir), {
+    w8Cache.getOrElseUpdate((s, dir),
+      ArtifactTimer.timed("SharedGrams.word8")( {
       import org.apache.spark.sql.functions._
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
@@ -323,7 +360,7 @@ object SharedGrams {
         .select(col("doc_id"), col("source"),
           unhex(md5(col("g"))).as("gh"))
         .localCheckpoint()
-    })
+    }))
 
   /** The positional posting table (term, doc_id, pos) — the second
     * stored index artifact next to [[postingPair]] (TrainPrep's
@@ -334,8 +371,9 @@ object SharedGrams {
 
   def termPositions(s: SparkSession, dir: String): DataFrame =
     posCache.getOrElseUpdate((s, dir),
+      ArtifactTimer.timed("SharedGrams.termPositions")(
       operators.TrainPrep.termPositions(Tables.documents(s, dir))
-        .localCheckpoint())
+        .localCheckpoint()))
 
   def clear(): Unit = synchronized {
     (cache.values ++ edgeCache.values ++ sentCache.values ++
@@ -376,11 +414,12 @@ object SharedCosineCC {
   def components(s: SparkSession, dir: String,
                  p: Params = Default): DataFrame =
     cache.getOrElseUpdate(Key(s, dir, p),
+      ArtifactTimer.timed("SharedCosineCC.components")(
       Dedup.connectedComponents(
         Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
             p.bits, p.threshold)
           .select(col("va").as("doc_a"), col("vb").as("doc_b")))
-        .localCheckpoint())
+        .localCheckpoint()))
 
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>
@@ -417,8 +456,9 @@ object SharedIvf {
   /** Materialized (id, cid) exact-decimal assignment. */
   def assignment(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     cache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedIvf.assignment")(
       Similarity.assignL2Decimal(vectors(s, dir), centroids(s, dir))
-        .localCheckpoint())
+        .localCheckpoint()))
 
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>
@@ -452,8 +492,9 @@ object SharedPq {
   /** Materialized (id, j, code) exact-decimal PQ encoding. */
   def encoded(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     cache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedPq.encoded")(
       ProductQuant.encodeDecimal(SharedIvf.vectors(s, dir),
-        codebook(s, dir), M, Dsub).localCheckpoint())
+        codebook(s, dir), M, Dsub).localCheckpoint()))
 
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>
@@ -478,10 +519,11 @@ object SharedLm {
   private val cache = TrieMap.empty[Key, DataFrame]
 
   def scored(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(Key(s, dir), {
+    cache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedLm.scored")( {
       val docs = Tables.documents(s, dir)
       operators.NgramLm.score(docs, docs).localCheckpoint()
-    })
+    }))
 
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>
@@ -506,14 +548,15 @@ object SharedDsir {
   private val cache = TrieMap.empty[Key, DataFrame]
 
   def scored(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(Key(s, dir), {
+    cache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedDsir.scored")( {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, dir)
       val target = docs.filter(col("text").contains("spark"))
       operators.Dsir.scoreDocs(docs,
         operators.Dsir.importanceWeights(docs, target))
         .localCheckpoint()
-    })
+    }))
 
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>
@@ -573,9 +616,10 @@ object SharedDecontam {
     * — the bench-side index a decontamination service stores. */
   def benchFp(s: SparkSession, dir: String): DataFrame =
     benchFpCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedDecontam.benchFp")(
       SharedWinnow.fingerprintsOf(benchDocs(s, dir))
         .select(col("doc_id").as("bench_id"), col("fp")).distinct()
-        .localCheckpoint())
+        .localCheckpoint()))
 
   private val benchBandCache = TrieMap.empty[Key, DataFrame]
 
@@ -584,9 +628,10 @@ object SharedDecontam {
     * only broadcastable frame in this family (the q199 rule). */
   def benchBands(s: SparkSession, dir: String): DataFrame =
     benchBandCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedDecontam.benchBands")(
       Dedup.lshBandKeysNarrow(benchDocs(s, dir), "doc_id", "text", 5, 8, 2)
         .select(col("doc_id").as("bench_id"), col("bk"))
-        .localCheckpoint())
+        .localCheckpoint()))
 
   private val lshCrossCache = TrieMap.empty[Key, DataFrame]
 
@@ -595,11 +640,12 @@ object SharedDecontam {
     * intra-corpus candidate pairs are never generated. */
   def lshCrossPairs(s: SparkSession, dir: String): DataFrame =
     lshCrossCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedDecontam.lshCrossPairs")(
       SharedLsh.bandKeys(s, dir)
         .select(col("doc_id").as("train_id"), col("bk"))
         .join(broadcast(benchBands(s, dir)), "bk")
         .select(col("train_id"), col("bench_id")).distinct()
-        .localCheckpoint())
+        .localCheckpoint()))
 
   private val winnowCandCache = TrieMap.empty[Key, DataFrame]
 
@@ -609,7 +655,8 @@ object SharedDecontam {
     * broadcast: every leg is a shuffle-hash equi-join (candidate
     * volume scales with contamination rate × corpus size). */
   def winnowCandPairs(s: SparkSession, dir: String): DataFrame =
-    winnowCandCache.getOrElseUpdate(Key(s, dir), {
+    winnowCandCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedDecontam.winnowCandPairs")( {
       val DfCap = graft.streaming.StreamingWinnowScreen.DfCap
       val cfp = corpusFp(s, dir)
       val capped = cfp.join(
@@ -623,7 +670,7 @@ object SharedDecontam {
         .filter(col("nsh") >= 2)
         .select(col("train_id"), col("bench_id"))
         .localCheckpoint()
-    })
+    }))
 
   private val confirmedCache = TrieMap.empty[Key, DataFrame]
 
@@ -635,7 +682,8 @@ object SharedDecontam {
     * the winnow candidates by a semi-join) and q235 (read as-is) —
     * the ruleCompare move: one fenced kernel pass, two consumers. */
   def confirmedPairs(s: SparkSession, dir: String): DataFrame =
-    confirmedCache.getOrElseUpdate(Key(s, dir), {
+    confirmedCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedDecontam.confirmedPairs")( {
       val cand = winnowCandPairs(s, dir).union(lshCrossPairs(s, dir))
         .distinct()
       val cfp = corpusFp(s, dir)
@@ -650,7 +698,7 @@ object SharedDecontam {
         .filter(expr("i * 1000000 div szb") >= 500000L)
         .select(col("train_id"), col("bench_id"))
         .localCheckpoint()
-    })
+    }))
 
   private val candShCache = TrieMap.empty[Key, DataFrame]
 
@@ -660,7 +708,8 @@ object SharedDecontam {
     * (SharedLsh.candidateShingleRows's move for the cross-set
     * screen). Bounded by candidate volume × doc length. */
   def candShingles(s: SparkSession, dir: String): DataFrame =
-    candShCache.getOrElseUpdate(Key(s, dir), {
+    candShCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedDecontam.candShingles")( {
       val cross = lshCrossPairs(s, dir)
       val cdocs = cross.select(col("train_id").as("doc_id"))
         .union(cross.select(col("bench_id"))).distinct()
@@ -672,7 +721,7 @@ object SharedDecontam {
           explode(Dedup.charShingles(col("text"), 5)).as("sh"))
         .distinct()
         .localCheckpoint()
-    })
+    }))
 
   def clear(): Unit = synchronized {
     (benchFpCache.values ++ benchBandCache.values ++
@@ -704,9 +753,10 @@ object SharedBpe {
   def merges(s: SparkSession, dir: String,
              rounds: Int): Seq[(Int, String, String, Long)] =
     cache.getOrElseUpdate(Key(s, dir, rounds),
+      ArtifactTimer.timed("SharedBpe.merges")(
       graft.operators.BpeTrain.merges(
         graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
-        rounds))
+        rounds)))
 
   def clear(): Unit = cache.clear()
 }
@@ -732,8 +782,9 @@ object SharedWinnow {
     * ignore it). Docs with fewer than 4 grams carry no rows. */
   def selected(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedWinnow.selected")(
       fingerprintsOf(Tables.documents(s, dir), Seq("source"))
-        .localCheckpoint())
+        .localCheckpoint()))
 
   /** The winnowing selection kernel over any (doc_id, text, extras…)
     * frame — factored out so ad-hoc sides (q234's truncated benchmark
@@ -775,12 +826,13 @@ object SharedWinnow {
     * self-join legs (before the factor-out, each cap paid its own
     * gram+hash+fold kernel). */
   def fpDoc(s: SparkSession, dir: String): DataFrame =
-    fpDocCache.getOrElseUpdate(Key(s, dir), {
+    fpDocCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedWinnow.fpDoc")( {
       import org.apache.spark.sql.functions._
       selected(s, dir)
         .select(col("doc_id"), col("fp")).distinct()
         .localCheckpoint()
-    })
+    }))
 
   private val capCache = TrieMap.empty[Key, Long]
 
@@ -798,7 +850,8 @@ object SharedWinnow {
     * replication it scales to ~160 and keeps the cross-source
     * families the fixed cap loses (q246's vanishing components). */
   def adaptiveCap(s: SparkSession, dir: String): Long =
-    capCache.getOrElseUpdate(Key(s, dir), {
+    capCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedWinnow.adaptiveCap")( {
       import org.apache.spark.sql.functions._
       val r = Tables.documents(s, dir)
         .agg(count(lit(1)).as("n"),
@@ -808,7 +861,7 @@ object SharedWinnow {
       val base = graft.streaming.StreamingWinnowScreen.DfCap.toLong
       // empty corpus → the fixed cap (the capFromStore fallback rule)
       if (m == 0L) base else (base * n + m - 1L) / m
-    })
+    }))
 
   private val pairCache = TrieMap.empty[(Key, Long), DataFrame]
 
@@ -818,7 +871,8 @@ object SharedWinnow {
     * adaptive consumers (q251) each pay their pair join once while
     * sharing ONE [[fpDoc]] kernel pass. */
   def cappedPairsAt(s: SparkSession, dir: String, cap: Long): DataFrame =
-    pairCache.getOrElseUpdate((Key(s, dir), cap), {
+    pairCache.getOrElseUpdate((Key(s, dir), cap),
+      ArtifactTimer.timed("SharedWinnow.cappedPairsAt")( {
       import org.apache.spark.sql.functions._
       val fpdoc = fpDoc(s, dir)
       val usable = fpdoc.groupBy(col("fp"))
@@ -835,7 +889,7 @@ object SharedWinnow {
         .filter(col("nshared") >= 2)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
-    })
+    }))
 
   /** The df-capped ≥2-shared winnow candidate-pair artifact —
     * distinct (doc, fp) from [[selected]], document frequency capped
@@ -855,8 +909,9 @@ object SharedWinnow {
     * adaptive-screen consumers. */
   def componentsAt(s: SparkSession, dir: String, cap: Long): DataFrame =
     compCache.getOrElseUpdate((Key(s, dir), cap),
+      ArtifactTimer.timed("SharedWinnow.componentsAt")(
       graft.operators.Dedup.connectedComponents(
-        cappedPairsAt(s, dir, cap)).localCheckpoint())
+        cappedPairsAt(s, dir, cap)).localCheckpoint()))
 
   /** Exact connected components over [[cappedPairs]] — the winnow
     * screen's cluster map, cached like SharedLsh.components (q238's
@@ -878,7 +933,8 @@ object SharedWinnow {
     * rule from scratch, so the cache cannot drift silently. */
   def componentsWhere(s: SparkSession, dir: String,
                       predSql: String): DataFrame =
-    compWhereCache.getOrElseUpdate((Key(s, dir), predSql), {
+    compWhereCache.getOrElseUpdate((Key(s, dir), predSql),
+      ArtifactTimer.timed("SharedWinnow.componentsWhere")( {
       import org.apache.spark.sql.functions._
       val cap = graft.streaming.StreamingWinnowScreen.DfCap
       val fd = graft.streaming.StreamingWinnowScreen
@@ -901,7 +957,7 @@ object SharedWinnow {
           .filter(col("nsh") >= 2)
           .select(col("doc_a"), col("doc_b")))
         .localCheckpoint()
-    })
+    }))
 
   private val ruleCache = TrieMap.empty[Key, DataFrame]
 
@@ -916,7 +972,8 @@ object SharedWinnow {
     * screen stores anyway, so sharing it is the storage reality, not
     * just a cache. */
   def ruleCompare(s: SparkSession, dir: String): DataFrame =
-    ruleCache.getOrElseUpdate(Key(s, dir), {
+    ruleCache.getOrElseUpdate(Key(s, dir),
+      ArtifactTimer.timed("SharedWinnow.ruleCompare")( {
       import org.apache.spark.sql.functions._
       QueriesRound9.winnowInput(s, dir)
         .select(col("doc_id"), col("source"), col("nw"),
@@ -929,7 +986,7 @@ object SharedWinnow {
             p => element_at(col("hs"), p.cast("int")).cast("long"))))
             .as("rv"))
         .localCheckpoint()
-    })
+    }))
 
   def clear(): Unit = synchronized {
     cache.values.foreach { df =>

@@ -261,7 +261,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dsir scoring joins the weight table by broadcast, no cartesian") {
-    val p = planOf(Queries.all("q118_dsir_select")(spark, sf()))
+    // pins the INLINE operator shape (q118's query path reads the
+    // eager SharedDsir.scored artifact, whose plan is a bare
+    // Scan ExistingRDD — asserting on it is vacuous; the r12 verdict's
+    // red-test finding). The ≤256-row weight table must ride a
+    // broadcast into the per-gram join, never a shuffle or product.
+    val docs = Tables.documents(spark, sf())
+    val target = docs.filter(col("text").contains("spark"))
+    val p = planOf(graft.operators.Dsir.scoreDocs(docs,
+      graft.operators.Dsir.importanceWeights(docs, target)))
     assert(p.contains("BroadcastHashJoin"),
       s"bucket-weight join must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
