@@ -852,16 +852,22 @@ object QueriesDepth {
     "q194_length_outliers",
     (s, dir) => {
       import graft.operators.GroupedRank
+      // both rank kernels SAMPLE their input (repartitionByRange), so
+      // un-checkpointed lineage under them evaluates twice; lens is
+      // additionally read by the dev join and dev by the final census
+      // — pin both (each is one narrow row per doc)
       val lens = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"),
           graft.operators.TextAnalysis.tokenCount(col("text"))
             .cast("long").as("len"))
+        .localCheckpoint()
       val med = GroupedRank.withRank(lens, "source",
           Seq("len", "doc_id"))
         .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
         .select(col("source"), col("len").as("med"))
       val dev = lens.join(med, "source")
         .withColumn("dev", abs(col("len") - col("med")))
+        .localCheckpoint()
       val mad = GroupedRank.withRank(dev
           .select(col("source"), col("doc_id"), col("dev")), "source",
           Seq("dev", "doc_id"))
@@ -1896,6 +1902,9 @@ object QueriesDepth {
       val ranked1 = GroupedRank.withRank(scored, "lang",
           Seq("s1", "doc_id"))
         .withColumnRenamed("rn", "r1").drop("cnt", "s1")
+        // the second kernel's sampler would otherwise re-run kernel 1's
+        // window + offset join (narrow per-doc rows — cheap pin)
+        .localCheckpoint()
       GroupedRank.withRank(ranked1, "lang", Seq("s2", "doc_id"))
         .withColumnRenamed("rn", "r2").drop("cnt", "s2", "doc_id")
         .select(col("lang"),

@@ -160,15 +160,77 @@ object Scratch {
     }
 
     // ---------- A/B driver ----------
+    // batch-2 A/B: the kernel-input checkpoint fixes
+    def q124Old(): DataFrame = {
+      val first = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.charShingles(col("text"), 5))
+            .as("sh"))
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+      val census = first.groupBy(expr("fd div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_shingles"))
+      graft.operators.WeightedSample
+        .withCumWeight(census, "bucket", "new_shingles")
+        .withColumnRenamed("cum", "vocab_size")
+        .orderBy(col("bucket"))
+    }
+    def q194Old(): DataFrame = {
+      import graft.operators.GroupedRank
+      val lens = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("len"))
+      val med = GroupedRank.withRank(lens, "source",
+          Seq("len", "doc_id"))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
+        .select(col("source"), col("len").as("med"))
+      val dev = lens.join(med, "source")
+        .withColumn("dev", abs(col("len") - col("med")))
+      val mad = GroupedRank.withRank(dev
+          .select(col("source"), col("doc_id"), col("dev")), "source",
+          Seq("dev", "doc_id"))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
+        .select(col("source"), col("dev").as("mad"))
+      dev.join(mad, "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("med")).as("median_len"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("source"))
+    }
+    def q210Old(): DataFrame = {
+      import graft.operators.{GroupedRank, TextAnalysis}
+      val scored = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          floor(TextAnalysis.qualityScore(col("text")) * 1e6)
+            .cast("long").as("s1"),
+          floor(TextAnalysis.repetitionRatio(col("text")) * 1e6)
+            .cast("long").as("s2"))
+        .localCheckpoint()
+      val ranked1 = GroupedRank.withRank(scored, "lang",
+          Seq("s1", "doc_id"))
+        .withColumnRenamed("rn", "r1").drop("cnt", "s1")
+      GroupedRank.withRank(ranked1, "lang", Seq("s2", "doc_id"))
+        .withColumnRenamed("rn", "r2").drop("cnt", "s2", "doc_id")
+        .select(col("lang"),
+          ((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("d2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+        .select(col("lang"), col("n"), col("sum_d2"),
+          expr("""1000000 - CAST(CAST(sum_d2 AS DECIMAL(38,0)) * 6000000
+            div (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)""")
+            .as("rho_ppm"))
+        .orderBy(col("lang"))
+    }
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "q193_OLD" -> (() => q193Old()),
-      "q193_NEW" -> (() => SparkEntry.queries("q193_split_leakage")(s, dir)),
-      "q203_OLD" -> (() => q203Old()),
-      "q203_NEW" -> (() => SparkEntry.queries("q203_join_size_estimate")(s, dir)),
-      "q205_OLD" -> (() => q205Old()),
-      "q205_NEW" -> (() => SparkEntry.queries("q205_quality_classifier")(s, dir)),
-      "q208_OLD" -> (() => q208Old()),
-      "q208_NEW" -> (() => SparkEntry.queries("q208_memorization_census")(s, dir)))
+      "q124_OLD" -> (() => q124Old()),
+      "q124_NEW" -> (() => SparkEntry.queries("q124_vocab_growth")(s, dir)),
+      "q194_OLD" -> (() => q194Old()),
+      "q194_NEW" -> (() => SparkEntry.queries("q194_length_outliers")(s, dir)),
+      "q210_OLD" -> (() => q210Old()),
+      "q210_NEW" -> (() => SparkEntry.queries("q210_rank_correlation")(s, dir)))
     // warmup (also builds shared artifacts once)
     variants.foreach { case (_, f) => f().count() }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
