@@ -154,14 +154,16 @@ object QueriesRetrieve {
           explode(graft.operators.Dedup.charShingles(col("text"), 5))
             .as("sh"))
         .groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
-      // checkpoint BEFORE the prefix-sum kernel: withCumWeight's
-      // repartitionByRange SAMPLES its input, so an un-checkpointed
-      // census re-runs the full shingle explode + min-agg a second
-      // time (the r12-noted sampler gotcha — measured ~2× the query:
-      // 3.2 s warm → 1.8 s with the ≤corpus/50-row pin)
+      // NO checkpoint before the prefix-sum kernel, despite the
+      // r12-noted sampler double-evaluation (withCumWeight's
+      // repartitionByRange samples its input, re-running the shingle
+      // agg): the r13 A/B measured the pin −24% within a warm JVM but
+      // +11..15% drift-adjusted across two cold full benches and 4
+      // alternating cold ONLY-mode runs — the checkpoint job's cold
+      // cost exceeds the saved (page-cache-hot) second agg at this
+      // SF. Revisit only with a cold protocol in hand.
       val census = first.groupBy(expr("fd div 50").as("bucket"))
         .agg(count(lit(1)).as("new_shingles"))
-        .localCheckpoint()
       graft.operators.WeightedSample
         .withCumWeight(census, "bucket", "new_shingles")
         .withColumnRenamed("cum", "vocab_size")

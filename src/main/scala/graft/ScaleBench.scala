@@ -613,16 +613,17 @@ object ScaleBench {
       val srcDocs0 = if (want("incr_kmv_1pass", "incr_kmv_2scan"))
         docs.withColumn("source",
           concat(lit("src"), pmod(col("doc_id"), lit(8L)))) else null
-      def kmvSketchOf(part: DataFrame) = part
-        .select(col("source"),
-          explode(graft.operators.Dedup.charShingles(col("text"), 5))
-            .as("sh"))
-        .select(col("source"),
-          graft.operators.KmvSketch.hash32(col("sh")).as("h"))
+      def kmvSketchOf(part: DataFrame, keys: Seq[String] = Seq("source")) =
+        part.select(keys.map(col) :+
+            explode(graft.operators.Dedup.charShingles(col("text"), 5))
+              .as("sh"): _*)
+          .select(keys.map(col) :+
+            graft.operators.KmvSketch.hash32(col("sh")).as("h"): _*)
       val kmvNew = timedL("incr_kmv_1pass") {
         // q191's r12 single-pass shape: one scan, (source, is-delta)
         // routing inside the aggregate
-        kmvSketchOf(srcDocs0.withColumn("isd", col("doc_id") % 10 === 0))
+        kmvSketchOf(srcDocs0.withColumn("isd", col("doc_id") % 10 === 0),
+            Seq("source", "isd"))
           .groupBy(col("source"), col("isd"))
           .agg(graft.operators.KmvSketch.lowestK(col("h"), 64).as("kmv"))
           .groupBy(col("source"))
